@@ -1,0 +1,198 @@
+"""Unit tests for the per-turn scalar functions — hand-computed
+expectations (SURVEY.md §7.3 step 2) plus oracle parity on the frozen
+unit fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fineweb2_ro_ray.functions.decide import FilterConfig, decide_batch
+from fineweb2_ro_ray.functions.lid import lang_id_batch
+from fineweb2_ro_ray.functions.perplexity import perplexity_batch
+from fineweb2_ro_ray.functions.pii import (
+    cnp_control_digit,
+    cnp_valid,
+    iban_make_valid,
+    iban_valid,
+)
+from fineweb2_ro_ray.functions.scrub import Scrubber, scrub_text
+from fineweb2_ro_ray.functions.textstats import compute_text_stats
+from fineweb2_ro_ray.oracle import label_table
+
+PARITY_EXACT = [
+    "n_chars",
+    "n_words",
+    "n_lines",
+    "mean_word_len",
+    "max_word_len",
+    "stopword_ratio",
+    "symbol_ratio",
+    "dup_line_frac",
+    "lang",
+    "lang_score",
+    "scrubbed_text",
+    "pii_hits",
+    "tox_hits",
+    "keep",
+    "drop_reason",
+]
+
+
+def _mini(texts, roles=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "conv_id": ["c"] * n,
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": roles or ["user"] * n,
+            "text": texts,
+            "tool": [""] * n,
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+
+
+def test_textstats_hand_computed():
+    t = compute_text_stats(_mini(["ana are mere.", "", "a\nb b\nb\n", "x!y?z"]))
+    assert t["n_chars"].to_pylist() == [13, 0, 8, 5]
+    assert t["n_words"].to_pylist() == [3, 0, 4, 1]
+    assert t["n_lines"].to_pylist() == [1, 1, 4, 1]
+    assert t["max_word_len"].to_pylist() == [5, 0, 1, 5]
+    assert t["mean_word_len"].to_pylist() == [11 / 3, 0.0, 1.0, 5.0]
+    # "a\nb b\nb\n" -> lines [a, b b, b] distinct 3 of 3 -> 0.0
+    assert t["dup_line_frac"].to_pylist() == [0.0, 0.0, 0.0, 0.0]
+    assert t["symbol_ratio"].to_pylist() == [1 / 13, 0.0, 0.0, 2 / 5]
+
+
+def test_dup_lines():
+    txt = "unu doi\nunu doi\nunu doi\ntrei"
+    t = compute_text_stats(_mini([txt]))
+    assert t["dup_line_frac"].to_pylist() == [(4 - 2) / 4]
+
+
+def test_stopword_ratio_punct_stripping():
+    # "și," strips to stopword; "Și." lowercases+strips
+    t = compute_text_stats(_mini(["și, Și. carte"]))
+    assert t["stopword_ratio"].to_pylist() == [2 / 3]
+
+
+def test_lid_basic():
+    t = lang_id_batch(
+        _mini(
+            [
+                "și de la cu pentru este cartof",
+                "the of and to in is you that",
+                "#### $$$$ %%%%",
+                "",
+            ]
+        )
+    )
+    assert t["lang"].to_pylist() == ["ro", "en", "und", "und"]
+    assert t["lang_score"].to_pylist()[0] == 6 / 7
+    assert t["lang_score"].to_pylist()[2:] == [0.0, 0.0]
+
+
+def test_perplexity_ro_lower_than_gibberish():
+    t = perplexity_batch(
+        _mini(["și de la cu pentru este sunt care nu se în pe", "#@!~|\\^qzx#@!~|\\^qzx", "a", ""])
+    )
+    ppl = t["ppl"].to_pylist()
+    assert ppl[0] < ppl[1]
+    assert ppl[2] == 0.0 and ppl[3] == 0.0
+
+
+def test_perplexity_deterministic_across_batching():
+    texts = ["și de la cu", "the of and", "#@!", "ab", "", "casă apă foc munte"]
+    one = perplexity_batch(_mini(texts))["ppl"].to_pylist()
+    parts = []
+    for i in range(len(texts)):
+        parts += perplexity_batch(_mini(texts[i : i + 1]))["ppl"].to_pylist()
+    assert one == parts  # bit-identical regardless of batch boundaries
+
+
+def test_cnp_checksum():
+    first12 = "193010112345"
+    cnp = first12 + cnp_control_digit(first12)
+    assert cnp_valid(cnp)
+    bad = first12 + str((int(cnp[12]) + 1) % 10)
+    assert not cnp_valid(bad)
+    assert not cnp_valid("0930101123456")  # leading zero
+    assert not cnp_valid("123")
+
+
+def test_iban_checksum():
+    iban = iban_make_valid("ABCD", "1234567890123456")
+    assert iban_valid(iban)
+    bad = "RO" + f"{(int(iban[2:4]) + 1) % 100:02d}" + iban[4:]
+    assert not iban_valid(bad)
+
+
+def test_scrub_exact():
+    iban = iban_make_valid("BANK", "0000111122223333")
+    first12 = "193010112345"
+    cnp = first12 + cnp_control_digit(first12)
+    bad_cnp = first12 + str((int(cnp[12]) + 1) % 10)
+    s, pii, tox = scrub_text(
+        f"mail a@b.ro tel +40 712 345 678 iban {iban} cnp {cnp} rau {bad_cnp} prostule"
+    )
+    assert s == "mail <EMAIL> tel <PHONE> iban <IBAN> cnp <CNP> rau " + bad_cnp + " <TOX>"
+    assert pii == 4 and tox == 1
+
+
+def test_scrub_invalid_iban_survives():
+    iban = iban_make_valid("BANK", "0000111122223333")
+    bad = "RO" + f"{(int(iban[2:4]) + 1) % 100:02d}" + iban[4:]
+    s, pii, tox = scrub_text(f"cont {bad} ok")
+    assert s == f"cont {bad} ok" and pii == 0
+
+
+def test_scrub_phone_formats():
+    for p in ["+40 712 345 678", "0712345678", "0040 712 345 678", "+40712345678"]:
+        s, pii, _ = scrub_text(f"suna la {p} acum")
+        assert s == "suna la <PHONE> acum", p
+        assert pii == 1
+    # non-mobile prefix is not scrubbed
+    s, pii, _ = scrub_text("fix 0212345678 x")
+    assert pii == 0
+
+
+def test_decide_first_failure_order():
+    cfg = FilterConfig()
+    t = _mini(["x"])  # too short AND too few words -> min_chars wins
+    t = compute_text_stats(t)
+    t = lang_id_batch(t)
+    t = perplexity_batch(t)
+    t = Scrubber()(t)
+    t = decide_batch(t, cfg)
+    assert t["keep"].to_pylist() == [False]
+    assert t["drop_reason"].to_pylist() == ["min_chars"]
+
+
+def test_decide_tool_role_lang_exempt():
+    cfg = FilterConfig()
+    txt = "the of and to in is you that it he was for on are as with his they"
+    t = _mini([txt, txt], roles=["user", "tool"])
+    t = compute_text_stats(t)
+    t = lang_id_batch(t)
+    t = perplexity_batch(t)
+    t = Scrubber()(t)
+    t = decide_batch(t, cfg)
+    assert t["drop_reason"].to_pylist()[0] == "lang"
+    assert t["keep"].to_pylist()[1] is True
+
+
+def test_oracle_parity_unit_fixture(unit_table):
+    t = compute_text_stats(unit_table)
+    t = lang_id_batch(t)
+    t = perplexity_batch(t)
+    t = Scrubber()(t)
+    t = decide_batch(t, FilterConfig())
+    eng = t.to_pylist()
+    orc = label_table(unit_table.to_pylist())
+    assert len(eng) == len(orc)
+    for e, o in zip(eng, orc):
+        for c in PARITY_EXACT:
+            assert e[c] == o[c], (c, e["conv_id"], e["turn_idx"])
+        assert np.isclose(e["ppl"], o["ppl"], rtol=1e-9), (e["ppl"], o["ppl"])

@@ -1,0 +1,90 @@
+"""Golden end-to-end tests: Ray Data pipeline vs the frozen pure-Python
+oracle — the reference's golden-comparison pattern
+(``/root/reference/small_model_inference/test.py:18-47``), joined on
+``(conv_id, turn_idx)`` with keep/drop F1 >= 0.99 and byte-exact
+scrubbed text (BASELINE.md acceptance gates)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from fineweb2_ro_ray.pipelines.quality_filter import (
+    annotate,
+    filter_kept,
+    read_transcripts,
+    reassemble,
+)
+
+
+def _labeled_df(golden_path) -> pd.DataFrame:
+    ds = annotate(read_transcripts(golden_path), batch_size=1024)
+    df = ds.to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_golden_f1_and_scrub(golden_path, golden_labeled):
+    eng = _labeled_df(golden_path)
+    orc = (
+        golden_labeled.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(orc)
+    assert (eng["conv_id"].values == orc["conv_id"].values).all()
+    assert (eng["turn_idx"].values == orc["turn_idx"].values).all()
+
+    # keep/drop F1 (gate >= 0.99; engine is designed to hit 1.0)
+    e, o = eng["keep"].values, orc["keep"].values
+    tp = int((e & o).sum())
+    fp = int((e & ~o).sum())
+    fn = int((~e & o).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f1
+
+    # byte-exact scrubbed text + exact drop attribution
+    assert (eng["scrubbed_text"].values == orc["scrubbed_text"].values).all()
+    assert (eng["drop_reason"].values == orc["drop_reason"].values).all()
+    assert (eng["lang"].values == orc["lang"].values).all()
+    assert np.allclose(eng["ppl"].values, orc["ppl"].values, rtol=1e-9)
+    assert (eng["pii_hits"].values == orc["pii_hits"].values).all()
+
+
+def test_determinism_across_parallelism(golden_path):
+    """Same input → bit-identical labels regardless of batch size /
+    block layout (SURVEY.md §7.3 step 4)."""
+    a = _labeled_df(golden_path)
+    ds = read_transcripts(golden_path).repartition(13)
+    b = annotate(ds, batch_size=333).to_pandas()
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for col in ["keep", "drop_reason", "scrubbed_text", "lang", "lang_score", "ppl"]:
+        assert (a[col].values == b[col].values).all(), col
+
+
+def test_reassembly_ordering(golden_path):
+    """Input rows are shuffled on disk; reassembled conversation text
+    must follow turn_idx order."""
+    ds = annotate(read_transcripts(golden_path), batch_size=2048)
+    conv = reassemble(ds).to_pandas().set_index("conv_id")
+
+    # oracle-side: per-conv kept scrubbed_text joined in turn order
+    eng = ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+    kept = eng[eng["keep"]]
+    expected = kept.groupby("conv_id")["scrubbed_text"].apply("\n".join)
+    sizes = eng.groupby("conv_id").size()
+
+    assert (conv["n_turns"].sort_index().values == sizes.sort_index().values).all()
+    for cid, text in expected.items():
+        assert conv.loc[cid, "text"] == text
+    # conversations with zero kept turns produce empty text + conv_keep False
+    empty = conv[conv["n_kept"] == 0]
+    assert (~empty["conv_keep"]).all()
+    assert (empty["text"] == "").all()
+
+
+def test_filter_kept_counts(golden_path, golden_labeled):
+    ds = annotate(read_transcripts(golden_path))
+    n_kept = filter_kept(ds).count()
+    assert n_kept == int(golden_labeled.to_pandas()["keep"].sum())
