@@ -1,44 +1,258 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ``fineweb2_ro_ray``) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship transcript pipeline at sf0.001 scale.
+- ``queries()``    — one callable per implemented operator (SURVEY.md §2
+  + the dedup / similarity / multimodal / analysis extras).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query (same column names; probabilistic/stateful ops are rows-only).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+from fineweb2_ro_ray.pipelines import parity as P
+from fineweb2_ro_ray.pipelines.quality_filter import (
+    annotate,
+    filter_kept,
+    read_transcripts,
+    reassemble,
+)
+from fineweb2_ro_ray.sources.synth import write_transcripts
+from fineweb2_ro_ray.stages.multimodal import decode_and_featurize, synth_media
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic transcripts derived per sf_dir (input_hint shape;
+# no external data — BASELINE.json: synthesise at small scale for tests)
+# ---------------------------------------------------------------------------
+
+_SF_CONVS = {"sf0.001": 120, "sf0.01": 800, "sf0.1": 4000}
+
+
+def _transcripts_path(sf_dir: str) -> str:
+    label = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
+    n_convs = _SF_CONVS.get(label, 120)
+    path = f"/tmp/fineweb2_ro_transcripts/{label}"
+    marker = os.path.join(path, ".complete")
+    if not os.path.exists(marker):
+        write_transcripts(path, n_convs, seed=42)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize sf0.001-scale transcripts, run the full
+    quality-filter DAG, return reassembled conversations."""
+    path = _transcripts_path("/root/testdata/sf0.001")
+    return reassemble(annotate(read_transcripts(path)))
+
+
+# ---------------------------------------------------------------------------
+# transcript-engine queries (rows-only checks: heuristic/stateful models)
+# ---------------------------------------------------------------------------
+
+
+def _q_transcript_labels(sf_dir: str):
+    return annotate(read_transcripts(_transcripts_path(sf_dir)))
+
+
+def _q_transcript_kept(sf_dir: str):
+    return filter_kept(annotate(read_transcripts(_transcripts_path(sf_dir))))
+
+
+def _q_transcript_conversations(sf_dir: str):
+    return reassemble(annotate(read_transcripts(_transcripts_path(sf_dir))))
+
+
+def _q_transcript_drop_reasons(sf_dir: str):
+    from fineweb2_ro_ray.stages.analysis import grouped_counts
+
+    ds = annotate(read_transcripts(_transcripts_path(sf_dir)))
+    return grouped_counts(ds, ["drop_reason"])
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data
+
+    n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 60
+    )
+    ds = ray.data.from_arrow(synth_media(n))
+    out = decode_and_featurize(ds, fake=True).drop_columns(["payload"])
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- transcript engine (flagship; rows-only: frozen-model ops) ---
+        "transcript_labels": _q_transcript_labels,
+        "transcript_kept": _q_transcript_kept,
+        "transcript_conversations": _q_transcript_conversations,
+        "transcript_drop_reasons": _q_transcript_drop_reasons,
+        # --- documents: stats / filters / aggregates (SQL-checked) ---
+        "doc_stats": P.q_doc_stats,
+        "doc_symbol_ratio": P.q_doc_symbol_ratio,
+        "filter_min_chars": P.q_filter_min_chars,
+        "filter_conjunctive": P.q_filter_conjunctive,
+        "lang_source_counts": P.q_lang_source_counts,
+        "lang_counts": P.q_lang_counts,
+        "nchars_percentiles": P.q_nchars_percentiles,
+        "nchars_summary": P.q_nchars_summary,
+        "capped_token_sum": P.q_capped_token_sum,
+        "top_longest": P.q_top_longest,
+        "distinct_langs": P.q_distinct_langs,
+        # --- dedup family ---
+        "dedup_exact": P.q_dedup_exact,
+        "jaccard_pairs": P.q_jaccard_pairs,
+        "minhash_pairs": P.q_minhash_pairs,
+        "simhash_pairs": P.q_simhash_pairs,
+        # --- relational operators ---
+        "events_type_counts": P.q_events_type_counts,
+        "events_hourly": P.q_events_hourly,
+        "lineitem_pricing": P.q_lineitem_pricing,
+        "orders_by_segment": P.q_orders_by_segment,
+        "supplier_nations": P.q_supplier_nations,
+        "orders_priority": P.q_orders_priority,
+        # --- similarity search ---
+        "ann_cosine": P.q_ann_cosine,
+        "ann_lsh": P.q_ann_lsh,
+        # --- multimodal plumbing (stubbed decode, real Ray stages) ---
+        "multimodal_features": _q_multimodal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SYM = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\s]"
+_TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_space_words,
+                   CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+                   md5(text) AS fingerprint
+            FROM documents
+        """,
+        "doc_symbol_ratio": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '{_SYM}', '', 'g')) AS BIGINT) AS n_sym,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(length(text) - length(regexp_replace(text, '{_SYM}', '', 'g')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END AS symbol_ratio
+            FROM documents
+        """,
+        "filter_min_chars": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300
+        """,
+        "filter_conjunctive": """
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 200 AND lang IN ('de', 'es')
+        """,
+        "lang_source_counts": """
+            SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+        """,
+        "lang_counts": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "nchars_percentiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(n_chars, {q / 100.0!r}) AS value FROM documents"
+            for q in [90.5, 91.0, 91.5, 92.0, 92.5, 93.0, 93.5, 94.0, 94.5, 95.0]
+        ),
+        "nchars_summary": """
+            SELECT CAST(min(n_chars) AS BIGINT) AS min_v,
+                   CAST(max(n_chars) AS BIGINT) AS max_v,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_v,
+                   count(*) AS n
+            FROM documents
+        """,
+        "capped_token_sum": """
+            SELECT CAST(sum(least(n_chars, 256)) AS BIGINT) AS total_capped,
+                   count(*) AS n_docs
+            FROM documents
+        """,
+        "top_longest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "distinct_langs": """
+            SELECT DISTINCT lang FROM documents ORDER BY lang
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "jaccard_pairs": """
+            WITH s AS (
+                SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                       / len(list_distinct(a.w || b.w)) AS jaccard
+            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                      / len(list_distinct(a.w || b.w)) >= 0.5
+        """,
+        "events_type_counts": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "supplier_nations": """
+            SELECT n_name, count(*) AS n
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "orders_priority": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "ann_cosine": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4
+            ), s AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+                FROM s
+            )
+            SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM r WHERE rnk <= 10
+        """,
+    }

@@ -1,0 +1,147 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": r}
+
+``--scaling``: runs the same bench in two fresh processes
+(RAY_GRAFT_CPUS=8 then 32) on identical input and reports both
+throughputs + scaling efficiency (sandbox substitute for the
+N-vs-4N-node criterion, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
+BENCH_DIR = f"/tmp/fineweb2_ro_bench/transcripts_{BENCH_CONVS}"
+
+
+def _ensure_bench_transcripts() -> int:
+    """Deterministic bench corpus, generated once and reused (so both
+    scaling runs see identical, page-cache-warm input)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fineweb2_ro_ray.sources.synth import write_transcripts
+
+    marker = os.path.join(BENCH_DIR, ".complete")
+    if os.path.exists(marker):
+        import pyarrow.parquet as pq
+        import glob
+
+        return sum(
+            pq.read_metadata(f).num_rows for f in glob.glob(f"{BENCH_DIR}/*.parquet")
+        )
+    n = write_transcripts(BENCH_DIR, BENCH_CONVS, seed=42)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fineweb2_ro_ray.pipelines import parity as P
+    from fineweb2_ro_ray.pipelines.quality_filter import annotate, read_transcripts, reassemble
+
+    n_turns = _ensure_bench_transcripts()
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    read_transcripts(BENCH_DIR).count()
+
+    timings: dict[str, float] = {}
+
+    # headline: full quality-filter DAG + conversation reassembly → sink
+    out_dir = f"/tmp/fineweb2_ro_bench/out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    reassemble(annotate(read_transcripts(BENCH_DIR))).write_parquet(out_dir)
+    timings["flagship_filter"] = time.time() - t0
+
+    # representative operator benches over the sf tables
+    for name, fn in [
+        ("lineitem_pricing", P.q_lineitem_pricing),
+        ("events_hourly", P.q_events_hourly),
+        ("dedup_exact", P.q_dedup_exact),
+        ("minhash_pairs", P.q_minhash_pairs),
+        ("ann_cosine", P.q_ann_cosine),
+    ]:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = time.time() - t0
+
+    total = sum(timings.values())
+    result = {
+        "metric": "turns/sec end-to-end transcript quality-filter + operator suite",
+        "value": round(timings["flagship_filter"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["flagship_filter"], 1),
+        "total_sec": round(total, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "turns": r_lo["turns"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,335 @@
+"""Operator-parity queries over the driver test tables.
+
+One callable per operator family from SURVEY.md §2, each taking
+``sf_dir`` and returning a Dataset / DataFrame / Table whose values are
+reproducible by the ANSI-SQL oracle in ``__ray_entry__.oracle_sql``
+(column names match exactly; floats are limited to single divisions or
+integer-scaled sums so value hashes are bit-stable across engines).
+
+Ray is assumed initialised by the caller (driver contract) — nothing
+here calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.analysis import (
+    TOKEN_PATTERN,
+    capped_token_sum,
+    doc_stats,
+    exact_percentiles,
+    grouped_counts,
+    numeric_summary,
+    top_k,
+)
+from ..stages.dedup import (
+    add_md5,
+    dedup_exact,
+    jaccard_pairs_by_group,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..stages.similarity import _to_matrix, knn_bruteforce, knn_lsh
+from ..functions.textstats import SYMBOL_PATTERN
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# documents: per-doc stats / filters / aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str):
+    """S/M family: per-doc counting stats + md5 fingerprint (M8 token
+    counting analog, ``/root/reference/fineweb/tokenize_fineweb2.py:20-22``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: add_md5(doc_stats(b), "text", "fingerprint").drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+def q_doc_symbol_ratio(sf_dir: str):
+    """Gopher symbol-ratio rule, SQL-checkable variant."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"], "")
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        n_sym = pc.count_substring_regex(text, SYMBOL_PATTERN).cast(pa.int64())
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        ns = n_sym.to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            ratio = np.where(nc > 0, ns / np.maximum(nc, 1), 0.0)
+        return (
+            b.select(["doc_id"])
+            .append_column("n_chars", n_chars)
+            .append_column("n_sym", n_sym)
+            .append_column("symbol_ratio", pa.array(ratio, pa.float64()))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_filter_min_chars(sf_dir: str):
+    """M2 threshold filter (``small_model_inference/filter.py:22``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 300)), batch_format="pyarrow"
+    )
+
+
+def q_filter_conjunctive(sf_dir: str):
+    """M3 conjunctive filter (``ro_vs_eng/filter_jql.py:27``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["n_chars"], 200),
+            pc.is_in(t["lang"], value_set=pa.array(["de", "es"])),
+        )
+        return t.filter(m).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_source_counts(sf_dir: str):
+    """G1 grouped distribution (``full_dataset_analysis/main.py:8-39``)."""
+    return grouped_counts(_read(sf_dir, "documents", ["lang", "source"]), ["lang", "source"])
+
+
+def q_lang_counts(sf_dir: str):
+    return grouped_counts(_read(sf_dir, "documents", ["lang"]), ["lang"])
+
+
+def q_nchars_percentiles(sf_dir: str):
+    """G3 percentile grid — the reference's threshold fetch
+    (``ro_vs_eng/quantiles_fetcher.py:58-65``, grid p90.5..95)."""
+    qs = [90.5, 91.0, 91.5, 92.0, 92.5, 93.0, 93.5, 94.0, 94.5, 95.0]
+    return exact_percentiles(_read(sf_dir, "documents", ["n_chars"]), "n_chars", qs)
+
+
+def q_nchars_summary(sf_dir: str):
+    return numeric_summary(_read(sf_dir, "documents", ["n_chars"]), "n_chars")
+
+
+def q_capped_token_sum(sf_dir: str):
+    """G4 capped sum (``fineweb/tokenize_fineweb2.py:29-34``)."""
+    return capped_token_sum(_read(sf_dir, "documents", ["n_chars"]), "n_chars", 256)
+
+
+def q_top_longest(sf_dir: str):
+    """K-family global top-k without a global sort."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return top_k(ds, "n_chars", 10, tiebreak="doc_id")
+
+
+def q_dedup_exact(sf_dir: str):
+    """§2.7 exact dedup: canonical (min doc_id) per distinct text."""
+    return dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_distinct_langs(sf_dir: str):
+    """G6 label coverage (set union of seen labels)."""
+    vals = sorted(_read(sf_dir, "documents", ["lang"]).unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """§2.7 n-gram(word)-Jaccard near-dup pairs within source groups."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return jaccard_pairs_by_group(ds, group_col="source", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# events / lineitem / orders: generic relational operators
+# ---------------------------------------------------------------------------
+
+
+def q_events_type_counts(sf_dir: str):
+    """G1 + integer-scaled SUM over doubles (deterministic value hash)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["value_cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        out = (
+            df.groupby("event_type")
+            .agg(partial_n=("value_cents", "size"), partial_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("partial_n", alias_name="n"), Sum("partial_cents", alias_name="value_cents"))
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Windowed-aggregate analog (tumbling 1h on event time): bucket =
+    date_trunc(hour); batch-engine restatement of a streaming window
+    (SURVEY.md §2.9 — the reference has none; ray_guide streaming
+    pattern)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hr = pc.strftime(pc.floor_temporal(b["ts"], unit="hour"), format="%Y-%m-%d %H:00")
+        return b.select(["event_type"]).append_column("hour", hr)
+
+    return grouped_counts(ds.map_batches(bucket, batch_format="pyarrow"), ["event_type", "hour"])
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate; money summed as integer
+    cents so the value hash is order-independent."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["qty"] = df["l_quantity"].astype(np.int64)
+        df["price_cents"] = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df["disc_bp"] = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = (
+            df.groupby(["l_returnflag", "l_linestatus"])
+            .agg(
+                partial_qty=("qty", "sum"),
+                partial_cents=("price_cents", "sum"),
+                partial_disc=("disc_bp", "sum"),
+                partial_n=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("partial_qty", alias_name="sum_qty"),
+            Sum("partial_cents", alias_name="sum_price_cents"),
+            Sum("partial_disc", alias_name="sum_disc_bp"),
+            Sum("partial_n", alias_name="count_order"),
+        )
+    )
+
+
+def q_orders_by_segment(sf_dir: str):
+    """J-family broadcast join (small side ``ray.put`` once, dict lookup
+    per batch — ``taxonomy.py`` J2 pattern at relational scale; no
+    shuffle join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        df = b.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(lut)
+        df["price_cents"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        out = (
+            df.groupby("c_mktsegment")
+            .agg(partial_n=("price_cents", "size"), partial_cents=("price_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("partial_n", alias_name="n_orders"), Sum("partial_cents", alias_name="total_cents"))
+    )
+
+
+def q_supplier_nations(sf_dir: str):
+    """Second broadcast join: supplier → nation names."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        df = b.to_pandas()
+        df["n_name"] = df["s_nationkey"].map(lut)
+        return pa.Table.from_pandas(df[["n_name"]], preserve_index=False)
+
+    return grouped_counts(ds.map_batches(f, batch_format="pyarrow"), ["n_name"])
+
+
+def q_orders_priority(sf_dir: str):
+    """M2-style date-range filter + G1 count (TPC-H Q4 shape)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderpriority"])
+
+    return grouped_counts(ds.map_batches(f, batch_format="pyarrow"), ["o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_matrix(sf_dir: str, n_queries: int = 4) -> np.ndarray:
+    tbl = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-k (queries = vec_id 0..3 broadcast once).
+    Output (query_id, rank, vec_id) — ints only, rank ties broken by
+    vec_id, so the hash is float-robust."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = knn_bruteforce(ds, _query_matrix(sf_dir), k=10)
+    return df[["query_id", "rank", "vec_id"]]
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate variant (scale path; no SQL oracle —
+    recall is probabilistic by design)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = knn_lsh(ds, _query_matrix(sf_dir), k=10, dim=64, n_planes=6)
+    return df[["query_id", "rank", "vec_id"]]
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates over documents (no SQL oracle:
+    probabilistic signatures)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=8)

@@ -1,0 +1,166 @@
+"""Corpus analysis operators over document tables.
+
+Ray-Data restatements of the reference's analysis entry points
+(SURVEY.md §2.5): grouped distributions (G1,
+``/root/reference/full_dataset_analysis/main.py:8-39``), global
+min/max/histograms (G2), exact global percentiles that drive the
+production thresholds (G3, ``ro_vs_eng/quantiles_fetcher.py:25-65``),
+capped token sums (G4, ``fineweb/tokenize_fineweb2.py:29-34``),
+filtered extraction (G5, ``full_dataset_analysis/adult.py:10-28``),
+label coverage (G6), threshold filters (M2/M3/M5).
+
+Scale pattern: every aggregate is map-side partial (inside
+``map_batches``) + a SMALL groupby/driver merge — never a full-row
+shuffle.  Percentiles use the value-histogram trick: for bounded-
+cardinality numeric columns, ``groupby(value).count()`` is exact and
+its merge output is tiny, so the np.percentile('linear') interpolation
+runs on the driver over (value, count) pairs — the same
+partial-then-merge shape as the reference's ``quantiles_fetcher``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# canonical BPE-ish token pattern (letters | digits | single symbol) —
+# matches DuckDB regexp_extract_all for the oracle
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def doc_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document counting stats, all vectorized Arrow kernels:
+    ``n_space_words`` = split on single space (SQL ``string_split``),
+    ``n_tokens`` = BPE-ish regex token count, ``n_lines``."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    n_space = pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.int64())
+    n_tok = pc.count_substring_regex(text, TOKEN_PATTERN).cast(pa.int64())
+    n_lines = pc.add(pc.count_substring(text, "\n"), 1).cast(pa.int64())
+    return (
+        batch.append_column("n_space_words", n_space)
+        .append_column("n_tokens", n_tok)
+        .append_column("n_lines", n_lines)
+    )
+
+
+def grouped_counts(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """G1: grouped counts with a map-side combiner — each batch emits
+    one partial-count row per key combo, then a small groupby sums
+    partials (the reference's per-shard-counter + driver-merge shape,
+    ``full_dataset_analysis/main.py:8-39``)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(keys).to_pandas()
+        out = df.groupby(keys, as_index=False).size().rename(columns={"size": "partial_n"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(Sum("partial_n", alias_name="n"))
+
+
+def value_counts(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
+    """Distinct-value histogram of one column (driver-sized result)."""
+    return grouped_counts(ds, [col]).to_pandas().sort_values(col).reset_index(drop=True)
+
+
+def percentiles_from_counts(
+    values: np.ndarray, counts: np.ndarray, qs: list[float]
+) -> dict[float, float]:
+    """Exact np.percentile(..., method='linear') from a (value, count)
+    histogram: pos = q/100*(n-1); interpolate between the pos-th and
+    (pos+1)-th order statistics located via cumulative counts."""
+    order = np.argsort(values)
+    v = np.asarray(values, dtype=np.float64)[order]
+    c = np.asarray(counts, dtype=np.int64)[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+
+    def kth(k: int) -> float:  # 0-based order statistic
+        i = int(np.searchsorted(cum, k + 1))
+        return float(v[i])
+
+    out = {}
+    for q in qs:
+        pos = q / 100.0 * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        a, b = kth(lo), kth(hi)
+        out[q] = a + (b - a) * (pos - lo)
+    return out
+
+
+def exact_percentiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> pd.DataFrame:
+    """G3 — the reference's threshold-driving global percentiles
+    (``quantiles_fetcher.py:53-65``), as histogram-partials + driver
+    interpolation. Exact for integer/bounded-cardinality columns.
+    Returns columns (q, value)."""
+    vc = value_counts(ds, col)
+    res = percentiles_from_counts(vc[col].to_numpy(), vc["n"].to_numpy(), qs)
+    return pd.DataFrame({"q": list(res.keys()), "value": list(res.values())})
+
+
+def capped_token_sum(ds: ray.data.Dataset, col: str, cap: int) -> pd.DataFrame:
+    """G4: global sum of per-doc min(count, cap)
+    (``fineweb/tokenize_fineweb2.py:31``, ``token_analysis.py:19``)."""
+
+    def clip(b: pa.Table) -> pa.Table:
+        capped = pc.min_element_wise(b[col], pa.scalar(cap, b[col].type))
+        return b.append_column("capped", capped)
+
+    out = ds.map_batches(clip, batch_format="pyarrow").aggregate(
+        Sum("capped", alias_name="total_capped"), Count(alias_name="n_docs")
+    )
+    return pd.DataFrame([out])
+
+
+def numeric_summary(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
+    """G2: global min/max/sum/count of a numeric column (avg is the
+    caller's single division of exact ints)."""
+    out = ds.aggregate(
+        Min(col, alias_name="min_v"),
+        Max(col, alias_name="max_v"),
+        Sum(col, alias_name="sum_v"),
+        Count(alias_name="n"),
+    )
+    return pd.DataFrame([out])
+
+
+def threshold_filter(
+    ds: ray.data.Dataset, *, min_chars: int | None = None, langs: list[str] | None = None
+) -> ray.data.Dataset:
+    """M2/M3/M5 family: conjunctive vectorized predicate
+    (``ro_vs_eng/filter_jql.py:27``; validity-set filter
+    ``training/all_tasks_bert.py:556-566``)."""
+
+    def pred(t: pa.Table) -> pa.Table:
+        mask = pa.array(np.ones(t.num_rows, dtype=bool))
+        if min_chars is not None:
+            mask = pc.and_(mask, pc.greater_equal(t["n_chars"], min_chars))
+        if langs is not None:
+            mask = pc.and_(mask, pc.is_in(t["lang"], value_set=pa.array(langs)))
+        return t.filter(mask)
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def top_k(
+    ds: ray.data.Dataset, col: str, k: int, *, tiebreak: str, descending: bool = True
+) -> pd.DataFrame:
+    """K-family: global top-k with deterministic tie-break — per-batch
+    local top-k, then driver merge (no global sort shuffle)."""
+
+    def local(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values([col, tiebreak], ascending=[not descending, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values([col, tiebreak], ascending=[not descending, True]).head(k)
+    return cand.reset_index(drop=True)

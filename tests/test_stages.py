@@ -1,0 +1,160 @@
+"""Unit tests for dedup / similarity / analysis / multimodal stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from fineweb2_ro_ray.stages.analysis import (
+    grouped_counts,
+    percentiles_from_counts,
+    top_k,
+)
+from fineweb2_ro_ray.stages.dedup import (
+    dedup_exact,
+    jaccard_pairs_by_group,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    MinHasher,
+    SimHasher,
+)
+from fineweb2_ro_ray.stages.multimodal import (
+    MediaDecoder,
+    decode_and_featurize,
+    synth_media,
+)
+from fineweb2_ro_ray.stages.similarity import knn_bruteforce, knn_lsh
+
+
+def _docs(texts, sources=None):
+    n = len(texts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": texts,
+                "source": sources or ["s0"] * n,
+            }
+        )
+    )
+
+
+def test_dedup_exact_min_id():
+    ds = _docs(["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+    out = dedup_exact(ds).to_pandas()
+    assert len(out) == 3
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    got = dict(zip(out["text_md5"], out["doc_id"]))
+    assert got[md5("aaa")] == 0 and got[md5("bbb")] == 1 and got[md5("ccc")] == 3
+
+
+def test_minhash_identical_and_disjoint():
+    base = "ana are mere si pere si struguri in gradina de acasa " * 3
+    other = "cu totul alt continut fara nicio legatura cu primul text " * 3
+    ds = _docs([base, base, other])
+    pairs = minhash_lsh_pairs(ds, threshold=0.7).to_pandas()
+    assert len(pairs) == 1
+    assert (pairs.iloc[0]["doc_a"], pairs.iloc[0]["doc_b"]) == (0, 1)
+    assert pairs.iloc[0]["est_jaccard"] == 1.0
+
+
+def test_minhash_signature_similarity_monotone():
+    mh = MinHasher()
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = a.replace("dog", "cat")
+    c = "complet diferit text fara cuvinte comune cu celelalte doua propozitii"
+    sim_ab = (mh.signature(a) == mh.signature(b)).mean()
+    sim_ac = (mh.signature(a) == mh.signature(c)).mean()
+    assert sim_ab > sim_ac
+
+
+def test_simhash_pairs():
+    t = "unu doi trei patru cinci sase sapte opt noua zece"
+    ds = _docs([t, t, "cu totul altceva complet diferit aici acum"])
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["hamming"] == 0
+    sh = SimHasher()
+    assert sh.simhash(t) == sh.simhash(t)
+    assert sh.simhash("") == 0
+
+
+def test_jaccard_pairs_hand_checked():
+    ds = _docs(["a b c d", "a b c e", "x y z w"], ["s0", "s0", "s0"])
+    out = jaccard_pairs_by_group(ds, threshold=0.5).to_pandas()
+    # {a,b,c,d} vs {a,b,c,e}: 3/5 = 0.6 >= 0.5; others 0
+    assert len(out) == 1
+    assert out.iloc[0]["doc_a"] == 0 and out.iloc[0]["doc_b"] == 1
+    assert out.iloc[0]["jaccard"] == 3 / 5
+
+
+def test_percentiles_match_numpy():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 500, size=997)
+    uniq, counts = np.unique(vals, return_counts=True)
+    got = percentiles_from_counts(uniq, counts, [50.0, 90.5, 92.0, 99.0])
+    for q, v in got.items():
+        assert v == np.percentile(vals.astype(np.float64), q), q
+
+
+def test_grouped_counts_matches_pandas():
+    df = pd.DataFrame({"k": ["a", "b", "a", "c", "a"], "v": range(5)})
+    out = grouped_counts(rd.from_pandas(df), ["k"]).to_pandas().set_index("k")["n"]
+    assert out.to_dict() == {"a": 3, "b": 1, "c": 1}
+
+
+def test_top_k_deterministic_ties():
+    df = pd.DataFrame({"doc_id": [5, 1, 3, 2], "n": [9, 9, 9, 1]})
+    out = top_k(rd.from_pandas(df), "n", 2, tiebreak="doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
+
+
+def test_knn_bruteforce_exact():
+    vecs = np.eye(4, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs]),
+        }
+    )
+    q = np.array([[1.0, 0.1, 0.0, 0.0]])
+    out = knn_bruteforce(rd.from_arrow(tbl), q, k=2)
+    assert out["vec_id"].tolist() == [0, 1]
+    assert out["rank"].tolist() == [1, 2]
+
+
+def test_knn_lsh_returns_ranked_subset():
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs]),
+        }
+    )
+    out = knn_lsh(rd.from_arrow(tbl), vecs[:2], k=5, dim=16, n_planes=4)
+    assert set(out["query_id"]) <= {0, 1}
+    # the query vector itself always lands in its own bucket → rank 1
+    r1 = out[out["rank"] == 1]
+    assert set(r1["vec_id"]) == {0, 1}
+
+
+def test_multimodal_stub_raises_without_fake():
+    dec = MediaDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"xx", "image")
+
+
+def test_multimodal_fake_pipeline_deterministic():
+    ds = rd.from_arrow(synth_media(30))
+    out = decode_and_featurize(ds, fake=True).to_pandas().sort_values("media_id")
+    out2 = decode_and_featurize(rd.from_arrow(synth_media(30)), fake=True).to_pandas().sort_values("media_id")
+    assert (out["checksum"].values == out2["checksum"].values).all()
+    assert len(out.iloc[0]["features"]) == 16
+    # feature vector sums ~1 (normalized histogram)
+    assert abs(float(np.sum(out.iloc[0]["features"])) - 1.0) < 1e-5
