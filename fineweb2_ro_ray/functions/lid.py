@@ -42,26 +42,49 @@ EN_LEXICON = frozenset(
 DIACRITICS_PATTERN = r"[ăâîșțĂÂÎȘȚ]"
 
 
+_RO_ARR = None
+_EN_ARR = None
+
+
+def _lexicons() -> tuple[pa.Array, pa.Array]:
+    global _RO_ARR, _EN_ARR
+    if _RO_ARR is None:
+        _RO_ARR = pa.array(sorted(RO_LEXICON))
+        _EN_ARR = pa.array(sorted(EN_LEXICON))
+    return _RO_ARR, _EN_ARR
+
+
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append ``lang`` (ro/en/und) and ``lang_score`` columns."""
+    """Append ``lang`` (ro/en/und) and ``lang_score`` columns.
+
+    Fast path: when the upstream stats stage ran with
+    ``share_tokens=True``, the transient ``_toks`` column carries the
+    canonical tokenization and ``n_words`` the token count — both are
+    reused (and ``_toks`` dropped) instead of re-splitting the text."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = pc.fill_null(text, "")  # null text == empty turn
 
-    words = pc.utf8_split_whitespace(text)
-    raw_lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = pc.list_flatten(words)
-    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-    toks = pc.utf8_trim(pc.utf8_lower(flat), PUNCT)
+    if "_toks" in batch.schema.names and "n_words" in batch.schema.names:
+        toks_list = batch["_toks"]
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        raw_lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.list_flatten(toks_list)
+        n_words = batch["n_words"].to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns(["_toks"])
+    else:
+        words = pc.utf8_split_whitespace(text)
+        raw_lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_trim(pc.utf8_lower(flat), PUNCT)
+        n_words = _segment_sums((flat_len > 0).astype(np.int64), raw_lens, "sum")
 
-    n_words = _segment_sums((flat_len > 0).astype(np.int64), raw_lens, "sum")
-    ro_mask = pc.is_in(toks, value_set=pa.array(sorted(RO_LEXICON))).to_numpy(
-        zero_copy_only=False
-    )
-    en_mask = pc.is_in(toks, value_set=pa.array(sorted(EN_LEXICON))).to_numpy(
-        zero_copy_only=False
-    )
+    ro_arr, en_arr = _lexicons()
+    ro_mask = pc.is_in(toks, value_set=ro_arr).to_numpy(zero_copy_only=False)
+    en_mask = pc.is_in(toks, value_set=en_arr).to_numpy(zero_copy_only=False)
     ro_hits = _segment_sums(ro_mask.astype(np.int64), raw_lens, "sum")
     en_hits = _segment_sums(en_mask.astype(np.int64), raw_lens, "sum")
     n_dia = pc.count_substring_regex(text, DIACRITICS_PATTERN).to_numpy(

@@ -57,6 +57,7 @@ def _train_logp() -> np.ndarray:
 
 
 LOGP = _train_logp()  # frozen at import; deterministic
+_LOGP_FLAT = LOGP.reshape(-1)  # 1-D gather is ~20x faster than 2-D fancy indexing
 
 
 def perplexity_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -79,7 +80,9 @@ def perplexity_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         boundary = ends[:-1] - 1
         boundary = boundary[(boundary >= 0) & (boundary < len(keep_pair))]
         keep_pair[boundary] = False
-        lp = LOGP[flat[:-1][keep_pair], flat[1:][keep_pair]]
+        a = flat[:-1][keep_pair].astype(np.int32)
+        b2 = flat[1:][keep_pair].astype(np.int32)
+        lp = _LOGP_FLAT[(a << 8) + b2]  # == LOGP[a, b2], single 1-D gather
         npairs = np.maximum(lens - 1, 0)
         offsets = np.zeros(n, dtype=np.int64)
         np.cumsum(npairs[:-1], out=offsets[1:])

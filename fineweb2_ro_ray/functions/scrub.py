@@ -59,33 +59,54 @@ def scrub_text(text: str) -> tuple[str, int, int]:
     return text, pii, tox
 
 
+# RE2-safe (no lookarounds) over-matching trigger: a row that can
+# possibly contain PII or a toxicity term matches; only those rows pay
+# the Python-regex scrub. Evaluated as ONE vectorized Arrow kernel.
+_TRIGGER_RE2 = (
+    r"@|RO[0-9]{2}[A-Z]{4}|[0-9]{13}|\+40|0040|07[0-9]"
+    + r"|(?i:"
+    + "|".join(TOX_TERMS)
+    + r")"
+)
+
+
 class Scrubber:
     """Actor-pool stage: regex packs compiled once per actor (reference
-    stateful-stage pattern, SURVEY.md §2.3). Fast path: batches with no
-    regex hits skip row processing entirely (vector pre-filter)."""
+    stateful-stage pattern, SURVEY.md §2.3). Fast path: a vectorized
+    RE2 trigger (Arrow ``match_substring_regex``) selects candidate
+    rows; clean rows pass through zero-copy."""
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
-        # quick rejection pattern: any candidate trigger
-        self._trigger = re.compile(
-            r"@|RO\d{2}[A-Z]{4}|(?<!\d)[1-9]\d{12}(?!\d)|(?:\+40|0040|07)\s?\d",
-        )
-        self._tox_trigger = re.compile("|".join(TOX_TERMS), re.IGNORECASE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        out_texts: list[str] = []
-        pii = np.zeros(len(texts), dtype=np.int32)
-        tox = np.zeros(len(texts), dtype=np.int32)
-        for i, t in enumerate(texts):
-            t = t or ""
-            if self._trigger.search(t) or self._tox_trigger.search(t):
-                s, p, x = scrub_text(t)
-                out_texts.append(s)
-                pii[i] = p
-                tox[i] = x
-            else:
-                out_texts.append(t)
+        import pyarrow.compute as pc
+
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n = len(text)
+        hits = pc.match_substring_regex(text, _TRIGGER_RE2).to_numpy(zero_copy_only=False)
+        pii = np.zeros(n, dtype=np.int32)
+        tox = np.zeros(n, dtype=np.int32)
+        idx = np.flatnonzero(hits)
+        if len(idx) == 0:
+            return (
+                batch.append_column("scrubbed_text", text)
+                .append_column("pii_hits", pa.array(pii, pa.int32()))
+                .append_column("tox_hits", pa.array(tox, pa.int32()))
+            )
+        subset = text.take(pa.array(idx)).to_pylist()
+        scrubbed = {}
+        for j, t in zip(idx, subset):
+            s, p, x = scrub_text(t)
+            scrubbed[int(j)] = s
+            pii[j] = p
+            tox[j] = x
+        out_texts = text.to_pylist()
+        for j, s in scrubbed.items():
+            out_texts[j] = s
         return (
             batch.append_column("scrubbed_text", pa.array(out_texts, pa.string()))
             .append_column("pii_hits", pa.array(pii, pa.int32()))

@@ -71,23 +71,43 @@ def _segment_sums(values: np.ndarray, lens: np.ndarray, how: str) -> np.ndarray:
     return out
 
 
-def _dup_line_fracs(texts: list[str | None]) -> np.ndarray:
-    out = np.zeros(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        if not t or "\n" not in t:
-            continue
-        lines = [ln.strip() for ln in t.split("\n")]
-        lines = [ln for ln in lines if ln]
-        if not lines:
-            continue
-        out[i] = (len(lines) - len(set(lines))) / len(lines)
+_STOPWORDS_ARR = None  # built lazily (module import order safety)
+
+
+def _stopword_set() -> "pa.Array":
+    global _STOPWORDS_ARR
+    if _STOPWORDS_ARR is None:
+        _STOPWORDS_ARR = pa.array(sorted(STOPWORDS))
+    return _STOPWORDS_ARR
+
+
+def _dup_line_fracs(text: pa.Array, n_lines_np: np.ndarray) -> np.ndarray:
+    """Only rows with >= 2 lines can have dup lines — materialize just
+    those (usually a small fraction of the batch)."""
+    out = np.zeros(len(text), dtype=np.float64)
+    multi = np.flatnonzero(n_lines_np > 1)
+    if len(multi):
+        subset = text.take(pa.array(multi)).to_pylist()
+        for j, t in zip(multi, subset):
+            lines = [ln.strip() for ln in t.split("\n")]
+            lines = [ln for ln in lines if ln]
+            if lines:
+                out[j] = (len(lines) - len(set(lines))) / len(lines)
     return out
 
 
-def compute_text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def compute_text_stats(
+    batch: pa.Table, text_col: str = "text", share_tokens: bool = False
+) -> pa.Table:
     """Append the rule-input columns to ``batch`` (zero-copy for the
     untouched columns — the reference's column-accretion model,
-    SURVEY.md §1.2)."""
+    SURVEY.md §1.2).
+
+    ``share_tokens=True`` additionally appends a transient ``_toks``
+    column (trimmed, lowercased token list) so the downstream LID stage
+    reuses this stage's tokenization instead of re-splitting — the
+    stages stay logically separate but share the expensive kernel work;
+    LID drops the column."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -108,9 +128,7 @@ def compute_text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     max_word_len = _segment_sums(flat_len, raw_lens, "max")
 
     toks = pc.utf8_trim(pc.utf8_lower(flat), PUNCT)
-    stop_mask = pc.is_in(toks, value_set=pa.array(sorted(STOPWORDS))).to_numpy(
-        zero_copy_only=False
-    )
+    stop_mask = pc.is_in(toks, value_set=_stopword_set()).to_numpy(zero_copy_only=False)
     n_stop = _segment_sums(stop_mask.astype(np.int64), raw_lens, "sum")
 
     nc = n_chars.to_numpy(zero_copy_only=False)
@@ -119,9 +137,10 @@ def compute_text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
         sym_ratio = np.where(nc > 0, n_sym / np.maximum(nc, 1), 0.0)
 
-    dup = _dup_line_fracs(text.to_pylist())
+    n_lines_np = n_lines.to_numpy(zero_copy_only=False)
+    dup = _dup_line_fracs(text, n_lines_np)
 
-    return (
+    out = (
         batch.append_column("n_chars", n_chars)
         .append_column("n_words", pa.array(n_words, pa.int64()))
         .append_column("n_lines", n_lines)
@@ -131,3 +150,7 @@ def compute_text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("symbol_ratio", pa.array(sym_ratio, pa.float64()))
         .append_column("dup_line_frac", pa.array(dup, pa.float64()))
     )
+    if share_tokens:
+        toks_list = pa.ListArray.from_arrays(words.offsets, toks)
+        out = out.append_column("_toks", toks_list)
+    return out

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -71,7 +72,11 @@ def annotate(
     lid_actors = lid_actors or _default_pool()
     ppl_actors = ppl_actors or _default_pool()
     scrub_actors = scrub_actors or _default_pool()
-    ds = ds.map_batches(compute_text_stats, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        partial(compute_text_stats, share_tokens=True),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
     ds = ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=batch_size, concurrency=lid_actors
     )
@@ -90,33 +95,58 @@ def annotate(
     return ds
 
 
-def _reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation reassembly under a stable ``turn_idx`` sort —
-    the single ordering contract (BASELINE.json: per-turn text equality
-    under stable turn ordering). Group sizes are conversation-sized, so
-    the in-group sort is cheap; skew is handled by the groupby shuffle,
-    not here."""
-    g = group.sort_values("turn_idx", kind="mergesort")
-    kept = g[g["keep"]]
+def _reassemble_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Reassemble EVERY conversation in one hash partition with
+    vectorized pandas groupby (C path) instead of one Python call per
+    conversation — at 10^12 turns the per-group-call overhead of a
+    naive ``groupby(conv_id).map_groups`` dominates; per-PARTITION calls
+    amortize it over thousands of conversations.
+
+    Ordering inside a conversation is explicit ``(conv_id, turn_idx)``
+    sort — the single ordering contract (BASELINE.json: per-turn text
+    equality under stable turn ordering); never positional."""
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = df.groupby("conv_id", sort=True)
+    n_turns = g.size()
+    n_kept = g["keep"].sum().astype(np.int64)
+    first_ts = g["ts"].first()
+    last_ts = g["ts"].last()
+    kept = df[df["keep"]]
+    text = kept.groupby("conv_id", sort=True)["scrubbed_text"].agg("\n".join)
+    text = text.reindex(n_turns.index, fill_value="")
     return pd.DataFrame(
         {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": [len(g)],
-            "n_kept": [int(kept.shape[0])],
-            "conv_keep": [bool(kept.shape[0] > 0)],
-            "text": ["\n".join(kept["scrubbed_text"].tolist())],
-            "first_ts": [g["ts"].iloc[0]],
-            "last_ts": [g["ts"].iloc[-1]],
+            "conv_id": n_turns.index,
+            "n_turns": n_turns.to_numpy(dtype=np.int64),
+            "n_kept": n_kept.to_numpy(),
+            "conv_keep": (n_kept > 0).to_numpy(),
+            "text": text.to_numpy(),
+            "first_ts": first_ts.to_numpy(),
+            "last_ts": last_ts.to_numpy(),
         }
     )
 
 
-def reassemble(ds: ray.data.Dataset) -> ray.data.Dataset:
+def reassemble(ds: ray.data.Dataset, n_partitions: int = 64) -> ray.data.Dataset:
     """Conversation reassembly: the only all-to-all exchange in the
-    pipeline. ``groupby(conv_id)`` hash-partitions by the ONE
-    partitioning key used everywhere (SURVEY.md §7.2); ordering inside
-    a group is explicit (`turn_idx` mergesort), never positional."""
-    return ds.groupby("conv_id").map_groups(_reassemble_group, batch_format="pandas")
+    pipeline. Conversations are hash-partitioned by ``conv_id`` (crc32,
+    the ONE partitioning key used everywhere — SURVEY.md §7.2) into
+    ``n_partitions`` buckets; the shuffle then moves ``n_partitions``
+    groups instead of one group per conversation, and each group is
+    reassembled vectorized. Hot conversations skew only their bucket;
+    raise ``n_partitions`` to thin buckets (salting is unnecessary here
+    because a conversation must land in exactly one group)."""
+    from ..state.checkpoint import add_partition_column
+
+    ds = ds.map_batches(
+        partial(add_partition_column, n_partitions=n_partitions),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("part").map_groups(
+        lambda g: _reassemble_partition(g.drop(columns=["part"])),
+        batch_format="pandas",
+    )
+    return out
 
 
 def ordered_turns(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -232,5 +232,9 @@ def write_transcripts(
     nfiles = max(1, (n + rows_per_file - 1) // rows_per_file)
     for i in range(nfiles):
         chunk = table.slice(i * rows_per_file, rows_per_file)
-        pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))
+        # small row groups => Ray's parquet reader can split each file
+        # into many blocks (read parallelism at any file count)
+        pq.write_table(
+            chunk, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=4096
+        )
     return n

@@ -87,16 +87,21 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
+        """Fully vectorized: k-byte shingles via a rolling polynomial
+        hash (wrap-around mod 2^64 is deterministic), unique'd, then the
+        permutation mins in one broadcast."""
         k = self.k
         data = text.encode("utf-8", "ignore")
         if len(data) < k:
-            shingles = {zlib.crc32(data)}
-        else:
-            shingles = {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
-        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-        # (a*x + b) mod p, batched over perms; object dtype avoided by
-        # doing the mod-mersenne trick in uint64 with Python ints fallback
-        vals = (x[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+            data = data + b"\x00" * (k - len(data))
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        base = np.uint64(1099511628211)
+        h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = h * base + arr[j : len(arr) - k + 1 + j]
+            x = np.unique(h)
+            vals = (x[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -119,44 +124,79 @@ def minhash_signatures(
     )
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """fixed_size_list<uint64, P> column → (n, P) uint64, zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+
+
 def _explode_bands(batch: pa.Table, bands: int, rows: int, id_col: str) -> pa.Table:
-    """(doc, signature) → ``bands`` rows of (band_id, band_hash, id,
-    signature) — the LSH bucketing key. band_hash = md5 of the band's
-    rows (stable, collision-safe enough for bucketing)."""
-    ids = batch[id_col].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    out_band, out_hash, out_id, out_sig = [], [], [], []
-    for i, sig in enumerate(sigs):
-        arr = np.asarray(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = arr[b * rows : (b + 1) * rows]
-            h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            out_band.append(b)
-            out_hash.append(h)
-            out_id.append(ids[i])
-            out_sig.append(sig)
+    """(doc, signature) → ``bands`` rows of (bucket:uint64, id, sig).
+    bucket = polynomial fold of the band's rows ⊕ band index — computed
+    vectorized over the whole batch; the shuffle moves only
+    (8-byte key, id, 8·num_perm-byte signature), never documents."""
+    sigs = _sig_matrix(batch["minhash"])  # (n, P)
+    n = sigs.shape[0]
+    chunks = sigs.reshape(n, bands, rows)
+    base = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        h = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows):
+            h = h * base + chunks[:, :, r]
+        h = h * base + np.arange(bands, dtype=np.uint64)[None, :]
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    rep_ids = np.repeat(ids, bands)
+    rep_sig = np.repeat(sigs, bands, axis=0)
     return pa.table(
         {
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
-            id_col: pa.array(out_id),
-            "minhash": pa.array(out_sig),
+            "bucket": pa.array(h.reshape(-1), pa.uint64()),
+            id_col: pa.array(rep_ids),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(rep_sig.reshape(-1), pa.uint64()), sigs.shape[1]
+            ),
         }
     )
 
 
-def _bucket_pairs(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, with estimated Jaccard =
-    fraction of matching signature positions."""
-    if len(group) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    g = group.sort_values(id_col)
-    ids = g[id_col].to_numpy()
-    sigs = np.stack(g["minhash"].to_numpy())
-    a_idx, b_idx = np.triu_indices(len(ids), k=1)
-    est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
-    return pd.DataFrame(
-        {"doc_a": ids[a_idx], "doc_b": ids[b_idx], "est_jaccard": est}
+def _partition_bucket_pairs(tbl: pa.Table, id_col: str) -> pa.Table:
+    """Candidate pairs for ALL buckets in one hash partition, numpy end
+    to end: sort by bucket, find multi-member runs, pair within runs.
+    Per-PARTITION call (amortized), zero pandas object columns."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if tbl.num_rows < 2:
+        return empty
+    buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    sigs = _sig_matrix(tbl["minhash"])
+    order = np.lexsort((ids, buckets))
+    buckets, ids, sigs = buckets[order], ids[order], sigs[order]
+    starts = np.flatnonzero(np.concatenate([[True], buckets[1:] != buckets[:-1]]))
+    ends = np.concatenate([starts[1:], [len(buckets)]])
+    out_a, out_b, out_est = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        a_idx, b_idx = np.triu_indices(e - s, k=1)
+        est = (sigs[s + a_idx] == sigs[s + b_idx]).mean(axis=1)
+        out_a.append(ids[s + a_idx])
+        out_b.append(ids[s + b_idx])
+        out_est.append(est)
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a).astype(np.int64), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(out_est), pa.float64()),
+        }
     )
 
 
@@ -168,24 +208,34 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    n_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs via banded LSH: signature →
-    explode to (band_id, band_hash) keys → groupby buckets → pairwise
-    inside buckets → distinct pairs ≥ threshold.
+    explode to bucket keys → hash-partitioned groupby → vectorized
+    pairwise inside buckets → distinct pairs ≥ threshold.
 
-    The shuffle moves (key, id, signature) rows only — never documents.
     Output: (doc_a, doc_b, est_jaccard) distinct pairs."""
     rows = num_perm // bands
     sigs = minhash_signatures(ds, k=k, num_perm=num_perm)
     exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, rows, id_col), batch_format="pyarrow"
     )
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pandas"
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (b["bucket"].to_numpy(zero_copy_only=False) % n_partitions).astype(np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    pairs = (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _partition_bucket_pairs(g.drop_columns(["part"]), id_col),
+            batch_format="pyarrow",
+        )
     )
-    # same pair can surface from several bands → dedup, then threshold
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # same pair can surface from several bands → aggregate-dedup (C path)
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
     )
     import pyarrow.compute as pc
 
@@ -201,39 +251,74 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens (crc32-seeded bit mixing;
-    weight = term frequency). Near-dups differ in few bits."""
+    """64-bit SimHash over whitespace tokens (md5-derived token bits;
+    weight = term frequency). Near-dups differ in few bits.
 
-    def __init__(self) -> None:
-        rng = np.random.default_rng(4242)
-        # 64 random odd multipliers to spread crc32 into 64 bits
-        self.mix = rng.integers(1, 2**63, size=2, dtype=np.uint64) | np.uint64(1)
+    Batch path is fully vectorized: Arrow tokenization → dictionary
+    encode → md5 per UNIQUE token only → per-instance ±1 bit votes
+    summed per document with ``np.add.reduceat``."""
 
     @staticmethod
-    def _token_hash64(tok: str) -> int:
-        h = hashlib.md5(tok.encode("utf-8")).digest()[:8]
-        return int.from_bytes(h, "little")
+    def _token_bits(tokens: list[str]) -> np.ndarray:
+        """(V, 64) ±1 vote matrix for unique tokens."""
+        h = np.array(
+            [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little") for t in tokens],
+            dtype=np.uint64,
+        )
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        return (bits.astype(np.int32) * 2 - 1)
+
+    def _simhash_votes(self, acc: np.ndarray) -> np.ndarray:
+        """(n, 64) vote sums → n uint64 simhashes."""
+        bits = (acc > 0).astype(np.uint64)
+        return (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        from collections import Counter
-
-        toks = Counter((text or "").split())
+        toks = (text or "").split()
         if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for tok, w in toks.items():
-            h = self._token_hash64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), w, -w)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        uniq = sorted(set(toks))
+        signs = self._token_bits(uniq)
+        idx = {t: i for i, t in enumerate(uniq)}
+        acc = np.zeros((1, 64), dtype=np.int64)
+        for t in toks:
+            acc[0] += signs[idx[t]]
+        return int(self._simhash_votes(acc)[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        hs = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        words = pc.utf8_split_whitespace(text)
+        raw_lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if len(flat) == 0:
+            return batch.append_column("simhash", pa.array(np.zeros(n, np.uint64), pa.uint64()))
+        dic = flat.dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        signs = self._token_bits(uniq)  # (V, 64)
+        tok_ids = dic.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n), raw_lens)
+        # Python-split semantics: drop empty boundary tokens
+        keep = flat_len > 0
+        tok_ids, doc_of = tok_ids[keep], doc_of[keep]
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(tok_ids):
+            votes = signs[tok_ids]  # (n_inst, 64)
+            starts = np.searchsorted(doc_of, np.arange(n))
+            ok = starts < len(doc_of)
+            sums = np.zeros((n, 64), dtype=np.int64)
+            if ok.any():
+                sums[ok] = np.add.reduceat(votes, starts[ok], axis=0)
+            counts = np.bincount(doc_of, minlength=n)
+            sums[counts == 0] = 0  # empty reduceat segments pick up a neighbour
+            acc = sums
+        hs = self._simhash_votes(acc)  # token-less rows have acc 0 → hash 0
         return batch.append_column("simhash", pa.array(hs, pa.uint64()))
 
 
@@ -268,25 +353,46 @@ def simhash_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        x = hs[a] ^ hs[b]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][m], "doc_b": ids[b][m], "hamming": ham[m]})
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one hash partition, vectorized size-filter
+        first (same per-partition amortization as minhash)."""
+        key = df["chunk"].astype(np.int64) * (1 << 16) + df["chunk_key"].astype(np.int64)
+        df = df.assign(_bk=key)
+        sizes = df.groupby("_bk", sort=False)["_bk"].transform("size")
+        multi = df[sizes > 1]
+        out_a, out_b, out_h = [], [], []
+        for _, g in multi.groupby("_bk", sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            a, b = np.triu_indices(len(ids), k=1)
+            x = hs[a] ^ hs[b]
+            ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+            m = ham <= max_hamming
+            out_a += ids[a][m].tolist()
+            out_b += ids[b][m].tolist()
+            out_h += ham[m].tolist()
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
+        )
+
+    def add_part(b: pa.Table, n_partitions: int = 32) -> pa.Table:
+        key = (
+            b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 16)
+            + b["chunk_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return b.append_column(
+            "part", pa.array((key % n_partitions).astype(np.int32), pa.int32())
+        )
 
     pairs = (
         hashed.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
