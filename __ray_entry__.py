@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": P.q_orders_by_segment,
         "supplier_nations": P.q_supplier_nations,
         "orders_priority": P.q_orders_priority,
+        # --- model scoring / parsing / metrics / splits ---
+        "count_metrics": P.q_count_metrics,
+        "parse_kv": P.q_parse_kv,
+        "doc_multitask_scores": P.q_doc_multitask_scores,
+        "split_counts": P.q_split_counts,
         # --- similarity search ---
         "ann_cosine": P.q_ann_cosine,
         "ann_lsh": P.q_ann_lsh,
@@ -240,6 +245,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY o_orderpriority
+        """,
+        "count_metrics": f"""
+            WITH t AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS a,
+                       CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS b
+                FROM documents
+            )
+            SELECT sqrt(CAST(sum((a - b) * (a - b)) AS DOUBLE) / count(*)) AS rmse,
+                   CAST(sum(abs(a - b)) AS DOUBLE) / count(*) AS mae,
+                   CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS match_rate,
+                   count(*) AS n
+            FROM t
+        """,
+        "parse_kv": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'ERROR'
+                        ELSE CAST(doc_id % 7 AS VARCHAR) END AS int_score,
+                   lang AS topic,
+                   CASE WHEN doc_id % 3 = 0 THEN -1
+                        ELSE doc_id % 7 END AS int_score_num
+            FROM documents
         """,
         "ann_cosine": """
             WITH q AS (

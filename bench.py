@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "4000000"))
 BENCH_DIR = f"/tmp/fineweb2_ro_bench/transcripts_{BENCH_CONVS}"
 
 
@@ -40,7 +40,7 @@ def _ensure_bench_transcripts() -> int:
         return sum(
             pq.read_metadata(f).num_rows for f in glob.glob(f"{BENCH_DIR}/*.parquet")
         )
-    n = write_transcripts(BENCH_DIR, BENCH_CONVS, seed=42)
+    n = write_transcripts(BENCH_DIR, BENCH_CONVS, seed=42, procs=16)
     with open(marker, "w") as f:
         f.write("ok")
     return n

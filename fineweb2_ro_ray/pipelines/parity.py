@@ -323,6 +323,75 @@ def q_ann_lsh(sf_dir: str):
     return df[["query_id", "rank", "vec_id"]]
 
 
+def q_count_metrics(sf_dir: str):
+    """G7 golden-test metrics (RMSE/MAE/match) between two counting
+    definitions of document length (``small_model_inference/test.py:31-41``)."""
+    from ..stages.analysis import score_metrics
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_stats, batch_format="pyarrow"
+    )
+    return score_metrics(ds, "n_space_words", "n_tokens")
+
+
+def q_parse_kv(sf_dir: str):
+    """M6 structured-output parser with the 'ERROR' sentinel
+    (``fineweb/big_inference.py:84-115``): annotation-shaped text is
+    derived deterministically from the documents table (every 3rd doc
+    malformed), parsed back into columns."""
+    from ..functions.parse import parse_kv_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def build_and_parse(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        langs = b["lang"].to_pylist()
+        texts = []
+        for i, lg in zip(ids, langs):
+            if i % 3 == 0:
+                texts.append(f"tema: {lg}")  # malformed: no score line
+            else:
+                texts.append(f"* scor: {i % 7}\n* tema: {lg}")
+        t = pa.table({"doc_id": b["doc_id"], "text": pa.array(texts, pa.string())})
+        out = parse_kv_batch(t)
+        out = out.set_column(
+            out.schema.get_field_index("int_score_num"),
+            "int_score_num",
+            pc.fill_null(out["int_score_num"], -1),  # null-free for hashing
+        )
+        return out.select(["doc_id", "int_score", "topic", "int_score_num"])
+
+    return ds.map_batches(build_and_parse, batch_format="pyarrow")
+
+
+def q_doc_multitask_scores(sf_dir: str):
+    """A2/A4/K1: frozen multi-task scorer (deterministic model stand-in;
+    rows-only — the model is engine-internal)."""
+    from ..stages.model_scoring import score_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return score_documents(ds).drop_columns(["text"])
+
+
+def q_split_counts(sf_dir: str):
+    """K3 deterministic hash splits over documents (conversation-unit
+    splits for transcripts; rows-only — crc32 is engine-pinned)."""
+    from ..sources.splits import add_split_column
+    from ..stages.analysis import grouped_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pa.array([str(x) for x in b["doc_id"].to_pylist()], pa.string())
+        return b.append_column("key", key)
+
+    ds = ds.map_batches(
+        lambda b: add_split_column(keyed(b), "key").select(["split"]),
+        batch_format="pyarrow",
+    )
+    return grouped_counts(ds, ["split"])
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates over documents (no SQL oracle:
     probabilistic signatures)."""

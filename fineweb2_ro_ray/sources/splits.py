@@ -1,0 +1,53 @@
+"""Deterministic dataset splits (K3).
+
+The reference splits by shard index (test = shards 1-16, val = 17-24,
+train = rest — ``/root/reference/training/shard_loader.py:8-10,24-42``)
+and *asserts* disjointness (``:72-74``). For transcripts the unit that
+must stay together is the conversation, so we split by a hash of
+``conv_id`` — deterministic, stable across runs and cluster sizes, and
+whole conversations land in exactly one split."""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+SPLITS = {"test": (0, 8), "val": (8, 12), "train": (12, 100)}  # % bands
+
+
+def split_of(conv_id: str) -> str:
+    h = zlib.crc32(conv_id.encode("utf-8")) % 100
+    for name, (lo, hi) in SPLITS.items():
+        if lo <= h < hi:
+            return name
+    raise AssertionError
+
+
+def add_split_column(batch: pa.Table, key: str = "conv_id") -> pa.Table:
+    col = batch[key]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dic = col.dictionary_encode()
+    import numpy as np
+
+    lut = np.array([SPLIT_IDS[split_of(u)] for u in dic.dictionary.to_pylist()], np.int8)
+    names = np.array(list(SPLIT_IDS), dtype=object)
+    idx = dic.indices.to_numpy(zero_copy_only=False)
+    return batch.append_column("split", pa.array(names[lut[idx]], pa.string()))
+
+
+SPLIT_IDS = {name: i for i, name in enumerate(SPLITS)}
+
+
+def _filter(b: pa.Table, name: str, key: str) -> pa.Table:
+    b = add_split_column(b, key)
+    return b.filter(pc.equal(b["split"], name)).drop_columns(["split"])
+
+
+def select_split(ds: ray.data.Dataset, name: str, key: str = "conv_id") -> ray.data.Dataset:
+    assert name in SPLITS
+    return ds.map_batches(lambda b: _filter(b, name, key), batch_format="pyarrow")

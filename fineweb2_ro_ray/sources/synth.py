@@ -63,13 +63,16 @@ _TYPES = [
 _CUM = np.cumsum([p for _, p in _TYPES])
 
 
-def _words(rng: np.random.Generator, vocab: list[str], n: int) -> str:
+def _word_list(rng: np.random.Generator, vocab: list[str], n: int) -> list[str]:
     idx = rng.integers(0, len(vocab), size=n)
-    return " ".join(vocab[i] for i in idx)
+    return [vocab[i] for i in idx]
 
 
-def _sentenceize(rng: np.random.Generator, body: str) -> str:
-    words = body.split()
+def _words(rng: np.random.Generator, vocab: list[str], n: int) -> str:
+    return " ".join(_word_list(rng, vocab, n))
+
+
+def _sentenceize_words(rng: np.random.Generator, words: list[str]) -> str:
     out, i = [], 0
     while i < len(words):
         n = int(rng.integers(5, 14))
@@ -79,6 +82,10 @@ def _sentenceize(rng: np.random.Generator, body: str) -> str:
             out.append(" ".join(chunk) + ".")
         i += n
     return " ".join(out)
+
+
+def _sentenceize(rng: np.random.Generator, body: str) -> str:
+    return _sentenceize_words(rng, body.split())
 
 
 def _gen_pii(rng: np.random.Generator) -> str:
@@ -120,7 +127,7 @@ def _gen_pii(rng: np.random.Generator) -> str:
 
 def _turn_text(rng: np.random.Generator, ttype: str) -> str:
     if ttype in ("clean_ro", "clean_ro_pii", "clean_ro_tox"):
-        body = _sentenceize(rng, _words(rng, RO_WORDS, int(rng.integers(20, 80))))
+        body = _sentenceize_words(rng, _word_list(rng, RO_WORDS, int(rng.integers(20, 80))))
         if ttype == "clean_ro_pii":
             parts = [body] + [_gen_pii(rng) for _ in range(int(rng.integers(1, 4)))]
             body = " ".join(parts)
@@ -131,14 +138,14 @@ def _turn_text(rng: np.random.Generator, ttype: str) -> str:
             body = " ".join(words[:pos] + [tox] + words[pos:])
         return body
     if ttype == "english":
-        return _sentenceize(rng, _words(rng, EN_WORDS, int(rng.integers(20, 60))))
+        return _sentenceize_words(rng, _word_list(rng, EN_WORDS, int(rng.integers(20, 60))))
     if ttype == "gibberish":
         n = int(rng.integers(30, 120))
         chars = rng.integers(0, len(GIBBERISH_CHARS), size=n)
         return "".join(GIBBERISH_CHARS[c] for c in chars)
     if ttype == "dup_lines":
-        line = _sentenceize(rng, _words(rng, RO_WORDS, int(rng.integers(4, 9))))
-        uniq = _sentenceize(rng, _words(rng, RO_WORDS, int(rng.integers(4, 9))))
+        line = _sentenceize_words(rng, _word_list(rng, RO_WORDS, int(rng.integers(4, 9))))
+        uniq = _sentenceize_words(rng, _word_list(rng, RO_WORDS, int(rng.integers(4, 9))))
         reps = int(rng.integers(3, 8))
         return "\n".join([uniq] + [line] * reps)
     if ttype == "short":
@@ -149,7 +156,7 @@ def _turn_text(rng: np.random.Generator, ttype: str) -> str:
         return _sentenceize(rng, ro + " " + en)
     if ttype == "long":
         # wide-row path: >=32k chars in one turn
-        body = _sentenceize(rng, _words(rng, RO_WORDS, 6000))
+        body = _sentenceize_words(rng, _word_list(rng, RO_WORDS, 6000))
         return body
     raise ValueError(ttype)
 
@@ -165,25 +172,25 @@ def _conv_sizes(rng: np.random.Generator, n_convs: int) -> np.ndarray:
     return sizes.astype(np.int64)
 
 
-def gen_transcripts(n_convs: int, seed: int = 42, shuffle: bool = True) -> pa.Table:
-    """Generate a deterministic transcript table. Row order is shuffled
-    (seeded) so stable ``(conv_id, turn_idx)`` re-ordering is actually
-    exercised downstream."""
-    top = np.random.default_rng(seed)
-    sizes = _conv_sizes(top, n_convs)
-
+def _gen_range(
+    seed: int, sizes: np.ndarray, ci_start: int, ci_end: int
+) -> dict[str, list]:
+    """Generate conversations [ci_start, ci_end). One rng stream per
+    CONVERSATION (seeded ``[seed, ci]``) with a fixed per-turn draw
+    order — every value still derives deterministically from
+    (seed, conv index, turn index) but without the per-turn
+    SeedSequence cost (~30x faster generation)."""
     conv_ids: list[str] = []
     turn_idxs: list[int] = []
     roles: list[str] = []
     texts: list[str] = []
     tools: list[str] = []
     tss: list[int] = []
-
-    for ci in range(n_convs):
+    for ci in range(ci_start, ci_end):
         cid = f"conv-{ci:08d}"
+        rng = np.random.default_rng([seed, ci])
         n_turns = int(sizes[ci])
         for ti in range(n_turns):
-            rng = np.random.default_rng([seed, ci, ti])
             if ti == 0 and rng.random() < 0.3:
                 role = "system"
             elif rng.random() < 0.08:
@@ -199,6 +206,25 @@ def gen_transcripts(n_convs: int, seed: int = 42, shuffle: bool = True) -> pa.Ta
             texts.append(text)
             tools.append(TOOLS[int(rng.integers(0, len(TOOLS)))] if role == "tool" else "")
             tss.append(BASE_TS_US + ci * 3_600_000_000 + ti * 7_000_000)
+    return {
+        "conv_id": conv_ids,
+        "turn_idx": turn_idxs,
+        "role": roles,
+        "text": texts,
+        "tool": tools,
+        "ts": tss,
+    }
+
+
+def gen_transcripts(n_convs: int, seed: int = 42, shuffle: bool = True) -> pa.Table:
+    """Generate a deterministic transcript table. Row order is shuffled
+    (seeded) so stable ``(conv_id, turn_idx)`` re-ordering is actually
+    exercised downstream."""
+    top = np.random.default_rng(seed)
+    sizes = _conv_sizes(top, n_convs)
+    cols = _gen_range(seed, sizes, 0, n_convs)
+    conv_ids, turn_idxs, roles = cols["conv_id"], cols["turn_idx"], cols["role"]
+    texts, tools, tss = cols["text"], cols["tool"], cols["ts"]
 
     table = pa.table(
         {
@@ -217,24 +243,65 @@ def gen_transcripts(n_convs: int, seed: int = 42, shuffle: bool = True) -> pa.Ta
     return table
 
 
-def write_transcripts(
-    path: str, n_convs: int, seed: int = 42, rows_per_file: int = 50_000
-) -> int:
-    """Write the synthetic table as a multi-file Parquet dataset (so Ray
-    gets file-level read parallelism). Returns total rows."""
+def _write_chunk(args: tuple) -> int:
+    """Generate + write one chunk file (top-level → picklable for
+    ProcessPoolExecutor). Deterministic given (seed, chunk bounds)."""
     import os
 
     import pyarrow.parquet as pq
 
-    table = gen_transcripts(n_convs, seed=seed)
+    seed, n_convs, ci_start, ci_end, file_idx, path = args
+    sizes = _conv_sizes(np.random.default_rng(seed), n_convs)
+    cols = _gen_range(seed, sizes, ci_start, ci_end)
+    table = pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array(cols["tool"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    perm = np.random.default_rng(seed + 1 + file_idx).permutation(table.num_rows)
+    table = table.take(pa.array(perm))
+    # small row groups => Ray's parquet reader can split each file
+    # into many blocks (read parallelism at any file count)
+    pq.write_table(
+        table, os.path.join(path, f"part-{file_idx:05d}.parquet"), row_group_size=4096
+    )
+    return table.num_rows
+
+
+def write_transcripts(
+    path: str,
+    n_convs: int,
+    seed: int = 42,
+    rows_per_file: int = 50_000,
+    procs: int = 1,
+) -> int:
+    """Write the synthetic table as a multi-file Parquet dataset (so Ray
+    gets file-level read parallelism). Conversations are generated in
+    bounded chunks (memory stays flat at any corpus size); rows are
+    shuffled within each chunk; ``procs > 1`` generates chunks in
+    parallel processes (byte-identical output regardless of ``procs``).
+    Returns total rows."""
+    import os
+
     os.makedirs(path, exist_ok=True)
-    n = table.num_rows
-    nfiles = max(1, (n + rows_per_file - 1) // rows_per_file)
-    for i in range(nfiles):
-        chunk = table.slice(i * rows_per_file, rows_per_file)
-        # small row groups => Ray's parquet reader can split each file
-        # into many blocks (read parallelism at any file count)
-        pq.write_table(
-            chunk, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=4096
-        )
-    return n
+    sizes = _conv_sizes(np.random.default_rng(seed), n_convs)
+    # chunk conversations so each file lands near rows_per_file rows
+    mean_sz = max(1.0, float(sizes.mean()))
+    convs_per_chunk = max(1, int(rows_per_file / mean_sz))
+    jobs = []
+    file_idx = 0
+    for ci in range(0, n_convs, convs_per_chunk):
+        jobs.append((seed, n_convs, ci, min(n_convs, ci + convs_per_chunk), file_idx, path))
+        file_idx += 1
+    if procs <= 1 or len(jobs) < 2:
+        return sum(_write_chunk(j) for j in jobs)
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=procs) as ex:
+        return sum(ex.map(_write_chunk, jobs))

@@ -106,6 +106,24 @@ def exact_percentiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> pd.Dat
     return pd.DataFrame({"q": list(res.keys()), "value": list(res.values())})
 
 
+def approx_percentiles(
+    ds: ray.data.Dataset, col: str, qs: list[float], decimals: int = 3
+) -> pd.DataFrame:
+    """G3 for continuous columns: histogram over values rounded to
+    ``decimals`` → driver interpolation. Error bounded by 0.5·10^-decimals
+    — the mergeable-sketch shape (partial per block, tiny merge) that
+    replaces the reference's collect-all-scores-to-driver percentile
+    (``quantiles_fetcher.py:25-41``) at 100 TB scale."""
+
+    def rounded(b: pa.Table) -> pa.Table:
+        v = np.round(b[col].to_numpy(zero_copy_only=False).astype(np.float64), decimals)
+        return pa.table({col: pa.array(v, pa.float64())})
+
+    vc = value_counts(ds.map_batches(rounded, batch_format="pyarrow"), col)
+    res = percentiles_from_counts(vc[col].to_numpy(), vc["n"].to_numpy(), qs)
+    return pd.DataFrame({"q": list(res.keys()), "value": list(res.values())})
+
+
 def capped_token_sum(ds: ray.data.Dataset, col: str, cap: int) -> pd.DataFrame:
     """G4: global sum of per-doc min(count, cap)
     (``fineweb/tokenize_fineweb2.py:31``, ``token_analysis.py:19``)."""
@@ -130,6 +148,45 @@ def numeric_summary(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
         Count(alias_name="n"),
     )
     return pd.DataFrame([out])
+
+
+def score_metrics(ds: ray.data.Dataset, col_a: str, col_b: str) -> pd.DataFrame:
+    """G7: golden-test metric aggregations — RMSE / MAE / exact-match
+    rate between two integer columns (``/root/reference/
+    small_model_inference/test.py:19-47``), as per-block partials + one
+    tiny merge. Sums are exact ints; the final divisions/sqrt are single
+    float ops, so results are bit-stable."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = a - c
+        return pa.table(
+            {
+                "sq": pa.array([int((d * d).sum())], pa.int64()),
+                "ab": pa.array([int(np.abs(d).sum())], pa.int64()),
+                "eq": pa.array([int((d == 0).sum())], pa.int64()),
+                "n": pa.array([len(d)], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("sq", alias_name="sq"),
+        Sum("ab", alias_name="ab"),
+        Sum("eq", alias_name="eq"),
+        Sum("n", alias_name="n"),
+    )
+    n = int(agg["n"])
+    return pd.DataFrame(
+        [
+            {
+                "rmse": float(np.sqrt(agg["sq"] / n)),
+                "mae": agg["ab"] / n,
+                "match_rate": agg["eq"] / n,
+                "n": n,
+            }
+        ]
+    )
 
 
 def threshold_filter(

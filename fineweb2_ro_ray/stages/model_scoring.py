@@ -1,0 +1,120 @@
+"""Multi-task model scoring stage — the reference's BERT bulk-inference
+shape with a deterministic frozen model.
+
+Reference semantics (``/root/reference/small_model_inference/
+small_model_inference.py:40-95``): load model once per worker, then per
+batch emit a regression ``score`` (float), ``int_score`` = clipped
+rounded score, and for each task in {topic, format, age_group} the
+top-3 labels + probabilities (``:77-93``, top-k ``:86-93``).  No
+network/GPU models exist in this sandbox, so the "model" is a frozen
+deterministic linear scorer over hashed bag-of-words features — the
+actor-pool mechanics, batch sizing, output schema and row-local top-k
+(K1) are the real thing; swap ``FrozenLinearModel`` for a GPU model
+class without touching the pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+TASKS = {
+    "topic": ["stiri", "educatie", "divertisment", "tehnologie", "sport"],
+    "format": ["articol", "blog", "forum", "lista", "tutorial"],
+    "age_group": ["copii", "adolescenti", "adulti", "seniori"],
+}
+TOP_K = 3
+_DIM = 256
+
+
+class FrozenLinearModel:
+    """Deterministic stand-in for the finetuned multi-task BERT: hashed
+    bag-of-words → fixed random projection heads (seeded). Loaded once
+    per actor (reference: ``small_model_inference.py:98-104``)."""
+
+    def __init__(self, seed: int = 2024) -> None:
+        rng = np.random.default_rng(seed)
+        self.w_score = rng.standard_normal(_DIM)
+        self.heads = {t: rng.standard_normal((_DIM, len(ls))) for t, ls in TASKS.items()}
+
+    @staticmethod
+    def _features(texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), _DIM), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            for tok in toks:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
+                out[i, h % _DIM] += 1.0
+            if toks:
+                out[i] /= len(toks)
+        return out
+
+    def predict(self, texts: list[str]) -> dict[str, np.ndarray]:
+        x = self._features(texts)
+        score = 2.5 + x @ self.w_score  # centered around the 0..5 band
+        res: dict[str, np.ndarray] = {"score": score}
+        for task, w in self.heads.items():
+            logits = x @ w
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            res[task] = e / e.sum(axis=1, keepdims=True)
+        return res
+
+
+class MultiTaskScorer:
+    """Actor-pool stage appending the reference's accreted columns:
+    score, int_score, {task}_class_{1..3}, {task}_prob_{1..3}
+    (``small_model_inference.py:77-93``; sanity asserts ``:74-75,82-84``
+    become block-level invariants here)."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.model = FrozenLinearModel()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
+        preds = self.model.predict(texts)
+        assert len(preds["score"]) == len(texts)  # ref :74-75
+        score = preds["score"]
+        int_score = np.clip(np.rint(score), 0, 5).astype(np.int64)  # ref :79 + M10
+        batch = batch.append_column("score", pa.array(score, pa.float64()))
+        batch = batch.append_column("int_score", pa.array(int_score, pa.int64()))
+        for task, labels in TASKS.items():
+            probs = preds[task]
+            assert np.allclose(probs.sum(axis=1), 1.0)  # simplex, ref :82-84
+            top = np.argsort(-probs, axis=1, kind="stable")[:, :TOP_K]  # K1 row-local top-k
+            for k in range(TOP_K):
+                lab = [labels[j] for j in top[:, k]]
+                pr = probs[np.arange(len(texts)), top[:, k]]
+                batch = batch.append_column(f"{task}_class_{k+1}", pa.array(lab, pa.string()))
+                batch = batch.append_column(f"{task}_prob_{k+1}", pa.array(pr, pa.float64()))
+        return batch
+
+
+def score_documents(
+    ds: ray.data.Dataset, *, batch_size: int = 1024, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MultiTaskScorer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def validity_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """M5: keep rows whose labels parse into the taxonomy and
+    int_score ∈ [0,5] (``training/all_tasks_bert.py:556-566`` — drops
+    the reference's 'ERROR'-sentinel rows)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["int_score"], 0), pc.less_equal(t["int_score"], 5)),
+            pc.is_in(t["topic_class_1"], value_set=pa.array(TASKS["topic"])),
+        )
+        m = pc.and_(m, pc.is_in(t["format_class_1"], value_set=pa.array(TASKS["format"])))
+        m = pc.and_(m, pc.is_in(t["age_group_class_1"], value_set=pa.array(TASKS["age_group"])))
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,113 @@
+"""Tests: model scoring, kv parser, splits, io utilities, percentile
+thresholds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from fineweb2_ro_ray.functions.parse import ERROR, parse_kv_text
+from fineweb2_ro_ray.sources.io import json_to_parquet, write_sharded_parquet
+from fineweb2_ro_ray.sources.splits import SPLITS, add_split_column, select_split, split_of
+from fineweb2_ro_ray.stages.model_scoring import (
+    TASKS,
+    MultiTaskScorer,
+    score_documents,
+    validity_filter,
+)
+
+
+def test_parse_kv_well_formed():
+    out = parse_kv_text("* scor: 4\n* tema: Știri\nsubtema: Politica\nformat: articol")
+    assert out["int_score"] == "4"
+    assert out["topic"] == "Știri"
+    assert out["subtopic"] == "Politica"
+    assert out["format"] == "articol"
+    assert out["explanation"] == ERROR  # missing → sentinel, row never fails
+
+
+def test_parse_kv_error_paths():
+    assert parse_kv_text("")["int_score"] == ERROR
+    assert parse_kv_text("scor: patru")["int_score"] == ERROR  # non-digit
+    assert parse_kv_text("scor:")["int_score"] == ERROR  # empty value
+    assert parse_kv_text("Scor: 3")["int_score"] == "3"  # case-insensitive key
+
+
+def test_multitask_scorer_deterministic_schema():
+    t = pa.table({"doc_id": [1, 2], "text": ["ana are mere", "alt text complet"]})
+    s = MultiTaskScorer()
+    a, b = s(t), s(t)
+    assert a.schema.names == b.schema.names
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    for task in TASKS:
+        assert f"{task}_class_1" in a.schema.names
+        assert f"{task}_prob_3" in a.schema.names
+        p1 = a[f"{task}_prob_1"].to_pylist()
+        p3 = a[f"{task}_prob_3"].to_pylist()
+        assert all(x >= y for x, y in zip(p1, p3))  # top-k ordered
+    assert all(0 <= v <= 5 for v in a["int_score"].to_pylist())
+
+
+def test_validity_filter_keeps_scored_rows():
+    ds = rd.from_items([{"doc_id": i, "text": f"text numarul {i} cu cuvinte"} for i in range(20)])
+    out = validity_filter(score_documents(ds)).to_pandas()
+    assert len(out) == 20  # frozen model always emits taxonomy labels
+
+
+def test_splits_deterministic_and_partition():
+    assert split_of("conv-00000042") == split_of("conv-00000042")
+    names = {split_of(f"conv-{i:08d}") for i in range(200)}
+    assert names == set(SPLITS)
+
+
+def test_splits_disjoint_and_total():
+    t = pa.table({"conv_id": [f"c{i}" for i in range(300)]})
+    ds = rd.from_arrow(t)
+    parts = {name: set(select_split(ds, name)
+                       .to_pandas()["conv_id"]) for name in SPLITS}
+    allv = set(t["conv_id"].to_pylist())
+    assert set.union(*parts.values()) == allv
+    for a in SPLITS:
+        for b in SPLITS:
+            if a != b:
+                assert not (parts[a] & parts[b])
+
+
+def test_split_column_matches_scalar():
+    t = pa.table({"conv_id": [f"x{i}" for i in range(50)]})
+    col = add_split_column(t)["split"].to_pylist()
+    assert col == [split_of(f"x{i}") for i in range(50)]
+
+
+def test_io_roundtrip(tmp_path):
+    import json
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    rows = [{"id": i, "text": f"doc {i}"} for i in range(10)]
+    (src / "shard0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    dst = str(tmp_path / "pq")
+    json_to_parquet(str(src), dst, columns=["text"])
+    out = rd.read_parquet(dst).to_pandas()
+    assert sorted(out["text"]) == sorted(r["text"] for r in rows)
+    assert list(out.columns) == ["text"]
+
+    dst2 = str(tmp_path / "sharded")
+    write_sharded_parquet(rd.read_parquet(dst), dst2, rows_per_file=4)
+    assert rd.read_parquet(dst2).count() == 10
+
+
+def test_derived_ppl_threshold(golden_path):
+    from fineweb2_ro_ray.pipelines.quality_filter import (
+        annotate_with_derived_ppl_threshold,
+    )
+
+    ds = annotate_with_derived_ppl_threshold(golden_path, percentile=50.0)
+    df = ds.to_pandas()
+    # with max_ppl at the median, roughly half the turns fail the ppl rule
+    # or an earlier one; sanity: threshold actually bites
+    assert (df["drop_reason"] == "ppl").sum() > 0
+    assert df["keep"].sum() < len(df)
