@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine": P.q_ann_cosine,
         "ann_lsh": P.q_ann_lsh,
+        "embedding_neardup": P.q_embedding_neardup,
+        "llm_annotate": P.q_llm_annotate,
         # --- multimodal plumbing (stubbed decode, real Ray stages) ---
         "multimodal_features": _q_multimodal,
     }
@@ -266,6 +268,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN -1
                         ELSE doc_id % 7 END AS int_score_num
             FROM documents
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
         "ann_cosine": """
             WITH q AS (

@@ -392,6 +392,24 @@ def q_split_counts(sf_dir: str):
     return grouped_counts(ds, ["split"])
 
 
+def q_embedding_neardup(sf_dir: str):
+    """§2.7 embedding-cosine near-dup pairs, exact (broadcast matrix).
+    Output int pairs only, so the hash is float-robust."""
+    from ..stages.similarity import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.45)
+
+
+def q_llm_annotate(sf_dir: str):
+    """A3 LLM-annotation stage (stubbed generator; rows-only — the
+    'model' is engine-internal)."""
+    from ..stages.llm_annotate import annotate_llm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return annotate_llm(ds).drop_columns(["text"])
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates over documents (no SQL oracle:
     probabilistic signatures)."""

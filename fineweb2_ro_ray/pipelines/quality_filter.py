@@ -68,12 +68,15 @@ class Annotator:
     §2.3). The individual stage callables remain available for unfused
     composition."""
 
-    def __init__(self, cfg: FilterConfig | None = None) -> None:
+    def __init__(
+        self, cfg: FilterConfig | None = None, project: list[str] | None = None
+    ) -> None:
         # each actor is a 1-CPU worker: pin Arrow's internal pools so 30
         # actors don't spawn 30×32 threads and thrash the node
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
         self.cfg = cfg or FilterConfig()
+        self.project = project
         self.lid = LangIdScorer()
         self.ppl = PerplexityScorer()
         self.scrub = Scrubber()
@@ -83,7 +86,12 @@ class Annotator:
         b = self.lid(b)
         b = self.ppl(b)
         b = self.scrub(b)
-        return decide_batch(b, self.cfg)
+        b = decide_batch(b, self.cfg)
+        if self.project:
+            # project inside the actor: the dropped columns (notably the
+            # original text) never hit the object store again
+            b = b.select(self.project)
+        return b
 
 
 def annotate(
@@ -92,6 +100,7 @@ def annotate(
     *,
     batch_size: int = 4096,
     fused: bool = True,
+    project: list[str] | None = None,
     lid_actors: int | tuple[int, int] | None = None,
     ppl_actors: int | tuple[int, int] | None = None,
     scrub_actors: int | tuple[int, int] | None = None,
@@ -113,12 +122,14 @@ def annotate(
             cpus = 8
         # FIXED pool size: the autoscaling (min,max) pool ramps up too
         # slowly and halves throughput on steady batch streams; a fixed
-        # pool sized to the cluster (leaving CPUs for read/write tasks)
-        # is right for a saturating pipeline stage
-        pool = max(2, cpus - 2)
+        # pool sized to the cluster is right for a saturating stage.
+        # ALWAYS leave >=1 CPU free for read/write/shuffle tasks — a
+        # pool that reserves every CPU starves them and the pipeline
+        # crawls (observed at num_cpus=2).
+        pool = max(1, cpus - 2) if cpus >= 4 else max(1, cpus - 1)
         return ds.map_batches(
             Annotator,
-            fn_constructor_kwargs={"cfg": cfg},
+            fn_constructor_kwargs={"cfg": cfg, "project": project},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
@@ -270,5 +281,13 @@ def run_flagship(
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """read → annotate → reassemble. Returns the conversation-level
-    Dataset (lazy; caller consumes)."""
-    return reassemble(annotate(read_transcripts(input_path), cfg, batch_size=batch_size))
+    Dataset (lazy; caller consumes). The fused annotate stage projects
+    to exactly the reassembly columns, so the original text column never
+    leaves the actor."""
+    ds = annotate(
+        read_transcripts(input_path),
+        cfg,
+        batch_size=batch_size,
+        project=["conv_id", "turn_idx", "ts", "keep", "scrubbed_text"],
+    )
+    return reassemble(ds)

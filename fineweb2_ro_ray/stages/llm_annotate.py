@@ -1,0 +1,79 @@
+"""A3: LLM annotation stage — the reference's big-inference shape with
+a deterministic stub generator.
+
+Reference semantics (``/root/reference/fineweb/big_inference.py``):
+load the model once per GPU worker (``:160-167``), truncate each
+document to fit the context budget (ctx 32768 − 512 output tokens,
+``:31-32,190-199``), greedy-generate an annotation block (``:211-219``),
+then parse it with the ``key: value`` parser, degrading to ``"ERROR"``
+sentinels instead of failing (``:84-115``).
+
+No GPU/LLM exists in this sandbox, so generation is STUBBED with a
+deterministic template over text features — but the stage mechanics are
+real: actor-pool with per-actor model state, the truncation policy, the
+per-doc generate → parse loop, and the accreted output columns
+(``output, int_score, topic, subtopic, format, age_group,
+explanation``). Swap ``_generate`` for a real model call without
+touching the pipeline.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.parse import DEFAULT_KEYMAP, parse_kv_text
+
+CTX_BUDGET_CHARS = 32_768 * 4  # the ref's token budget, char-approximated
+OUTPUT_RESERVE_CHARS = 512 * 4
+
+
+class LLMAnnotator:
+    """Actor-pool stage: one annotation per document (batch_size small —
+    generation dominates; the reference uses batch 1 per GPU)."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        # model load would happen here, once per actor (ref :160-167)
+        self._budget = CTX_BUDGET_CHARS - OUTPUT_RESERVE_CHARS
+
+    def _truncate(self, text: str) -> str:
+        """Ref ``:190-199``: keep the prefix that fits the context."""
+        return text[: self._budget]
+
+    def _generate(self, text: str) -> str:
+        """Deterministic stub for greedy generation: scores length/
+        stopword features into the reference's output template."""
+        words = text.split()
+        score = min(5, len(set(words)) % 6)
+        topic = ["stiri", "educatie", "divertisment"][len(words) % 3]
+        fmt = ["articol", "blog", "forum"][len(text) % 3]
+        return (
+            f"* scor: {score}\n"
+            f"* explicatie: text cu {len(words)} cuvinte\n"
+            f"* tema: {topic}\n"
+            f"* format: {fmt}\n"
+            f"* grupa de varsta: adulti"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
+        outputs = [self._generate(self._truncate(t)) for t in texts]
+        parsed = [parse_kv_text(o) for o in outputs]
+        batch = batch.append_column("output", pa.array(outputs, pa.string()))
+        for field in DEFAULT_KEYMAP.values():
+            batch = batch.append_column(
+                field, pa.array([p[field] for p in parsed], pa.string())
+            )
+        return batch
+
+
+def annotate_llm(
+    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        LLMAnnotator, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

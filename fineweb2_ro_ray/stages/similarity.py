@@ -80,6 +80,53 @@ def knn_bruteforce(
     return df[["query_id", "rank", id_col, "sim"]]
 
 
+def embedding_neardup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (§2.7 extra): all (a < b)
+    pairs with cosine >= threshold.
+
+    Exact variant: the normalized matrix is broadcast ONCE (``ray.put``)
+    and every batch computes batch × all sims — correct while the
+    embedding table fits the object store (small-side broadcast rule).
+    The 100 TB path is ``HyperplaneLSH`` bucketing + within-bucket
+    pairing (same shape as MinHash banding)."""
+    import pandas as pd  # noqa: F401
+
+    tbl = ds.select_columns([id_col, emb_col]).to_pandas()
+    tbl = tbl.sort_values(id_col)
+    ids_all = tbl[id_col].to_numpy()
+    m = np.stack(tbl[emb_col].to_numpy()).astype(np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids_all, mn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mn = ray.get(ref)
+        pos = {v: i for i, v in enumerate(ids_all)}
+        b_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rows = np.array([pos[v] for v in b_ids])
+        bm = mn[rows]
+        sims = bm @ mn.T  # (nb, N)
+        out_a, out_b = [], []
+        for r, i in enumerate(rows):
+            hit = np.flatnonzero(sims[r] >= threshold)
+            hit = hit[ids_all[hit] > b_ids[r]]  # a < b, no self-pairs
+            out_a += [int(b_ids[r])] * len(hit)
+            out_b += [int(x) for x in ids_all[hit]]
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(pairs, batch_format="pyarrow")
+
+
 class HyperplaneLSH:
     """Actor-pool stage: bucket embeddings by the sign pattern of
     ``n_planes`` fixed random projections (state built once per actor)."""
