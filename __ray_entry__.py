@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational operators ---
         "events_type_counts": P.q_events_type_counts,
         "events_hourly": P.q_events_hourly,
+        "events_sliding": P.q_events_sliding,
+        "events_sessions": P.q_events_sessions,
+        "orders_join_native": P.q_orders_join_native,
         "lineitem_pricing": P.q_lineitem_pricing,
         "orders_by_segment": P.q_orders_by_segment,
         "supplier_nations": P.q_supplier_nations,
@@ -221,6 +224,48 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH e AS (
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS w0
+                FROM events
+            ), x AS (
+                SELECT event_type, w0 AS w FROM e
+                UNION ALL
+                SELECT event_type, w0 - INTERVAL 30 MINUTE FROM e
+            )
+            SELECT event_type, strftime(w, '%Y-%m-%d %H:%M') AS window_start,
+                   count(*) AS n
+            FROM x GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM o
+            ), t AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM s
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS "end"
+            FROM t GROUP BY user_id, session_id
+        """,
+        "orders_join_native": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -392,6 +392,50 @@ def q_split_counts(sf_dir: str):
     return grouped_counts(ds, ["split"])
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding-window counts (size 60min, slide 30min)."""
+    from ..stages.windows import sliding_counts
+
+    return sliding_counts(_read(sf_dir, "events", ["event_type", "ts"]))
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows per user (gap 30min) — the stateful
+    streaming construct as groupby + vectorized diff/cumsum."""
+    from ..stages.windows import session_windows
+
+    return session_windows(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_orders_join_native(sf_dir: str):
+    """J-family with Ray's native hash-partitioned ``Dataset.join``
+    (both-sides-large path; the broadcast variant is
+    ``q_orders_by_segment``)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["price_cents"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        out = (
+            df.groupby("c_mktsegment")
+            .agg(partial_n=("price_cents", "size"), partial_cents=("price_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("partial_n", alias_name="n_orders"), Sum("partial_cents", alias_name="total_cents"))
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """§2.7 embedding-cosine near-dup pairs, exact (broadcast matrix).
     Output int pairs only, so the hash is float-robust."""

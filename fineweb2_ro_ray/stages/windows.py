@@ -1,0 +1,108 @@
+"""Event-time windowing over an ordered, partitioned log.
+
+The reference has no streaming constructs (SURVEY.md §2.9); these are
+the batch-engine restatements a transcript/event pipeline needs, per
+the ray_guide streaming pattern: partition by key, order by ``ts``
+inside the partition, window with vectorized pandas.
+
+- tumbling: one bucket per event (``date_trunc``-style)
+- sliding: window ``size`` sliding by ``slide`` — each event lands in
+  ``size/slide`` buckets, emitted vectorized
+- session: gap-based per-key sessions via sorted diff + cumsum — the
+  stateful construct, still expressible as ``groupby(key)`` + vector
+  math (no per-event Python)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .analysis import grouped_counts
+
+
+def tumbling_counts(
+    ds: ray.data.Dataset, *, key: str = "event_type", ts_col: str = "ts", unit: str = "hour"
+) -> ray.data.Dataset:
+    """Counts per (key, tumbling window)."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        w = pc.strftime(pc.floor_temporal(b[ts_col], unit=unit), format="%Y-%m-%d %H:00")
+        return b.select([key]).append_column("window_start", w)
+
+    return grouped_counts(ds.map_batches(bucket, batch_format="pyarrow"), [key, "window_start"])
+
+
+def sliding_counts(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    size_min: int = 60,
+    slide_min: int = 30,
+) -> ray.data.Dataset:
+    """Counts per (key, sliding window start): window [w, w+size) with
+    starts on multiples of ``slide``. Each event is exploded into
+    size/slide rows vectorized, then the usual partial-count groupby."""
+    assert size_min % slide_min == 0
+    k = size_min // slide_min
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        slide_us = slide_min * 60_000_000
+        base = (ts // slide_us) * slide_us  # latest window start containing the event
+        keys = b[key].to_pylist()
+        out_key, out_w = [], []
+        for j in range(k):
+            w = base - j * slide_us
+            out_key += keys
+            out_w += w.tolist()
+        starts = pa.array(np.array(out_w, dtype="datetime64[us]"))
+        wstr = pc.strftime(starts, format="%Y-%m-%d %H:%M")
+        return pa.table({key: pa.array(out_key, pa.string())}).append_column(
+            "window_start", wstr
+        )
+
+    return grouped_counts(ds.map_batches(explode, batch_format="pyarrow"), [key, "window_start"])
+
+
+def session_windows(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_min: int = 30,
+    n_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Gap-based sessions per key: a new session starts when the time
+    since the previous event of the same key exceeds ``gap``.
+    Output: (key, session_id, n_events, start, end) with string
+    timestamps. Hash-partitioned per-partition vectorized pandas (same
+    amortization as conversation reassembly)."""
+    gap = pd.Timedelta(minutes=gap_min)
+
+    def part_col(b: pa.Table) -> pa.Table:
+        ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("part", pa.array((ks % n_partitions).astype(np.int32), pa.int32()))
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        prev_ts = df.groupby(key, sort=False)[ts_col].shift(1)
+        new_sess = (df[ts_col] - prev_ts > gap) | prev_ts.isna()
+        df["session_id"] = new_sess.groupby(df[key], sort=False).cumsum().astype(np.int64) - 1
+        g = df.groupby([key, "session_id"], sort=True)
+        out = g.agg(n_events=(ts_col, "size"), start=(ts_col, "min"), end=(ts_col, "max")).reset_index()
+        out["start"] = out["start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["end"] = out["end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out
+
+    return (
+        ds.select_columns([key, ts_col])
+        .map_batches(part_col, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: sessions(g.drop(columns=["part"])), batch_format="pandas")
+    )

@@ -158,3 +158,45 @@ def test_multimodal_fake_pipeline_deterministic():
     assert len(out.iloc[0]["features"]) == 16
     # feature vector sums ~1 (normalized histogram)
     assert abs(float(np.sum(out.iloc[0]["features"])) - 1.0) < 1e-5
+
+
+def test_tumbling_and_sliding_windows():
+    import pandas as pd
+    from fineweb2_ro_ray.stages.windows import sliding_counts, tumbling_counts
+
+    ts = pd.to_datetime(
+        ["2026-01-01 10:05", "2026-01-01 10:40", "2026-01-01 11:05", "2026-01-01 10:10"]
+    )
+    t = pa.table({"event_type": ["a", "a", "a", "b"],
+                  "ts": pa.array(ts.astype("datetime64[us]"))})
+    tum = tumbling_counts(rd.from_arrow(t)).to_pandas()
+    got = {(r["event_type"], r["window_start"]): r["n"] for _, r in tum.iterrows()}
+    assert got[("a", "2026-01-01 10:00")] == 2
+    assert got[("a", "2026-01-01 11:00")] == 1
+    assert got[("b", "2026-01-01 10:00")] == 1
+
+    sl = sliding_counts(rd.from_arrow(t)).to_pandas()
+    got = {(r["event_type"], r["window_start"]): r["n"] for _, r in sl.iterrows()}
+    # window [w, w+60) with w % 30 == 0:
+    # 10:05 -> 09:30, 10:00 ; 10:40 -> 10:00, 10:30 ; 11:05 -> 10:30, 11:00
+    assert got[("a", "2026-01-01 09:30")] == 1
+    assert got[("a", "2026-01-01 10:00")] == 2
+    assert got[("a", "2026-01-01 10:30")] == 2
+    assert got[("a", "2026-01-01 11:00")] == 1
+
+
+def test_session_windows():
+    import pandas as pd
+    from fineweb2_ro_ray.stages.windows import session_windows
+
+    ts = pd.to_datetime([
+        "2026-01-01 10:00", "2026-01-01 10:10",  # session 0 (user 1)
+        "2026-01-01 11:30",                        # session 1 (gap > 30m)
+        "2026-01-01 10:00",                        # user 2, session 0
+    ])
+    t = pa.table({"user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                  "ts": pa.array(ts.astype("datetime64[us]"))})
+    out = session_windows(rd.from_arrow(t)).to_pandas().sort_values(["user_id", "session_id"])
+    assert out[out.user_id == 1]["session_id"].tolist() == [0, 1]
+    assert out[out.user_id == 1]["n_events"].tolist() == [2, 1]
+    assert out[out.user_id == 2]["n_events"].tolist() == [1]
