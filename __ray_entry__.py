@@ -139,7 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-_SYM = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\s]"
+# explicit ASCII whitespace — matches functions/textstats.SYMBOL_PATTERN
+# (RE2 \s is ASCII-only, Python re \s is Unicode; see textstats docstring)
+_SYM = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\t\n\f\r ]"
 _TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

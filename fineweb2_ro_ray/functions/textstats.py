@@ -34,7 +34,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 PUNCT = ".,!?;:()[]{}\"'"
-SYMBOL_PATTERN = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\s]"
+# explicit ASCII whitespace, NOT \s: RE2 (Arrow/DuckDB) treats \s as
+# ASCII-only while Python re is Unicode-aware — an explicit class is the
+# only definition all three engines agree on (found by property tests)
+SYMBOL_PATTERN = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\t\n\f\r ]"
 
 # Combined RO+EN stopword list for the stopword-ratio rule (C4-style
 # "document must contain common words" heuristic).

@@ -1,0 +1,119 @@
+"""Property-based engine-vs-oracle parity (hypothesis).
+
+The golden gate only proves parity on the synthetic mixture; these
+drive arbitrary text (printable ASCII + Romanian diacritics + newlines/
+tabs + planted PII-ish fragments) through BOTH implementations and
+require the same canonical values — the cheap way to find Arrow-vs-
+Python semantic drift before it shows up at corpus scale."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fineweb2_ro_ray.functions.decide import FilterConfig, decide_batch
+from fineweb2_ro_ray.functions.lid import lang_id_batch
+from fineweb2_ro_ray.functions.perplexity import perplexity_batch
+from fineweb2_ro_ray.functions.scrub import Scrubber
+from fineweb2_ro_ray.functions.textstats import compute_text_stats
+from fineweb2_ro_ray.oracle import label_row
+
+ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "ăâîșțĂÂÎȘȚ .,!?;:()[]{}\"'@+-_/\n\t*#$%&=<>|\\"
+)
+texts_strategy = st.lists(
+    st.text(alphabet=ALPHABET, min_size=0, max_size=300), min_size=1, max_size=20
+)
+
+COLS = [
+    "n_chars",
+    "n_words",
+    "n_lines",
+    "mean_word_len",
+    "max_word_len",
+    "stopword_ratio",
+    "symbol_ratio",
+    "dup_line_frac",
+    "lang",
+    "lang_score",
+    "scrubbed_text",
+    "pii_hits",
+    "tox_hits",
+    "keep",
+    "drop_reason",
+]
+
+
+def _mini(texts: list[str]) -> pa.Table:
+    n = len(texts)
+    return pa.table(
+        {
+            "conv_id": ["c"] * n,
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": ["user"] * n,
+            "text": texts,
+            "tool": [""] * n,
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_strategy)
+def test_engine_matches_oracle_on_arbitrary_text(texts):
+    t = _mini(texts)
+    b = compute_text_stats(t)
+    b = lang_id_batch(b)
+    b = perplexity_batch(b)
+    b = Scrubber()(b)
+    b = decide_batch(b, FilterConfig())
+    eng = b.to_pylist()
+    for row_in, row_out in zip(t.to_pylist(), eng):
+        orc = label_row(row_in)
+        for c in COLS:
+            assert row_out[c] == orc[c], (c, repr(row_in["text"]))
+        assert np.isclose(row_out["ppl"], orc["ppl"], rtol=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=8))
+def test_engine_matches_oracle_on_full_unicode(texts):
+    """Arbitrary Unicode (hypothesis default text strategy) — guards the
+    RE2-vs-Python semantic pins (ASCII whitespace class, etc.)."""
+    t = _mini(texts)
+    b = compute_text_stats(t)
+    b = lang_id_batch(b)
+    b = Scrubber()(b)
+    eng = b.to_pylist()
+    for row_in, row_out in zip(t.to_pylist(), eng):
+        orc = label_row(row_in)
+        for c in ["n_chars", "n_words", "symbol_ratio", "stopword_ratio", "lang", "scrubbed_text"]:
+            assert row_out[c] == orc[c], (c, repr(row_in["text"]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts_strategy)
+def test_ppl_batch_boundary_invariance(texts):
+    whole = perplexity_batch(_mini(texts))["ppl"].to_pylist()
+    single = [perplexity_batch(_mini([t]))["ppl"].to_pylist()[0] for t in texts]
+    assert whole == single
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(
+        alphabet="0123456789RO ABCDEFGHIJKLMNOP@.ro+-,", min_size=0, max_size=120
+    )
+)
+def test_scrub_never_crashes_and_is_deterministic(s):
+    from fineweb2_ro_ray.functions.scrub import scrub_text
+
+    a = scrub_text(s)
+    b = scrub_text(s)
+    assert a == b
+    # scrubbing never grows pii count beyond match count and never
+    # produces None
+    assert a[0] is not None and a[1] >= 0 and a[2] >= 0
