@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": P.q_events_sliding,
         "events_sessions": P.q_events_sessions,
         "orders_join_native": P.q_orders_join_native,
+        "events_asof_orders": P.q_events_asof_orders,
         "lineitem_pricing": P.q_lineitem_pricing,
         "orders_by_segment": P.q_orders_by_segment,
         "supplier_nations": P.q_supplier_nations,
@@ -262,6 +263,12 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS "end"
             FROM t GROUP BY user_id, session_id
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+            FROM events e
+            ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "orders_join_native": """
             SELECT c_mktsegment, count(*) AS n_orders,

@@ -436,6 +436,25 @@ def q_orders_join_native(sf_dir: str):
     )
 
 
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time. Output is tie-proof (event_id + matched
+    order DATE, not orderkey — several orders can share the max date)."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    joined = asof_join(
+        events, orders, key="user_id", right_key="o_custkey", left_ts="ts", right_ts="o_orderdate"
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        d = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
+        return b.select(["event_id"]).append_column("order_date", d)
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_embedding_neardup(sf_dir: str):
     """§2.7 embedding-cosine near-dup pairs, exact (broadcast matrix).
     Output int pairs only, so the hash is float-robust."""

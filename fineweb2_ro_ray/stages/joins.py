@@ -1,0 +1,84 @@
+"""Join operators beyond the lookup patterns: as-of join.
+
+The reference has no as-of/range joins (SURVEY.md §2.4); this is the
+custom-operator composition the brief calls for: hash-bucket both sides
+by the equality key, sort within the bucket, and run ``pd.merge_asof``
+per bucket (ray_guide join pattern).  Partitioning assumption: the
+equality key co-locates both sides — the same single-key discipline as
+conversation reassembly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    n_partitions: int = 16,
+) -> ray.data.Dataset:
+    """For each left row, attach the greatest ``right_ts <= left_ts`` row
+    of the same key (backward as-of, inner semantics: unmatched left
+    rows are dropped) — DuckDB ``ASOF JOIN`` equivalent.
+
+    Both sides are hash-bucketed on the equality key and unioned (padded
+    to a superset schema with a side tag), so ONE identically-keyed
+    shuffle co-locates them; each bucket runs a sorted
+    ``pd.merge_asof``. Skewed keys salt only their bucket."""
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    overlap = set(l_cols) & set(r_cols)
+    assert not overlap, f"rename overlapping columns first: {overlap}"
+
+    def pad(b: pa.Table, side: str, k: str, other_cols, other_types) -> pa.Table:
+        ks = b[k].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = b.append_column("part", pa.array((ks % n_partitions).astype(np.int32), pa.int32()))
+        b = b.append_column("_side", pa.array([side] * b.num_rows, pa.string()))
+        for c, t in zip(other_cols, other_types):
+            b = b.append_column(c, pa.nulls(b.num_rows, t))
+        return b
+
+    l_schema, r_schema = left.schema(), right.schema()
+    r_types = [r_schema.base_schema.field(c).type for c in r_cols]
+    l_types = [l_schema.base_schema.field(c).type for c in l_cols]
+
+    lt = left.map_batches(
+        lambda b: pad(b, "l", key, r_cols, r_types), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        lambda b: pad(b, "r", right_key, l_cols, l_types), batch_format="pyarrow"
+    )
+    # align column order for the union
+    order = l_cols + r_cols + ["part", "_side"]
+    lt = lt.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    rt = rt.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == "l"][l_cols]
+        r = df[df["_side"] == "r"][r_cols]
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=l_cols + r_cols)
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = r.sort_values(right_ts, kind="mergesort")
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=left_ts,
+            right_on=right_ts,
+            left_by=key,
+            right_by=right_key,
+            direction="backward",
+        )
+        return out[out[right_ts].notna()]  # inner semantics
+
+    return both.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -200,3 +200,26 @@ def test_session_windows():
     assert out[out.user_id == 1]["session_id"].tolist() == [0, 1]
     assert out[out.user_id == 1]["n_events"].tolist() == [2, 1]
     assert out[out.user_id == 2]["n_events"].tolist() == [1]
+
+
+def test_asof_join_hand_checked():
+    import pandas as pd
+    from fineweb2_ro_ray.stages.joins import asof_join
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2026-01-05", "2026-01-20", "2026-01-05"]).astype("datetime64[us]")),
+    })
+    od = pa.table({
+        "o_custkey": pa.array([7, 7, 9], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(["2026-01-01", "2026-01-10", "2026-01-01"]).astype("datetime64[us]")),
+    })
+    out = (
+        asof_join(rd.from_arrow(ev), rd.from_arrow(od),
+                  key="user_id", right_key="o_custkey", left_ts="ts", right_ts="o_orderdate")
+        .to_pandas().sort_values("event_id")
+    )
+    # event 1 -> order 01-01; event 2 -> order 01-10; event 3 (user 8): no match
+    assert out["event_id"].tolist() == [1, 2]
+    assert out["o_orderdate"].dt.strftime("%Y-%m-%d").tolist() == ["2026-01-01", "2026-01-10"]
