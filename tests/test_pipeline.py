@@ -88,3 +88,45 @@ def test_filter_kept_counts(golden_path, golden_labeled):
     ds = annotate(read_transcripts(golden_path))
     n_kept = filter_kept(ds).count()
     assert n_kept == int(golden_labeled.to_pandas()["keep"].sum())
+
+
+def test_skewed_hot_conversation_reassembly():
+    """A pathologically hot conversation (50k turns, ~1000x median) must
+    reassemble correctly and in order — the skew case SURVEY.md §7.4
+    calls out."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fineweb2_ro_ray.pipelines.quality_filter import annotate, reassemble
+
+    n_hot, n_small = 50_000, 40
+    rng = np.random.default_rng(5)
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": []}
+    for cid, n in [("hot", n_hot)] + [(f"c{i}", 3) for i in range(n_small)]:
+        for ti in range(n):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(ti)
+            rows["role"].append("user")
+            rows["text"].append(f"și de la cu pentru este turn {ti} al conversației {cid}")
+            rows["tool"].append("")
+            rows["ts"].append(ti)
+    t = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"]),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "role": pa.array(rows["role"]),
+            "text": pa.array(rows["text"]),
+            "tool": pa.array(rows["tool"]),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        }
+    )
+    perm = rng.permutation(t.num_rows)
+    t = t.take(pa.array(perm))
+    conv = reassemble(annotate(rd.from_arrow(t))).to_pandas().set_index("conv_id")
+    assert conv.loc["hot", "n_turns"] == n_hot
+    # order check: the hot conversation's text lines follow turn_idx order
+    lines = conv.loc["hot", "text"].split("\n")
+    idx = [int(ln.rsplit("turn ", 1)[1].split(" ")[0]) for ln in lines]
+    assert idx == sorted(idx)
+    assert len(conv) == n_small + 1
