@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": P.q_events_sessions,
         "orders_join_native": P.q_orders_join_native,
         "events_asof_orders": P.q_events_asof_orders,
+        "orders_semi_join": P.q_orders_semi_join,
+        "orders_anti_join": P.q_orders_anti_join,
         "lineitem_pricing": P.q_lineitem_pricing,
         "orders_by_segment": P.q_orders_by_segment,
         "supplier_nations": P.q_supplier_nations,
@@ -263,6 +265,14 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS "end"
             FROM t GROUP BY user_id, session_id
+        """,
+        "orders_semi_join": """
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+        "orders_anti_join": """
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         """,
         "events_asof_orders": """
             SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date

@@ -436,6 +436,40 @@ def q_orders_join_native(sf_dir: str):
     )
 
 
+def q_orders_semi_join(sf_dir: str):
+    """Semi-join via broadcast key set (ray_guide pattern: ship the key
+    set once, filter inside map_batches — no shuffle): orders whose
+    customer is in the BUILDING segment."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    keys_ref = ray.put(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(sorted(ks), pa.int64()))
+        return t.filter(mask).select(["o_orderkey"])
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_orders_anti_join(sf_dir: str):
+    """Anti-join: orders whose customer is NOT in BUILDING."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    keys_ref = ray.put(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.invert(pc.is_in(t["o_custkey"], value_set=pa.array(sorted(ks), pa.int64())))
+        return t.filter(mask).select(["o_orderkey"])
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
     before the event time. Output is tie-proof (event_id + matched
