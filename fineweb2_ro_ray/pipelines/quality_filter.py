@@ -192,7 +192,7 @@ def _reassemble_partition(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def reassemble(ds: ray.data.Dataset, n_partitions: int = 64) -> ray.data.Dataset:
+def reassemble(ds: ray.data.Dataset, n_partitions: int = 4096) -> ray.data.Dataset:
     """Conversation reassembly: the only all-to-all exchange in the
     pipeline. Conversations are hash-partitioned by ``conv_id`` (crc32,
     the ONE partitioning key used everywhere — SURVEY.md §7.2) into
@@ -209,14 +209,17 @@ def reassemble(ds: ray.data.Dataset, n_partitions: int = 64) -> ray.data.Dataset
     have = [c for c in needed if c in ds.schema().names]
     if len(have) == len(needed):
         ds = ds.select_columns(needed)
+    # n_partitions must be LARGE (thousands): Ray's groupby shuffles via
+    # a range-partitioned sort whose boundaries are sampled from the
+    # key; with only ~64 distinct values the sampler collapses the
+    # whole dataset into one reduce task and reassembly serializes
+    # (measured: 64 parts -> 1 reduce task with all rows, 8x slower).
+    # 4096 parts keeps reduce tasks balanced while per-group Python
+    # overhead stays amortized (~thousands of conversations per group).
     ds = ds.map_batches(
         partial(add_partition_column, n_partitions=n_partitions),
         batch_format="pyarrow",
     )
-    # coalesce before the sort shuffle: the sort exchange is O(maps ×
-    # reduces) object transfers, so feeding it ~2×CPU blocks instead of
-    # hundreds of small ones cuts the shuffle wall time ~40%
-    ds = ds.repartition(n_partitions)
     out = ds.groupby("part").map_groups(
         lambda g: _reassemble_partition(g.drop(columns=["part"])),
         batch_format="pandas",

@@ -208,7 +208,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    n_partitions: int = 32,
+    n_partitions: int = 2048,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs via banded LSH: signature →
     explode to bucket keys → hash-partitioned groupby → vectorized
@@ -376,7 +376,7 @@ def simhash_pairs(
             {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
         )
 
-    def add_part(b: pa.Table, n_partitions: int = 32) -> pa.Table:
+    def add_part(b: pa.Table, n_partitions: int = 2048) -> pa.Table:
         key = (
             b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 16)
             + b["chunk_key"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -24,7 +24,7 @@ def asof_join(
     right_key: str,
     left_ts: str,
     right_ts: str,
-    n_partitions: int = 16,
+    n_partitions: int = 512,
 ) -> ray.data.Dataset:
     """For each left row, attach the greatest ``right_ts <= left_ts`` row
     of the same key (backward as-of, inner semantics: unmatched left
