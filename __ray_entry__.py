@@ -79,6 +79,15 @@ def _q_transcript_drop_reasons(sf_dir: str):
     return grouped_counts(ds, ["drop_reason"])
 
 
+def _q_transcript_keep_by_role(sf_dir: str):
+    """Reference analytics analog (results.ipynb keep-rate slices):
+    keep/drop counts by role over the transcript corpus."""
+    from fineweb2_ro_ray.stages.analysis import grouped_counts
+
+    ds = annotate(read_transcripts(_transcripts_path(sf_dir)))
+    return grouped_counts(ds, ["role", "keep"])
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data
 
@@ -97,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_kept": _q_transcript_kept,
         "transcript_conversations": _q_transcript_conversations,
         "transcript_drop_reasons": _q_transcript_drop_reasons,
+        "transcript_keep_by_role": _q_transcript_keep_by_role,
         # --- documents: stats / filters / aggregates (SQL-checked) ---
         "doc_stats": P.q_doc_stats,
         "doc_symbol_ratio": P.q_doc_symbol_ratio,
@@ -113,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": P.q_dedup_exact,
         "jaccard_pairs": P.q_jaccard_pairs,
         "minhash_pairs": P.q_minhash_pairs,
+        "minhash_verified": P.q_minhash_verified,
         "simhash_pairs": P.q_simhash_pairs,
         # --- relational operators ---
         "events_type_counts": P.q_events_type_counts,

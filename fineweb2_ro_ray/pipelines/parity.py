@@ -517,3 +517,14 @@ def q_minhash_pairs(sf_dir: str):
 def q_simhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=8)
+
+
+def q_minhash_verified(sf_dir: str):
+    """MinHash LSH candidates re-verified against exact shingle Jaccard
+    (candidate→verify gate; rows-only — probabilistic candidate set)."""
+    from ..stages.dedup import minhash_verified_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_verified_pairs(ds, candidate_threshold=0.3, verify_threshold=0.5)
+
+

@@ -245,6 +245,56 @@ def minhash_lsh_pairs(
     )
 
 
+def char_shingle_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact k-byte-shingle Jaccard (the quantity MinHash estimates)."""
+    ab, bb = a.encode("utf-8", "ignore"), b.encode("utf-8", "ignore")
+    sa = {ab[i : i + k] for i in range(max(1, len(ab) - k + 1))}
+    sb = {bb[i : i + k] for i in range(max(1, len(bb) - k + 1))}
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+def minhash_verified_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    candidate_threshold: float = 0.5,
+    verify_threshold: float = 0.7,
+) -> pd.DataFrame:
+    """LSH candidates re-checked against EXACT shingle Jaccard: the
+    candidate set is tiny relative to the corpus, so the verify step
+    broadcasts the candidate id set, filters the source texts down to
+    the involved documents (semi-join, no shuffle), and verifies each
+    pair exactly. Returns (doc_a, doc_b, jaccard) with jaccard >=
+    verify_threshold."""
+    cand = minhash_lsh_pairs(
+        ds, id_col=id_col, k=k, num_perm=num_perm, bands=bands, threshold=candidate_threshold
+    ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    involved = set(cand["doc_a"]) | set(cand["doc_b"])
+    import pyarrow.compute as pc
+
+    ids_arr = pa.array(sorted(involved), pa.int64())
+    texts = (
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=ids_arr)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index(id_col)["text"]
+    )
+    jac = [
+        char_shingle_jaccard(texts[a], texts[b], k)
+        for a, b in zip(cand["doc_a"], cand["doc_b"])
+    ]
+    out = cand.assign(jaccard=jac)[["doc_a", "doc_b", "jaccard"]]
+    return out[out["jaccard"] >= verify_threshold].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -223,3 +223,39 @@ def test_asof_join_hand_checked():
     # event 1 -> order 01-01; event 2 -> order 01-10; event 3 (user 8): no match
     assert out["event_id"].tolist() == [1, 2]
     assert out["o_orderdate"].dt.strftime("%Y-%m-%d").tolist() == ["2026-01-01", "2026-01-10"]
+
+
+def test_minhash_verified_pairs_exact_gate():
+    from fineweb2_ro_ray.stages.dedup import char_shingle_jaccard, minhash_verified_pairs
+
+    base = "ana are mere si pere si struguri in gradina de acasa langa rau " * 3
+    near = base.replace("mere", "pere")
+    far = "cu totul alt continut fara nicio legatura comuna aici acum deloc " * 3
+    ds = _docs([base, near, far])
+    out = minhash_verified_pairs(ds, candidate_threshold=0.2, verify_threshold=0.5)
+    assert len(out) == 1
+    a, b = int(out.iloc[0]["doc_a"]), int(out.iloc[0]["doc_b"])
+    assert (a, b) == (0, 1)
+    # the reported jaccard IS the exact one
+    assert out.iloc[0]["jaccard"] == char_shingle_jaccard(base, near)
+
+
+def test_knn_lsh_recall_vs_bruteforce():
+    """Recall@10 of the single-probe LSH path vs exact brute force on
+    clustered data (random data has no structure; use planted clusters
+    so bucketing is meaningful)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 3
+    vecs = np.vstack([c + rng.standard_normal((50, 32)) * 0.1 for c in centers]).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array([list(v) for v in vecs])})
+    ds = rd.from_arrow(tbl)
+    q = vecs[:2].astype(np.float64)
+    exact = knn_bruteforce(ds, q, k=10)
+    approx = knn_lsh(ds, q, k=10, dim=32, n_planes=4)
+    recalls = []
+    for qi in range(2):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert min(recalls) >= 0.5, recalls  # tight clusters land in one bucket
