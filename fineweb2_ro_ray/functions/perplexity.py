@@ -60,17 +60,36 @@ LOGP = _train_logp()  # frozen at import; deterministic
 _LOGP_FLAT = LOGP.reshape(-1)  # 1-D gather is ~20x faster than 2-D fancy indexing
 
 
+def _utf8_flat_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (bytes, per-row lengths) view of a string array: an
+    Arrow StringArray's data buffer IS the concatenated UTF-8 payload,
+    so no to_pylist/encode/join round-trip is needed."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(arr, "")
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    flat = data[offsets[0] : offsets[-1]]
+    lens = np.diff(offsets)
+    return flat, lens
+
+
 def perplexity_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append a ``ppl`` float64 column — fully vectorized over the
-    concatenated UTF-8 bytes of the batch."""
-    texts = batch[text_col].to_pylist()
-    enc = [(t or "").encode("utf-8") for t in texts]
-    lens = np.array([len(b) for b in enc], dtype=np.int64)
-    n = len(enc)
+    batch's UTF-8 bytes, read zero-copy from the Arrow string buffer."""
+    flat_all, lens = _utf8_flat_view(batch[text_col])
+    n = len(lens)
     ppl = np.zeros(n, dtype=np.float64)
-    blob = b"".join(enc)
-    if len(blob) >= 2:
-        flat = np.frombuffer(blob, dtype=np.uint8)
+    if len(flat_all) >= 2:
+        flat = flat_all
         ends = np.cumsum(lens)
         # drop pairs that span a row boundary so each row's segment holds
         # EXACTLY its own len-1 pairs — the summation (numpy pairwise
