@@ -71,3 +71,29 @@ def test_manifest_roundtrip(tmp_path):
     m.record({"group": 0, "status": "committed"})
     m.record({"group": 1, "status": "failed"})
     assert m.completed_groups() == {0}
+
+
+def test_resumable_conversation_output(corpus, tmp_path):
+    """Conversation-level resumable output: each hash group holds whole
+    conversations, so reassembly inside the per-group build is valid."""
+    from fineweb2_ro_ray.pipelines.quality_filter import reassemble
+
+    inp, n = corpus
+    out = str(tmp_path / "conv_out")
+    s = run_resumable(
+        inp,
+        out,
+        lambda ds: reassemble(annotate(ds, batch_size=512), n_partitions=64),
+        n_groups=3,
+        metrics_cols=("conv_keep",),
+    )
+    assert s["groups_run"] == 3
+    import glob
+
+    import pyarrow.parquet as pq
+
+    convs = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    )
+    assert convs == 60  # one row per conversation, none lost across groups
