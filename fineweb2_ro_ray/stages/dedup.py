@@ -86,15 +86,15 @@ class MinHasher:
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
-        """Fully vectorized: k-byte shingles via a rolling polynomial
-        hash (wrap-around mod 2^64 is deterministic), unique'd, then the
-        permutation mins in one broadcast."""
+    def _signature_arr(self, arr: np.ndarray) -> np.ndarray:
+        """Signature from a uint8 byte view. Fully vectorized: k-byte
+        shingles via a rolling polynomial hash (wrap-around mod 2^64 is
+        deterministic), unique'd, then the permutation mins in one
+        broadcast."""
         k = self.k
-        data = text.encode("utf-8", "ignore")
-        if len(data) < k:
-            data = data + b"\x00" * (k - len(data))
-        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        if len(arr) < k:
+            arr = np.concatenate([arr, np.zeros(k - len(arr), np.uint8)])
+        arr = arr.astype(np.uint64)
         base = np.uint64(1099511628211)
         h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -104,9 +104,24 @@ class MinHasher:
             vals = (x[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self._signature_arr(
+            np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts]) if texts else np.zeros((0, self.num_perm), np.uint64)
+        from ..functions.perplexity import _utf8_flat_view
+
+        flat, lens = _utf8_flat_view(batch["text"])
+        n = len(lens)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        if n:
+            sigs = np.stack(
+                [self._signature_arr(flat[offsets[i] : offsets[i + 1]]) for i in range(n)]
+            )
+        else:
+            sigs = np.zeros((0, self.num_perm), np.uint64)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
         )
