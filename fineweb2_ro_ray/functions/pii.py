@@ -26,8 +26,13 @@ EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 # Romanian phone formats: +40 7xx xxx xxx, 0040..., 07xxxxxxxx, with
 # optional separators. Anchored on non-digit boundaries to avoid eating
 # parts of longer digit runs (IBAN/CNP handled before this pass anyway).
+# A space after the country prefix is only allowed for +40 / 0040 — a
+# bare leading 0 must attach directly to the 7, so that every PHONE_RE
+# match is guaranteed to contain one of the RE2-safe trigger literals
+# in scrub._TRIGGER_RE2 ('+40' | '0040' | '07[0-9]'); see
+# tests/test_functions.py::test_phone_trigger_consistency.
 PHONE_RE = re.compile(
-    r"(?<!\d)(?:\+40|0040|0)\s?7\d{2}[\s.-]?\d{3}[\s.-]?\d{3}(?!\d)"
+    r"(?<!\d)(?:(?:\+40|0040)\s?|0)7\d{2}[\s.-]?\d{3}[\s.-]?\d{3}(?!\d)"
 )
 
 # Romanian IBAN: RO + 2 check digits + 4-char bank code + 16 alphanumerics.

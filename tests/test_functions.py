@@ -196,3 +196,41 @@ def test_oracle_parity_unit_fixture(unit_table):
         for c in PARITY_EXACT:
             assert e[c] == o[c], (c, e["conv_id"], e["turn_idx"])
         assert np.isclose(e["ppl"], o["ppl"], rtol=1e-9), (e["ppl"], o["ppl"])
+
+
+def test_phone_trigger_consistency():
+    """ADVICE r1: every text scrub_text would alter MUST match the RE2
+    fast-path trigger, or the Scrubber actor silently skips it. The
+    'bare 0 + space' format ('0 722 ...') is the case that used to slip
+    through: PHONE_RE is now tightened so it does not match either, and
+    the batched Scrubber agrees byte-for-byte with scrub_text on every
+    format."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fineweb2_ro_ray.functions.scrub import _TRIGGER_RE2, Scrubber, scrub_text
+
+    cases = [
+        "Suna-ma la 0 722 333 444 acum",   # bare 0 + space: NOT a phone
+        "tel +40 722 333 444 ok",
+        "tel +40722333444 ok",
+        "tel 0040 722 333 444 ok",
+        "tel 0040722333444 ok",
+        "tel 0722 333 444 ok",
+        "tel 0722.333.444 ok",
+        "tel 0722-333-444 ok",
+        "tel 0722333444 ok",
+        "fara telefon deloc",
+    ]
+    batch = pa.table({"text": pa.array(cases, pa.string())})
+    out = Scrubber()(batch)
+    for i, t in enumerate(cases):
+        exp_s, exp_p, exp_x = scrub_text(t)
+        assert out["scrubbed_text"][i].as_py() == exp_s, t
+        assert out["pii_hits"][i].as_py() == exp_p, t
+        # any row the scrub would change must have fired the trigger
+        if (exp_s, exp_p, exp_x) != (t, 0, 0):
+            assert pc.match_substring_regex(
+                pa.array([t]), _TRIGGER_RE2
+            )[0].as_py(), t
+    assert out["scrubbed_text"][0].as_py() == cases[0]  # untouched
