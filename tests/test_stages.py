@@ -259,3 +259,108 @@ def test_knn_lsh_recall_vs_bruteforce():
         a = set(approx[approx.query_id == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert min(recalls) >= 0.5, recalls  # tight clusters land in one bucket
+
+
+def test_jaccard_prefix_filter_matches_bruteforce():
+    """The AllPairs prefix-filter candidate generation must find exactly
+    the pairs a brute-force all-pairs scan finds (completeness guard for
+    the skew-safe rewrite)."""
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(40)]
+    texts, n = [], 60
+    for _ in range(n):
+        k = rng.integers(1, 12)
+        texts.append(" ".join(rng.choice(words, size=k)))
+    # plant exact + near duplicates
+    texts[10] = texts[3]
+    texts[20] = texts[7] + " extra"
+    df = pd.DataFrame({"doc_id": range(n), "source": "s", "text": texts})
+
+    for thr in (0.3, 0.5, 0.8):
+        got = (
+            jaccard_pairs_by_group(rd.from_pandas(df), threshold=thr)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"], ignore_index=True)
+        )
+        exp_rows = []
+        sets = [set(t.split(" ")) for t in texts]
+        for i in range(n):
+            for j in range(i + 1, n):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 0.0
+                if jac >= thr:
+                    exp_rows.append((i, j, jac))
+        exp = pd.DataFrame(exp_rows, columns=["doc_a", "doc_b", "jaccard"])
+        assert len(got) == len(exp), thr
+        assert (got["doc_a"].values == exp["doc_a"].values).all()
+        assert (got["doc_b"].values == exp["doc_b"].values).all()
+        assert np.allclose(got["jaccard"].values, exp["jaccard"].values)
+
+
+def test_jaccard_skewed_group_bounded():
+    """VERDICT r1: a single dominant group must not allocate a dense
+    docs x vocab matrix. 20k docs in ONE group completes quickly in
+    bounded memory (the old path would build a ~20k x vocab dense
+    matrix and 20k^2 pair indices)."""
+    rng = np.random.default_rng(6)
+    n = 20_000
+    words = np.array([f"tok{i}" for i in range(30_000)])
+    texts = [" ".join(rng.choice(words, size=8, replace=False)) for _ in range(n)]
+    for i in range(0, 50):  # plant some duplicate pairs
+        texts[n - 1 - i] = texts[i]
+    df = pd.DataFrame({"doc_id": range(n), "source": "only", "text": texts})
+    out = jaccard_pairs_by_group(rd.from_pandas(df), threshold=0.5).to_pandas()
+    assert len(out) == 50
+    assert (out["jaccard"] == 1.0).all()
+
+
+def test_simhash_chunk_layout_pigeonhole():
+    """For any max_hamming, flipping <= max_hamming bits leaves at least
+    one chunk byte-identical (the recall guarantee simhash_pairs relies
+    on; round 1's fixed 4x16 layout silently broke this above 3)."""
+    from fineweb2_ro_ray.stages.dedup import _popcount64, _simhash_chunk_layout
+
+    rng = np.random.default_rng(7)
+    for max_h in (1, 3, 8, 15):
+        layout = _simhash_chunk_layout(max_h)
+        assert sum(w for _, w in layout) == 64
+        assert len(layout) == max_h + 1
+        for _ in range(200):
+            h = rng.integers(0, 2**63, dtype=np.uint64)
+            flips = rng.choice(64, size=rng.integers(1, max_h + 1), replace=False)
+            h2 = h
+            for f in flips:
+                h2 = np.uint64(h2) ^ (np.uint64(1) << np.uint64(f))
+            assert any(
+                (int(h) >> s) & ((1 << w) - 1) == (int(h2) >> s) & ((1 << w) - 1)
+                for s, w in layout
+            )
+    # popcount sanity
+    xs = rng.integers(0, 2**63, size=100, dtype=np.uint64)
+    assert (_popcount64(xs) == [bin(int(v)).count("1") for v in xs]).all()
+
+
+def test_simhash_pairs_finds_high_hamming_pair():
+    """End-to-end: a near-dup pair at Hamming ~4-8 (beyond the old 4x16
+    guarantee) is still found when max_hamming=8."""
+    rng = np.random.default_rng(8)
+    words = [f"w{i}" for i in range(400)]
+    base = " ".join(rng.choice(words, size=120))
+    # perturb a few tokens -> a handful of simhash bit flips
+    toks = base.split()
+    toks[5], toks[50] = "xqz1", "xqz2"
+    near = " ".join(toks)
+    fill = [" ".join(rng.choice(words, size=30)) for _ in range(20)]
+    df = pd.DataFrame(
+        {"doc_id": range(22), "text": [base, near] + fill}
+    )
+    from fineweb2_ro_ray.stages.dedup import SimHasher, simhash_pairs
+
+    sh = SimHasher()
+    ham = bin(sh.simhash(base) ^ sh.simhash(near)).count("1")
+    out = simhash_pairs(rd.from_pandas(df), max_hamming=8).to_pandas()
+    if ham <= 8:
+        assert ((out["doc_a"] == 0) & (out["doc_b"] == 1)).any()
+        got = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]["hamming"].iloc[0]
+        assert got == ham
