@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority": P.q_orders_priority,
         # --- model scoring / parsing / metrics / splits ---
         "count_metrics": P.q_count_metrics,
+        "score_correlations": P.q_score_correlations,
+        "score_confusion": P.q_score_confusion,
         "parse_kv": P.q_parse_kv,
         "doc_multitask_scores": P.q_doc_multitask_scores,
         "split_counts": P.q_split_counts,
@@ -147,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": P.q_ann_cosine,
         "ann_lsh": P.q_ann_lsh,
         "embedding_neardup": P.q_embedding_neardup,
+        "embedding_neardup_lsh": P.q_embedding_neardup_lsh,
         "llm_annotate": P.q_llm_annotate,
         # --- multimodal plumbing (stubbed decode, real Ray stages) ---
         "multimodal_features": _q_multimodal,
@@ -335,6 +338,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM t
         """,
+        # the engine evaluates the SAME closed form over exact integer
+        # sufficient statistics (joint value histogram + Python ints),
+        # so the one double-rounding per term is shared with DuckDB
+        "score_correlations": """
+            WITH t AS (
+                SELECT CAST(n_chars AS BIGINT) AS a,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+                FROM documents
+            ), r AS (
+                SELECT a, b,
+                       CAST(2 * rank() OVER (ORDER BY a)
+                            + count(*) OVER (PARTITION BY a) - 1 AS HUGEINT) AS ra,
+                       CAST(2 * rank() OVER (ORDER BY b)
+                            + count(*) OVER (PARTITION BY b) - 1 AS HUGEINT) AS rb
+                FROM t
+            ), s AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(CAST(a AS HUGEINT)) AS sx, sum(CAST(b AS HUGEINT)) AS sy,
+                       sum(CAST(a AS HUGEINT) * a) AS sxx, sum(CAST(b AS HUGEINT) * b) AS syy,
+                       sum(CAST(a AS HUGEINT) * b) AS sxy,
+                       sum(ra) AS sra, sum(rb) AS srb,
+                       sum(ra * ra) AS sraa, sum(rb * rb) AS srbb, sum(ra * rb) AS srab
+                FROM r
+            )
+            SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson,
+                   CAST(n * srab - sra * srb AS DOUBLE)
+                       / (sqrt(CAST(n * sraa - sra * sra AS DOUBLE))
+                          * sqrt(CAST(n * srbb - srb * srb AS DOUBLE))) AS spearman,
+                   CAST(n AS BIGINT) AS n
+            FROM s
+        """,
+        "score_confusion": """
+            SELECT n_chars >= 380 AS a_pos,
+                   len(string_split(text, ' ')) >= 55 AS b_pos,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
         "parse_kv": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'ERROR'
@@ -343,6 +385,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN -1
                         ELSE doc_id % 7 END AS int_score_num
             FROM documents
+        """,
+        "split_counts": """
+            WITH s AS (
+                SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 100 AS h
+                FROM documents
+            )
+            SELECT CASE WHEN h < 8 THEN 'test'
+                        WHEN h < 12 THEN 'val'
+                        ELSE 'train' END AS split,
+                   count(*) AS n
+            FROM s GROUP BY 1
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -334,6 +334,32 @@ def q_count_metrics(sf_dir: str):
     return score_metrics(ds, "n_space_words", "n_tokens")
 
 
+def q_score_correlations(sf_dir: str):
+    """G7 extension: Pearson + Spearman between character length and
+    space-word count — the reference's model-vs-label benchmark
+    correlations (``small_model_inference/results.ipynb`` cell 6:
+    Pearson 0.867 / Spearman 0.858)."""
+    from ..stages.analysis import correlation_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"]).map_batches(
+        doc_stats, batch_format="pyarrow"
+    )
+    return correlation_stats(ds, "n_chars", "n_space_words")
+
+
+def q_score_confusion(sf_dir: str):
+    """Binary keep/drop confusion matrix with per-scale thresholds
+    (reference accuracy tables, ``results.ipynb`` cell 7)."""
+    from ..stages.analysis import confusion_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"]).map_batches(
+        doc_stats, batch_format="pyarrow"
+    )
+    return confusion_counts(
+        ds, "n_chars", "n_space_words", threshold_a=380, threshold_b=55
+    )
+
+
 def q_parse_kv(sf_dir: str):
     """M6 structured-output parser with the 'ERROR' sentinel
     (``fineweb/big_inference.py:84-115``): annotation-shaped text is
@@ -375,7 +401,8 @@ def q_doc_multitask_scores(sf_dir: str):
 
 def q_split_counts(sf_dir: str):
     """K3 deterministic hash splits over documents (conversation-unit
-    splits for transcripts; rows-only — crc32 is engine-pinned)."""
+    splits for transcripts). md5-band hash → SQL-expressible, so the
+    split assignment itself is oracle-checked."""
     from ..sources.splits import add_split_column
     from ..stages.analysis import grouped_counts
 
@@ -490,12 +517,23 @@ def q_events_asof_orders(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """§2.7 embedding-cosine near-dup pairs, exact (broadcast matrix).
-    Output int pairs only, so the hash is float-robust."""
+    """§2.7 embedding-cosine near-dup pairs, exact (block-pair tasks —
+    no full-table driver materialization). Output int pairs only, so
+    the hash is float-robust."""
     from ..stages.similarity import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_neardup_pairs(ds, threshold=0.45)
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """§2.7 embedding near-dup via multi-table hyperplane LSH + exact
+    verify (the sub-quadratic 100 TB path; rows-only — probabilistic
+    candidate recall, precision exact)."""
+    from ..stages.similarity import embedding_neardup_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_lsh(ds, threshold=0.45)
 
 
 def q_llm_annotate(sf_dir: str):

@@ -5,11 +5,17 @@ train = rest — ``/root/reference/training/shard_loader.py:8-10,24-42``)
 and *asserts* disjointness (``:72-74``). For transcripts the unit that
 must stay together is the conversation, so we split by a hash of
 ``conv_id`` — deterministic, stable across runs and cluster sizes, and
-whole conversations land in exactly one split."""
+whole conversations land in exactly one split.
+
+Hash: first 6 bytes of md5 (big-endian) mod 100 — chosen over crc32
+(round 1) because it is expressible in ANSI SQL
+(``('0x' || substr(md5(key), 1, 12))::BIGINT % 100``), which makes the
+split assignment oracle-checkable end to end; 48 bits keeps the band
+bias < 2^-40."""
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -20,7 +26,7 @@ SPLITS = {"test": (0, 8), "val": (8, 12), "train": (12, 100)}  # % bands
 
 
 def split_of(conv_id: str) -> str:
-    h = zlib.crc32(conv_id.encode("utf-8")) % 100
+    h = int.from_bytes(hashlib.md5(conv_id.encode("utf-8")).digest()[:6], "big") % 100
     for name, (lo, hi) in SPLITS.items():
         if lo <= h < hi:
             return name

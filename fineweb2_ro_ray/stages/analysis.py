@@ -189,6 +189,91 @@ def score_metrics(ds: ray.data.Dataset, col_a: str, col_b: str) -> pd.DataFrame:
     )
 
 
+def correlation_stats(ds: ray.data.Dataset, col_a: str, col_b: str) -> pd.DataFrame:
+    """G7 extension (VERDICT r1 gap): Pearson + Spearman between two
+    integer columns — the reference's model-vs-label benchmark stats
+    (``/root/reference/small_model_inference/results.ipynb`` cell 6;
+    ``ro_vs_eng/comparison.py:119-157``, ``ground.py:150-174``).
+
+    Scale shape: ONE pass builds the JOINT (a, b) value histogram
+    (map-side combiner + small groupby — cardinality is distinct value
+    pairs, not rows); every sufficient statistic for both correlations
+    is then exact driver math over that histogram:
+
+    - Pearson from Σx, Σy, Σx², Σy², Σxy (Python ints — arbitrary
+      precision, no int64 overflow at any scale);
+    - Spearman = Pearson over average ties-adjusted ranks, where the
+      rank of value v is derived from the marginal histogram
+      (count_less(v) + (count_eq(v)+1)/2). Doubled ranks (2·rank) keep
+      everything integral; Pearson is scale-invariant so the result is
+      unchanged.
+
+    The final expression rounds each exact integer to the nearest
+    double once and applies sqrt/divide — bit-equal to a SQL engine
+    evaluating the same closed form."""
+    vc = grouped_counts(ds.select_columns([col_a, col_b]), [col_a, col_b]).to_pandas()
+    a = [int(x) for x in vc[col_a]]
+    b = [int(x) for x in vc[col_b]]
+    cnt = [int(x) for x in vc["n"]]
+    n = sum(cnt)
+
+    def pearson_from(xs: list[int], ys: list[int]) -> float:
+        sx = sum(x * c for x, c in zip(xs, cnt))
+        sy = sum(y * c for y, c in zip(ys, cnt))
+        sxx = sum(x * x * c for x, c in zip(xs, cnt))
+        syy = sum(y * y * c for y, c in zip(ys, cnt))
+        sxy = sum(x * y * c for x, y, c in zip(xs, ys, cnt))
+        num = float(n * sxy - sx * sy)
+        den = float(np.sqrt(float(n * sxx - sx * sx))) * float(
+            np.sqrt(float(n * syy - sy * sy))
+        )
+        return num / den if den else float("nan")
+
+    def rank2_map(xs: list[int]) -> dict[int, int]:
+        """value → 2·(average rank over ties), from the marginal."""
+        marg: dict[int, int] = {}
+        for x, c in zip(xs, cnt):
+            marg[x] = marg.get(x, 0) + c
+        out, cum = {}, 0
+        for v in sorted(marg):
+            out[v] = 2 * cum + marg[v] + 1  # 2*count_less + count_eq + 1
+            cum += marg[v]
+        return out
+
+    ra, rb = rank2_map(a), rank2_map(b)
+    spearman = pearson_from([ra[x] for x in a], [rb[y] for y in b])
+    return pd.DataFrame(
+        [{"pearson": pearson_from(a, b), "spearman": spearman, "n": n}]
+    )
+
+
+def confusion_counts(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    *,
+    threshold_a: int,
+    threshold_b: int | None = None,
+) -> ray.data.Dataset:
+    """Binary keep/drop confusion matrix between two score columns
+    (reference accuracy tables: ``small_model_inference/results.ipynb``
+    cell 7 — keep iff score ≥ thr; per-column thresholds support scores
+    on different scales). Output: (a_pos, b_pos, n) ≤ 4 rows, via the
+    G1 partial-count shape."""
+    if threshold_b is None:
+        threshold_b = threshold_a
+
+    def flags(b: pa.Table) -> pa.Table:
+        ap = pc.greater_equal(b[col_a], threshold_a)
+        bp = pc.greater_equal(b[col_b], threshold_b)
+        return pa.table({"a_pos": ap, "b_pos": bp})
+
+    return grouped_counts(
+        ds.select_columns([col_a, col_b]).map_batches(flags, batch_format="pyarrow"),
+        ["a_pos", "b_pos"],
+    )
+
+
 def threshold_filter(
     ds: ray.data.Dataset, *, min_chars: int | None = None, langs: list[str] | None = None
 ) -> ray.data.Dataset:

@@ -364,3 +364,46 @@ def test_simhash_pairs_finds_high_hamming_pair():
         assert ((out["doc_a"] == 0) & (out["doc_b"] == 1)).any()
         got = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]["hamming"].iloc[0]
         assert got == ham
+
+
+def test_embedding_neardup_block_exact_and_lsh_recall():
+    """Exact block-pair path must equal a brute-force O(n^2) scan even
+    across block boundaries (block_rows smaller than n forces multi-
+    block pairs); the LSH path must be a subset with high recall."""
+    from fineweb2_ro_ray.stages.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 600, 64
+    base = rng.standard_normal((n, d))
+    # plant near-duplicate pairs (i, i+300): tiny perturbations
+    base[300:] = base[:300] + 0.05 * rng.standard_normal((300, d))
+    ids = np.arange(n)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(base.reshape(-1), pa.float64()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    thr = 0.8
+    got = (
+        embedding_neardup_pairs(ds, threshold=thr, block_rows=128)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"], ignore_index=True)
+    )
+    mn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ia, ib = np.nonzero(np.triu(sims >= thr, k=1))
+    assert len(got) == len(ia)
+    assert (got["vec_a"].values == ia).all() and (got["vec_b"].values == ib).all()
+
+    approx = embedding_neardup_lsh(ds, threshold=thr, n_tables=16).to_pandas()
+    exact_set = set(zip(ia.tolist(), ib.tolist()))
+    approx_set = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert approx_set <= exact_set  # exact verify => precision 1.0
+    assert len(approx_set) >= 0.9 * len(exact_set)  # recall bar
