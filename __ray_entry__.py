@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_keep_by_role": _q_transcript_keep_by_role,
         # --- documents: stats / filters / aggregates (SQL-checked) ---
         "doc_stats": P.q_doc_stats,
+        "doc_bpe_tokens": P.q_doc_bpe_tokens,
         "doc_symbol_ratio": P.q_doc_symbol_ratio,
         "filter_min_chars": P.q_filter_min_chars,
         "filter_conjunctive": P.q_filter_conjunctive,

@@ -67,17 +67,24 @@ def run_bench() -> dict:
 
     n_turns = _ensure_bench_transcripts()
 
-    # warm the page cache (untimed) so we measure compute + shuffle
-    read_transcripts(BENCH_DIR).count()
+    # Warm the page cache (untimed) so we measure compute + shuffle,
+    # not the VM's disk. NOTE: a bare ``read_parquet(...).count()`` is
+    # NOT a warm-up — Ray Data answers count() from parquet metadata
+    # without reading data pages (root cause of a 47 s vs 72 s
+    # cold-cache swing, BASELINE.md). Read the actual bytes.
+    for d in {BENCH_DIR, SF_DIR}:
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                with open(os.path.join(d, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
 
+    # Per-query MIN over BENCH_REPEATS full passes: this shared VM's
+    # wall times swing up to 2x within minutes under neighbor load
+    # (measured 47 s vs 96 s for the identical flagship run,
+    # BASELINE.md); the min isolates the engine's cost from the noise.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
-
-    # headline: full quality-filter DAG + conversation reassembly → sink
-    out_dir = f"/tmp/fineweb2_ro_bench/out_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    run_flagship(BENCH_DIR).write_parquet(out_dir)
-    timings["flagship_filter"] = time.time() - t0
 
     # representative operator benches over the sf tables (skipped in
     # scaling mode — the scaling criterion is about the flagship job)
@@ -88,12 +95,21 @@ def run_bench() -> dict:
         ("minhash_pairs", P.q_minhash_pairs),
         ("ann_cosine", P.q_ann_cosine),
     ]
-    for name, fn in op_benches:
+    for rep in range(repeats):
+        # headline: full quality-filter DAG + conversation reassembly → sink
+        out_dir = f"/tmp/fineweb2_ro_bench/out_{NUM_CPUS}"
+        shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        res = fn(SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        timings[name] = time.time() - t0
+        run_flagship(BENCH_DIR).write_parquet(out_dir)
+        el = time.time() - t0
+        timings["flagship_filter"] = min(el, timings.get("flagship_filter", el))
+        for name, fn in op_benches:
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            el = time.time() - t0
+            timings[name] = min(el, timings.get(name, el))
 
     total = sum(timings.values())
     result = {

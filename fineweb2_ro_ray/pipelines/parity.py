@@ -334,6 +334,16 @@ def q_count_metrics(sf_dir: str):
     return score_metrics(ds, "n_space_words", "n_tokens")
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    """A6/M8 true-subword token counts via the vendored mini-BPE
+    (rows-only — BPE merge application is not SQL-expressible; the
+    regex count in ``doc_stats`` stays the SQL-checked rule input)."""
+    from ..stages.tokenize import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_counts(ds).drop_columns(["text"])
+
+
 def q_score_correlations(sf_dir: str):
     """G7 extension: Pearson + Spearman between character length and
     space-word count — the reference's model-vs-label benchmark

@@ -234,3 +234,53 @@ def test_phone_trigger_consistency():
                 pa.array([t]), _TRIGGER_RE2
             )[0].as_py(), t
     assert out["scrubbed_text"][0].as_py() == cases[0]  # untouched
+
+
+def test_bpe_tokenizer_deterministic_and_consistent():
+    """Vendored mini-BPE: training is deterministic, encode is stable,
+    and token counts shrink (never grow) as merges apply."""
+    from fineweb2_ro_ray.functions.bpe import BPETokenizer, load_merges, train_bpe
+
+    texts = ["ana are mere", "ana are pere si mere", "merele anei"] * 5
+    m1 = train_bpe(texts, 32)
+    m2 = train_bpe(texts, 32)
+    assert m1 == m2 and len(m1) > 0
+    tok = BPETokenizer(m1)
+    for t in texts:
+        ids = tok.encode(t)
+        assert tok.count(t) == len(ids)
+        n_bytes = sum(len(w.encode()) for w in t.split())
+        assert 0 < len(ids) <= n_bytes  # merges only compress
+        assert tok.encode(t) == ids  # cache-stable
+
+    # the committed merge table loads and is non-trivial
+    committed = load_merges()
+    assert len(committed) >= 256
+    ct = BPETokenizer(committed)
+    assert 0 < ct.count("salut ce mai faci") <= len("salutcemaifaci".encode())
+
+
+def test_bpe_batch_stage_matches_scalar():
+    """Actor batch path (dictionary-encode + bincount) must equal the
+    scalar count for every row, at any batch size."""
+    import ray.data as rd
+
+    from fineweb2_ro_ray.functions.bpe import BPETokenizer
+    from fineweb2_ro_ray.stages.tokenize import bpe_token_counts
+
+    rng = __import__("numpy").random.default_rng(3)
+    words = ["ana", "are", "mere", "pere", "salut", "lume", "buna", "ziua"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(0, 12))) for _ in range(500)]
+    texts += ["", "   ", "un  dublu  spatiu", "diacritice țâșnit înșelător"]
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    tok = BPETokenizer()
+    expected = [tok.count(t) for t in texts]
+    for bs in (7, 64, 4096):
+        out = (
+            bpe_token_counts(rd.from_pandas(df), batch_size=bs)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_bpe_tokens"].tolist() == expected, bs
