@@ -98,17 +98,17 @@ class Scrubber:
                 .append_column("tox_hits", pa.array(tox, pa.int32()))
             )
         subset = text.take(pa.array(idx)).to_pylist()
-        scrubbed = {}
+        repl = []
         for j, t in zip(idx, subset):
             s, p, x = scrub_text(t)
-            scrubbed[int(j)] = s
+            repl.append(s)
             pii[j] = p
             tox[j] = x
-        out_texts = text.to_pylist()
-        for j, s in scrubbed.items():
-            out_texts[j] = s
+        # only trigger rows leave Arrow: clean rows are spliced through
+        # replace_with_mask, never round-tripped to Python strings
+        out = pc.replace_with_mask(text, pa.array(hits), pa.array(repl, pa.string()))
         return (
-            batch.append_column("scrubbed_text", pa.array(out_texts, pa.string()))
+            batch.append_column("scrubbed_text", out)
             .append_column("pii_hits", pa.array(pii, pa.int32()))
             .append_column("tox_hits", pa.array(tox, pa.int32()))
         )

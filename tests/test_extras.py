@@ -143,3 +143,31 @@ def test_llm_annotate_stub():
     # determinism
     out2 = annotate_llm(ds).to_pandas()
     assert (out.sort_values("doc_id")["output"].values == out2.sort_values("doc_id")["output"].values).all()
+
+
+def test_ingest_record_stream_and_resume(tmp_path):
+    """S1 streaming ingestion: fixed-size shards, atomic files, and
+    skip-if-exists resume over a re-played serial stream."""
+    import os
+
+    from fineweb2_ro_ray.sources.io import dataset_from_stream, ingest_record_stream
+
+    def stream():
+        for i in range(3250):
+            yield {"doc_id": i, "text": f"doc {i}"}
+
+    out = str(tmp_path / "spool")
+    s = ingest_record_stream(stream(), out, shard_rows=1000)
+    assert s == {"shards": 4, "rows_written": 3250, "shards_skipped": 0}
+    files = sorted(os.listdir(out))
+    assert files == [f"shard-{i:06d}.parquet" for i in range(4)]
+
+    # interrupt simulation: drop the last two shards, re-play the stream
+    for f in files[2:]:
+        os.remove(os.path.join(out, f))
+    s2 = ingest_record_stream(stream(), out, shard_rows=1000)
+    assert s2["shards_skipped"] == 2 and s2["rows_written"] == 1250
+
+    ds = dataset_from_stream(stream(), out, shard_rows=1000)
+    df = ds.to_pandas().sort_values("doc_id")
+    assert len(df) == 3250 and df["doc_id"].tolist() == list(range(3250))
