@@ -28,6 +28,33 @@ from ..functions.parse import DEFAULT_KEYMAP, parse_kv_text
 CTX_BUDGET_CHARS = 32_768 * 4  # the ref's token budget, char-approximated
 OUTPUT_RESERVE_CHARS = 512 * 4
 
+# M9 prompt construction (reference builds a fixed instruction prefix +
+# document + answer-format suffix around each doc and pre-computes the
+# prefix/suffix cost once, ``big_inference.py:31-39,190-199``).
+PROMPT_PREFIX = (
+    "Evalueaza calitatea educationala a documentului urmator pentru un "
+    "corpus de antrenare in limba romana.\n\n<document>\n"
+)
+PROMPT_SUFFIX = (
+    "\n</document>\n\nRaspunde EXACT in formatul:\n"
+    "* scor: <0-5>\n* explicatie: <o fraza>\n* tema: <tema>\n"
+    "* format: <format>\n* grupa de varsta: <grupa>"
+)
+
+
+def build_prompt(
+    text: str,
+    *,
+    ctx_chars: int = CTX_BUDGET_CHARS,
+    reserve_chars: int = OUTPUT_RESERVE_CHARS,
+) -> str:
+    """Truncate-to-fit prompt assembly: the document keeps whatever
+    budget remains after the generation reserve and the fixed prefix/
+    suffix (their cost is a module constant, computed once — the
+    reference pre-tokenizes them once per worker)."""
+    budget = ctx_chars - reserve_chars - len(PROMPT_PREFIX) - len(PROMPT_SUFFIX)
+    return PROMPT_PREFIX + (text or "")[: max(0, budget)] + PROMPT_SUFFIX
+
 
 class LLMAnnotator:
     """Actor-pool stage: one annotation per document (batch_size small —
@@ -36,15 +63,15 @@ class LLMAnnotator:
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
         # model load would happen here, once per actor (ref :160-167)
-        self._budget = CTX_BUDGET_CHARS - OUTPUT_RESERVE_CHARS
 
-    def _truncate(self, text: str) -> str:
-        """Ref ``:190-199``: keep the prefix that fits the context."""
-        return text[: self._budget]
-
-    def _generate(self, text: str) -> str:
-        """Deterministic stub for greedy generation: scores length/
-        stopword features into the reference's output template."""
+    def _generate(self, prompt: str) -> str:
+        """Deterministic stub for greedy generation over the FULL
+        prompt (M9 assembly is real; only the model call is fake):
+        scores length features of the embedded document into the
+        reference's output template."""
+        start = prompt.find("<document>\n") + len("<document>\n")
+        end = prompt.rfind("\n</document>")
+        text = prompt[start:end]
         words = text.split()
         score = min(5, len(set(words)) % 6)
         topic = ["stiri", "educatie", "divertisment"][len(words) % 3]
@@ -61,7 +88,7 @@ class LLMAnnotator:
         import pyarrow.compute as pc
 
         texts = pc.fill_null(batch[self.text_col], "").to_pylist()
-        outputs = [self._generate(self._truncate(t)) for t in texts]
+        outputs = [self._generate(build_prompt(t)) for t in texts]
         parsed = [parse_kv_text(o) for o in outputs]
         batch = batch.append_column("output", pa.array(outputs, pa.string()))
         for field in DEFAULT_KEYMAP.values():

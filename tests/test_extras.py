@@ -131,11 +131,10 @@ def test_embedding_neardup_exact():
 
 
 def test_llm_annotate_stub():
-    from fineweb2_ro_ray.stages.llm_annotate import LLMAnnotator, annotate_llm
+    from fineweb2_ro_ray.stages.llm_annotate import annotate_llm, build_prompt
 
-    ann = LLMAnnotator()
     big = "cuvant " * 200_000  # exceeds the context budget
-    assert len(ann._truncate(big)) <= 32_768 * 4 - 512 * 4
+    assert len(build_prompt(big)) <= 32_768 * 4 - 512 * 4
     ds = rd.from_items([{"doc_id": i, "text": f"text {i} cu mai multe cuvinte"} for i in range(10)])
     out = annotate_llm(ds).to_pandas()
     assert {"output", "int_score", "topic", "format", "age_group"} <= set(out.columns)
@@ -171,3 +170,38 @@ def test_ingest_record_stream_and_resume(tmp_path):
     ds = dataset_from_stream(stream(), out, shard_rows=1000)
     df = ds.to_pandas().sort_values("doc_id")
     assert len(df) == 3250 and df["doc_id"].tolist() == list(range(3250))
+
+
+def test_prompt_construction_budget_and_annotate():
+    """M9: prompt assembly fits the context budget for any input length,
+    embeds the (possibly truncated) document between markers, and the
+    annotator's parsed fields are well-formed."""
+    import ray.data as rd
+
+    from fineweb2_ro_ray.stages.llm_annotate import (
+        CTX_BUDGET_CHARS,
+        OUTPUT_RESERVE_CHARS,
+        PROMPT_PREFIX,
+        PROMPT_SUFFIX,
+        annotate_llm,
+        build_prompt,
+    )
+
+    short = build_prompt("salut lume")
+    assert short.startswith(PROMPT_PREFIX) and short.endswith(PROMPT_SUFFIX)
+    assert "salut lume" in short
+
+    huge = "cuvant " * 40_000  # ~280k chars, far over budget
+    p = build_prompt(huge)
+    assert len(p) <= CTX_BUDGET_CHARS - OUTPUT_RESERVE_CHARS
+    assert p.startswith(PROMPT_PREFIX) and p.endswith(PROMPT_SUFFIX)
+
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["ana are mere", huge, None]})
+    out = annotate_llm(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert set(out.columns) >= {"output", "int_score", "topic", "format", "age_group"}
+    assert (out["output"].str.contains(r"\* scor: ")).all()
+    # deterministic stub: same text -> same annotation
+    out2 = annotate_llm(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert (out["output"].values == out2["output"].values).all()
