@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine": P.q_ann_cosine,
         "ann_lsh": P.q_ann_lsh,
+        "ann_ivf": P.q_ann_ivf,
         "embedding_neardup": P.q_embedding_neardup,
         "embedding_neardup_lsh": P.q_embedding_neardup_lsh,
         "llm_annotate": P.q_llm_annotate,

@@ -323,6 +323,16 @@ def q_ann_lsh(sf_dir: str):
     return df[["query_id", "rank", "vec_id"]]
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate variant: trained k-means codebook, n_probe cells
+    scanned per query (no SQL oracle — approximate by design)."""
+    from ..stages.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = knn_ivf(ds, _query_matrix(sf_dir), k=10, n_centroids=16, n_probe=4)
+    return df[["query_id", "rank", "vec_id"]]
+
+
 def q_count_metrics(sf_dir: str):
     """G7 golden-test metrics (RMSE/MAE/match) between two counting
     definitions of document length (``small_model_inference/test.py:31-41``)."""

@@ -299,6 +299,72 @@ class HyperplaneLSH:
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
 
+def train_kmeans(
+    sample: np.ndarray, n_centroids: int, *, n_iter: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-sized sample (numpy only — no
+    sklearn in this sandbox), cosine geometry: rows and centroids are
+    L2-normalized each step. Deterministic (seeded init, fixed
+    iterations). Returns (n_centroids, d) normalized centroids."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-30)
+    return c
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    sample_rows: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate top-k via IVF: a k-means codebook is trained on a
+    driver-sized sample, centroids broadcast once (``ray.put``), every
+    vector is assigned to its nearest centroid cell in a map stage, and
+    each query scans only its ``n_probe`` nearest cells (expected scan
+    fraction ≈ n_probe / n_centroids). The trained-codebook counterpart
+    of the hyperplane ``knn_lsh`` path; recall rises with n_probe."""
+    sample_tbl = pa.concat_tables(
+        ds.select_columns([emb_col]).limit(sample_rows).iter_batches(batch_format="pyarrow")
+    )
+    centroids = train_kmeans(_to_matrix(sample_tbl[emb_col]), n_centroids)
+    c_ref = ray.put(centroids)
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    wanted = pa.array(np.unique(probes), pa.int64())
+
+    def assign_and_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = ray.get(c_ref)
+        m = _to_matrix(t[emb_col])
+        if len(m) == 0:
+            return t
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cell = np.argmax(mn @ c.T, axis=1).astype(np.int64)
+        t = t.append_column("cell", pa.array(cell, pa.int64()))
+        return t.filter(pc.is_in(t["cell"], value_set=wanted)).drop_columns(["cell"])
+
+    filtered = ds.select_columns([id_col, emb_col]).map_batches(
+        assign_and_filter, batch_format="pyarrow"
+    )
+    return knn_bruteforce(filtered, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     query_matrix: np.ndarray,

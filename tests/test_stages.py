@@ -407,3 +407,77 @@ def test_embedding_neardup_block_exact_and_lsh_recall():
     approx_set = set(zip(approx["vec_a"], approx["vec_b"]))
     assert approx_set <= exact_set  # exact verify => precision 1.0
     assert len(approx_set) >= 0.9 * len(exact_set)  # recall bar
+
+
+def test_asof_join_preserves_dtypes():
+    """Regression (VERDICT r1): the union pads sides with nulls and
+    pandas upcasts int64+null -> float64 inside the group; the output
+    schema must still carry the SOURCE Arrow dtypes."""
+    from fineweb2_ro_ray.stages.joins import asof_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "ts": pa.array(
+                np.array(["2024-01-02", "2024-01-05", "2024-01-02"], "datetime64[us]")
+            ),
+        }
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array(["2024-01-01", "2024-01-04", "2024-01-03"], "datetime64[us]")
+            ),
+            "amount": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert tbl.schema.field("event_id").type == pa.int64()
+    assert tbl.schema.field("o_custkey").type == pa.int64()
+    assert pa.types.is_timestamp(tbl.schema.field("o_orderdate").type)
+    assert tbl.schema.field("amount").type == pa.float64()
+    df = tbl.to_pandas().sort_values("event_id")
+    # event 1 @01-02 -> order 01-01; event 2 @01-05 -> 01-04; event 3 @01-02 -> none
+    assert df["event_id"].tolist() == [1, 2]
+    assert df["amount"].tolist() == [1.5, 2.5]
+
+
+def test_knn_ivf_recall_vs_bruteforce():
+    """IVF with a trained codebook: ranked subset of the exact answer
+    with high recall at n_probe=4/16 cells on clustered data."""
+    from fineweb2_ro_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 32)) * 3
+    pts = np.concatenate(
+        [c + rng.standard_normal((80, 32)) * 0.3 for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1), pa.float64()), 32
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    q = pts[[5, 200, 400]] + 0.01
+    exact = knn_bruteforce(ds, q, k=10)
+    approx = knn_ivf(ds, q, k=10, n_centroids=16, n_probe=4, sample_rows=640)
+    assert (approx["rank"].values <= 10).all()
+    recalls = []
+    for qid in range(3):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
