@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": P.q_lang_source_counts,
         "lang_counts": P.q_lang_counts,
         "nchars_percentiles": P.q_nchars_percentiles,
+        "nchars_percentiles_by_lang": P.q_nchars_percentiles_by_lang,
+        "top_longest_by_lang": P.q_top_longest_by_lang,
+        "events_rolling": P.q_events_rolling,
         "nchars_summary": P.q_nchars_summary,
         "capped_token_sum": P.q_capped_token_sum,
         "top_longest": P.q_top_longest,
@@ -200,6 +203,32 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(n_chars, {q / 100.0!r}) AS value FROM documents"
             for q in [90.5, 91.0, 91.5, 92.0, 92.5, 93.0, 93.5, 94.0, 94.5, 95.0]
         ),
+        "nchars_percentiles_by_lang": " UNION ALL ".join(
+            f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+            f"quantile_cont(n_chars, {q / 100.0!r}) AS value "
+            f"FROM documents GROUP BY lang"
+            for q in [25.0, 50.0, 75.0, 92.0]
+        ),
+        "top_longest_by_lang": """
+            WITH r AS (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
+        """,
+        "events_rolling": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_cents
+            FROM events
+        """,
         "nchars_summary": """
             SELECT CAST(min(n_chars) AS BIGINT) AS min_v,
                    CAST(max(n_chars) AS BIGINT) AS max_v,

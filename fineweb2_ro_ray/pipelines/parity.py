@@ -323,6 +323,36 @@ def q_ann_lsh(sf_dir: str):
     return df[["query_id", "rank", "vec_id"]]
 
 
+def q_nchars_percentiles_by_lang(sf_dir: str):
+    """G3 per group: exact per-language percentiles (the grouped
+    variant of the reference's threshold percentiles — per-language
+    thresholds for a multilingual corpus)."""
+    from ..stages.analysis import grouped_percentiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_percentiles(ds, ["lang"], "n_chars", [25.0, 50.0, 75.0, 92.0])
+
+
+def q_top_longest_by_lang(sf_dir: str):
+    """K-family per group: 3 longest docs per language, deterministic
+    tie-break on doc_id."""
+    from ..stages.analysis import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    return grouped_top_k(ds, ["lang"], "n_chars", 3, tiebreak="doc_id")
+
+
+def q_events_rolling(sf_dir: str):
+    """§2.9 rolling window: per-user sum of the last 3 event values
+    (integer cents; (ts, event_id) total order)."""
+    from ..stages.analysis import rolling_sum_cents
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return rolling_sum_cents(
+        ds, key="user_id", id_col="event_id", ts_col="ts", val_col="value", window=3
+    )
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF approximate variant: trained k-means codebook, n_probe cells
     scanned per query (no SQL oracle — approximate by design)."""

@@ -189,6 +189,113 @@ def score_metrics(ds: ray.data.Dataset, col_a: str, col_b: str) -> pd.DataFrame:
     )
 
 
+def grouped_percentiles(
+    ds: ray.data.Dataset, keys: list[str], col: str, qs: list[float]
+) -> ray.data.Dataset:
+    """G3 per group: exact percentiles of ``col`` within each key group
+    (the reference computes its thresholds globally; per-language /
+    per-source thresholds are the grouped variant a multilingual corpus
+    needs). Same scale shape as ``exact_percentiles``: ONE thinned
+    (key, value) histogram shuffle, then per-key interpolation inside
+    ``map_groups`` — rows never move, only (key, value, count) triples.
+    Output: (*keys, q, value) — bit-matches ``quantile_cont`` per
+    group."""
+    hist = grouped_counts(ds.select_columns(keys + [col]), keys + [col])
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        res = percentiles_from_counts(
+            df[col].to_numpy(), df["n"].to_numpy(), qs
+        )
+        out = pd.DataFrame({"q": list(res.keys()), "value": list(res.values())})
+        for k in keys:
+            out[k] = df[k].iloc[0]
+        return out[keys + ["q", "value"]]
+
+    return hist.groupby(keys).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    k: int,
+    *,
+    tiebreak: str,
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """K-family per group: top-k rows of ``col`` within each key group
+    with a deterministic tie-break — map-side per-batch per-key top-k
+    (thins the shuffle to ≤ k rows per key per batch), then a per-key
+    merge in ``map_groups``. SQL equivalent: ``row_number() OVER
+    (PARTITION BY keys ORDER BY col ...) <= k``."""
+    asc = [not descending, True]
+
+    def local(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values([col, tiebreak], ascending=asc, kind="mergesort")
+        return pa.Table.from_pandas(df.groupby(keys).head(k), preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([col, tiebreak], ascending=asc, kind="mergesort").head(k)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def rolling_sum_cents(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    id_col: str,
+    ts_col: str,
+    val_col: str,
+    window: int = 3,
+    n_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Streaming-construct restatement (§2.9): per-key rolling sum over
+    the last ``window`` events ordered by (time, id) — the
+    hash-partition + sorted vectorized pandas shape of
+    ``session_windows``. ``id_col`` breaks timestamp ties so the window
+    order is total (a bare ORDER BY ts makes tied rows engine-
+    dependent); values are summed as integer cents so the result is
+    bit-exact vs a SQL window ``SUM OVER (... ROWS window-1
+    PRECEDING)``. Output: (key, id, ts, cents, roll_cents)."""
+
+    def part_col(b: pa.Table) -> pa.Table:
+        ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(b[val_col].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return (
+            b.select([key, id_col, ts_col])
+            .append_column("cents", pa.array(cents, pa.int64()))
+            .append_column(
+                "part", pa.array((ks % n_partitions).astype(np.int32), pa.int32())
+            )
+        )
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        r = (
+            df.groupby(key, sort=False)["cents"]
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+        )
+        df = df.reset_index(drop=True)
+        df["roll_cents"] = r.astype(np.int64)
+        df[ts_col] = df[ts_col].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df[[key, id_col, ts_col, "cents", "roll_cents"]]
+
+    return (
+        ds.select_columns([key, id_col, ts_col, val_col])
+        .map_batches(part_col, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: roll(g.drop(columns=["part"])), batch_format="pandas")
+    )
+
+
 def correlation_stats(ds: ray.data.Dataset, col_a: str, col_b: str) -> pd.DataFrame:
     """G7 extension (VERDICT r1 gap): Pearson + Spearman between two
     integer columns — the reference's model-vs-label benchmark stats

@@ -481,3 +481,54 @@ def test_knn_ivf_recall_vs_bruteforce():
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_grouped_percentiles_topk_rolling():
+    """New grouped/window operators vs pandas equivalents."""
+    from fineweb2_ro_ray.stages.analysis import (
+        grouped_percentiles,
+        grouped_top_k,
+        rolling_sum_cents,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["ro", "en", "de"], size=n),
+            "doc_id": np.arange(n),
+            "n_chars": rng.integers(10, 500, size=n),
+        }
+    )
+    ds = rd.from_pandas(df)
+
+    gp = grouped_percentiles(ds, ["lang"], "n_chars", [50.0]).to_pandas()
+    for lang, g in df.groupby("lang"):
+        got = gp[(gp["lang"] == lang) & (gp["q"] == 50.0)]["value"].iloc[0]
+        assert got == np.percentile(g["n_chars"], 50, method="linear")
+
+    tk = grouped_top_k(ds, ["lang"], "n_chars", 3, tiebreak="doc_id").to_pandas()
+    for lang, g in df.groupby("lang"):
+        exp = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        got = tk[tk["lang"] == lang].sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, size=60),
+            "event_id": np.arange(60),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 3600, size=60), unit="s"),
+            "value": np.round(rng.uniform(0, 50, size=60), 2),
+        }
+    )
+    roll = rolling_sum_cents(
+        rd.from_pandas(ev), key="user_id", id_col="event_id", ts_col="ts",
+        val_col="value", window=3,
+    ).to_pandas().sort_values("event_id")
+    exp = ev.assign(cents=np.rint(ev["value"] * 100).astype(np.int64))
+    exp = exp.sort_values(["user_id", "ts", "event_id"])
+    exp["roll"] = (
+        exp.groupby("user_id")["cents"].rolling(3, min_periods=1).sum().reset_index(drop=True).values
+    )
+    exp = exp.sort_values("event_id")
+    assert roll["roll_cents"].tolist() == exp["roll"].astype(int).tolist()
