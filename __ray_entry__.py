@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_percentiles_by_lang": P.q_nchars_percentiles_by_lang,
         "top_longest_by_lang": P.q_top_longest_by_lang,
         "events_rolling": P.q_events_rolling,
+        "distinct_users_approx": P.q_distinct_users_approx,
         "nchars_summary": P.q_nchars_summary,
         "capped_token_sum": P.q_capped_token_sum,
         "top_longest": P.q_top_longest,

@@ -342,6 +342,15 @@ def q_top_longest_by_lang(sf_dir: str):
     return grouped_top_k(ds, ["lang"], "n_chars", 3, tiebreak="doc_id")
 
 
+def q_distinct_users_approx(sf_dir: str):
+    """Mergeable HLL cardinality sketch (rows-only: the estimate is
+    approximate by construction; accuracy is pytest-gated within 5%)."""
+    from ..stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return approx_distinct(ds, "user_id")
+
+
 def q_events_rolling(sf_dir: str):
     """§2.9 rolling window: per-user sum of the last 3 event values
     (integer cents; (ts, event_id) total order)."""

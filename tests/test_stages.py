@@ -532,3 +532,26 @@ def test_grouped_percentiles_topk_rolling():
     )
     exp = exp.sort_values("event_id")
     assert roll["roll_cents"].tolist() == exp["roll"].astype(int).tolist()
+
+
+def test_hll_approx_distinct_accuracy_and_stability():
+    """HLL sketch: within ~5% of exact at p=12, bit-stable across batch
+    sizes (merge is max), works for int and string columns."""
+    from fineweb2_ro_ray.stages.sketches import approx_distinct
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 50_000, size=120_000)  # ~45.5k distinct
+    exact = len(np.unique(vals))
+    df = pd.DataFrame({"user_id": vals})
+    est1 = approx_distinct(rd.from_pandas(df), "user_id")["approx_distinct"].iloc[0]
+    assert abs(est1 - exact) / exact < 0.05, (est1, exact)
+    # stability across block layouts
+    est2 = approx_distinct(
+        rd.from_pandas(df).repartition(13), "user_id"
+    )["approx_distinct"].iloc[0]
+    assert est1 == est2
+    # strings
+    sdf = pd.DataFrame({"k": [f"user-{v}" for v in vals[:30_000]]})
+    s_exact = sdf["k"].nunique()
+    s_est = approx_distinct(rd.from_pandas(sdf), "k")["approx_distinct"].iloc[0]
+    assert abs(s_est - s_exact) / s_exact < 0.05
