@@ -99,6 +99,20 @@ def _q_multimodal(sf_dir: str):
     return out
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Frame-sampling over video payloads (flat-map on binary columns;
+    fake decode, real plumbing — rows-only)."""
+    import ray.data
+
+    from fineweb2_ro_ray.stages.multimodal import sample_frames
+
+    n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 60
+    )
+    ds = ray.data.from_arrow(synth_media(n))
+    return sample_frames(ds, n_frames=4).drop_columns(["frame"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- transcript engine (flagship; rows-only: frozen-model ops) ---
@@ -159,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_annotate": P.q_llm_annotate,
         # --- multimodal plumbing (stubbed decode, real Ray stages) ---
         "multimodal_features": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 

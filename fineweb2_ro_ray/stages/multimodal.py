@@ -107,6 +107,99 @@ class MediaFeaturizer:
         return batch.append_column("features", col)
 
 
+class MediaResizer:
+    """Resize stage (images): real resizing needs a codec library —
+    STUB behind ``fake``; the fake path emits a deterministic
+    byte-subsampled payload plus the true target dimensions, so the
+    binary-out schema, payload-size reduction and row-capped batching
+    are all real."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, fake: bool = False) -> None:
+        self.tw, self.th, self.fake = target_w, target_h, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "construct MediaResizer(fake=True) for the deterministic stub"
+            )
+        target = self.tw * self.th
+        out = []
+        for p in batch["payload"].to_pylist():
+            arr = np.frombuffer(p, dtype=np.uint8)
+            step = max(1, len(arr) // target)
+            out.append(arr[::step][:target].tobytes())
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("payload", pa.array(out, pa.binary()))
+            .append_column(
+                "width", pa.array(np.full(batch.num_rows, self.tw, np.int32))
+            )
+            .append_column(
+                "height", pa.array(np.full(batch.num_rows, self.th, np.int32))
+            )
+        )
+
+
+class FrameSampler:
+    """Frame-sample stage (videos): one INPUT row → ``n_frames`` OUTPUT
+    rows (the flat-map shape over binary columns). The fake decode
+    slices the payload into equal frame windows; a real build would
+    seek keyframes. Non-video rows pass through as a single frame 0."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = False) -> None:
+        self.n_frames, self.fake = n_frames, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video codecs are not available in this environment; "
+                "construct FrameSampler(fake=True) for the deterministic stub"
+            )
+        ids, convs, kinds = (
+            batch["media_id"].to_pylist(),
+            batch["conv_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+        )
+        out = {"media_id": [], "conv_id": [], "frame_idx": [], "frame": []}
+        for mid, conv, kind, p in zip(ids, convs, kinds, batch["payload"].to_pylist()):
+            if kind != "video":
+                out["media_id"].append(mid)
+                out["conv_id"].append(conv)
+                out["frame_idx"].append(0)
+                out["frame"].append(p)
+                continue
+            n = max(1, min(self.n_frames, len(p)))
+            w = len(p) // n
+            for f in range(n):
+                out["media_id"].append(mid)
+                out["conv_id"].append(conv)
+                out["frame_idx"].append(f)
+                out["frame"].append(p[f * w : (f + 1) * w] if w else p)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "frame": pa.array(out["frame"], pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    ds: ray.data.Dataset, *, n_frames: int = 4, fake: bool = True, batch_size: int = 32
+) -> ray.data.Dataset:
+    """Video → per-frame rows (row-capped batches; frames multiply the
+    byte volume, so the cap is on input rows)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
 def decode_and_featurize(
     ds: ray.data.Dataset, *, fake: bool = True, batch_size: int = 64
 ) -> ray.data.Dataset:

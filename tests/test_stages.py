@@ -555,3 +555,40 @@ def test_hll_approx_distinct_accuracy_and_stability():
     s_exact = sdf["k"].nunique()
     s_est = approx_distinct(rd.from_pandas(sdf), "k")["approx_distinct"].iloc[0]
     assert abs(s_est - s_exact) / s_exact < 0.05
+
+
+def test_multimodal_resize_and_frame_sample():
+    """Resize reduces payloads to target dims; frame sampler explodes
+    each video into n frames (flat-map over binary), passes non-video
+    rows through; real-codec paths stay NotImplementedError."""
+    from fineweb2_ro_ray.stages.multimodal import (
+        FrameSampler,
+        MediaResizer,
+        sample_frames,
+        synth_media,
+    )
+
+    t = synth_media(30)
+    ds = rd.from_arrow(t)
+    resized = ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target_w": 8, "target_h": 8, "fake": True},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+    ).to_pandas()
+    assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
+    assert resized["payload"].map(len).max() <= 64
+
+    frames = sample_frames(ds, n_frames=4).to_pandas()
+    vids = t.to_pandas()
+    n_videos = (vids["kind"] == "video").sum()
+    assert (frames[frames["frame_idx"] > 0]["media_id"].isin(
+        vids[vids["kind"] == "video"]["media_id"]
+    )).all()
+    assert len(frames) == (len(vids) - n_videos) + 4 * n_videos
+
+    with pytest.raises(Exception):  # ray surfaces the NotImplementedError
+        ds.map_batches(MediaResizer, batch_format="pyarrow", concurrency=1).to_pandas()
+    with pytest.raises(Exception):
+        ds.map_batches(FrameSampler, batch_format="pyarrow", concurrency=1).to_pandas()
