@@ -83,8 +83,15 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         n_words = _segment_sums((flat_len > 0).astype(np.int64), raw_lens, "sum")
 
     ro_arr, en_arr = _lexicons()
-    ro_mask = pc.is_in(toks, value_set=ro_arr).to_numpy(zero_copy_only=False)
-    en_mask = pc.is_in(toks, value_set=en_arr).to_numpy(zero_copy_only=False)
+    # both lexicon lookups run on UNIQUE tokens (dictionary encode),
+    # results gathered back per instance — one hash pass replaces two
+    # full is_in scans over every token instance
+    dic = toks.dictionary_encode()
+    ro_u = pc.is_in(dic.dictionary, value_set=ro_arr).to_numpy(zero_copy_only=False)
+    en_u = pc.is_in(dic.dictionary, value_set=en_arr).to_numpy(zero_copy_only=False)
+    tok_idx = dic.indices.to_numpy(zero_copy_only=False)
+    ro_mask = ro_u[tok_idx]
+    en_mask = en_u[tok_idx]
     ro_hits = _segment_sums(ro_mask.astype(np.int64), raw_lens, "sum")
     en_hits = _segment_sums(en_mask.astype(np.int64), raw_lens, "sum")
     n_dia = pc.count_substring_regex(text, DIACRITICS_PATTERN).to_numpy(

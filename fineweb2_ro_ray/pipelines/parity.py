@@ -468,8 +468,7 @@ def q_split_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def keyed(b: pa.Table) -> pa.Table:
-        key = pa.array([str(x) for x in b["doc_id"].to_pylist()], pa.string())
-        return b.append_column("key", key)
+        return b.append_column("key", b["doc_id"].cast(pa.string()))
 
     ds = ds.map_batches(
         lambda b: add_split_column(keyed(b), "key").select(["split"]),
