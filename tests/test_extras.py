@@ -205,3 +205,25 @@ def test_prompt_construction_budget_and_annotate():
     # deterministic stub: same text -> same annotation
     out2 = annotate_llm(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert (out["output"].values == out2["output"].values).all()
+
+
+def test_ops_cli_list_and_run(tmp_path, capsys):
+    """Generic operator CLI: --list covers the registry; one sql-checked
+    op runs end-to-end and writes parquet."""
+    import os
+
+    cwd = os.getcwd()
+    assert cwd.rstrip("/").endswith("repo")  # cli resolves __ray_entry__ via cwd
+    from fineweb2_ro_ray.ops_cli import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_exact" in out and "sql-checked" in out and "rows-only" in out
+
+    dst = str(tmp_path / "out.parquet")
+    assert main(["--op", "lang_counts", "--sf-dir", "/root/testdata/sf0.001",
+                 "--output", dst]) == 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(dst)
+    assert t.num_rows >= 1 and set(t.schema.names) == {"lang", "n"}

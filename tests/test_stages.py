@@ -592,3 +592,34 @@ def test_multimodal_resize_and_frame_sample():
         ds.map_batches(MediaResizer, batch_format="pyarrow", concurrency=1).to_pandas()
     with pytest.raises(Exception):
         ds.map_batches(FrameSampler, batch_format="pyarrow", concurrency=1).to_pandas()
+
+
+def test_correlation_stats_matches_numpy():
+    """Histogram-based Pearson/Spearman equals direct computation over
+    raw rows (ties included) on random integer data."""
+    from fineweb2_ro_ray.stages.analysis import correlation_stats
+
+    rng = np.random.default_rng(47)
+    a = rng.integers(0, 30, size=500)  # heavy ties
+    b = (a * 3 + rng.integers(0, 20, size=500)).astype(np.int64)
+    df = pd.DataFrame({"a": a, "b": b})
+    out = correlation_stats(rd.from_pandas(df), "a", "b").iloc[0]
+
+    assert abs(out["pearson"] - np.corrcoef(a, b)[0, 1]) < 1e-12
+
+    def avg_rank(x):
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x), dtype=np.float64)
+        sx = x[order]
+        i = 0
+        while i < len(x):
+            j = i
+            while j < len(x) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j - 1) / 2 + 1
+            i = j
+        return ranks
+
+    ra, rb = avg_rank(a), avg_rank(b)
+    assert abs(out["spearman"] - np.corrcoef(ra, rb)[0, 1]) < 1e-12
+    assert out["n"] == 500
