@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest_by_lang": P.q_top_longest_by_lang,
         "events_rolling": P.q_events_rolling,
         "distinct_users_approx": P.q_distinct_users_approx,
+        "lang_distinct_sources": P.q_lang_distinct_sources,
+        "lang_source_pivot": P.q_lang_source_pivot,
+        "events_rank": P.q_events_rank,
         "nchars_summary": P.q_nchars_summary,
         "capped_token_sum": P.q_capped_token_sum,
         "top_longest": P.q_top_longest,
@@ -243,6 +246,26 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS roll_cents
+            FROM events
+        """,
+        "lang_distinct_sources": """
+            SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct
+            FROM documents GROUP BY lang
+        """,
+        "lang_source_pivot": """
+            SELECT lang,
+                   CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,
+                   CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,
+                   CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2,
+                   CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS n_src3,
+                   CAST(sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS n_src4
+            FROM documents GROUP BY lang
+        """,
+        "events_rank": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
             FROM events
         """,
         "nchars_summary": """

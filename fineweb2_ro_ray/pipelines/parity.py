@@ -342,6 +342,39 @@ def q_top_longest_by_lang(sf_dir: str):
     return grouped_top_k(ds, ["lang"], "n_chars", 3, tiebreak="doc_id")
 
 
+def q_lang_distinct_sources(sf_dir: str):
+    """Exact COUNT(DISTINCT source) per language (pair-histogram
+    shuffle, never raw rows)."""
+    from ..stages.analysis import grouped_distinct_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return grouped_distinct_counts(ds, "lang", "source")
+
+
+_PIVOT_SOURCES = [f"src{i}" for i in range(5)]
+
+
+def q_lang_source_pivot(sf_dir: str):
+    """Long → wide count pivot: one row per lang, one count column per
+    pinned source (SQL PIVOT-with-IN analog)."""
+    from ..stages.analysis import pivot_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return pivot_counts(ds, "lang", "source", _PIVOT_SOURCES)
+
+
+def q_events_rank(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts, event_id) —
+    per-user event sequence numbers."""
+    from ..stages.analysis import per_key_rank
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = per_key_rank(ds, key="user_id", order_col="ts", id_col="event_id")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "rn"]), batch_format="pyarrow"
+    )
+
+
 def q_distinct_users_approx(sf_dir: str):
     """Mergeable HLL cardinality sketch (rows-only: the estimate is
     approximate by construction; accuracy is pytest-gated within 5%)."""

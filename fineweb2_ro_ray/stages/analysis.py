@@ -296,6 +296,74 @@ def rolling_sum_cents(
     )
 
 
+def grouped_distinct_counts(
+    ds: ray.data.Dataset, key: str, col: str
+) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT col) per key: the (key, col) pair histogram
+    is the thinned shuffle (G1 shape); distinct count = rows per key of
+    that histogram — a second tiny groupby."""
+    pairs = grouped_counts(ds.select_columns([key, col]), [key, col])
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.select_columns([key])
+        .groupby(key)
+        .aggregate(Count(alias_name="n_distinct"))
+    )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset, row_key: str, col_key: str, col_values: list[str]
+) -> ray.data.Dataset:
+    """Long → wide count pivot: one row per ``row_key``, one column per
+    pinned ``col_values`` entry (wide schemas need a fixed column set —
+    same reason SQL PIVOT wants IN (...)). Built on the thinned G1
+    histogram, pivoted per row-key group."""
+    hist = grouped_counts(ds.select_columns([row_key, col_key]), [row_key, col_key])
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        out = {row_key: df[row_key].iloc[0]}
+        counts = dict(zip(df[col_key], df["n"]))
+        for v in col_values:
+            out[f"n_{v}"] = int(counts.get(v, 0))
+        return pd.DataFrame([out])
+
+    return hist.groupby(row_key).map_groups(widen, batch_format="pandas")
+
+
+def per_key_rank(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    id_col: str,
+    n_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_col, id) —
+    the per-key sequence number a training-data pipeline uses for
+    turn/event indexing. Hash-partitioned sorted cumcount (the
+    session-windows shape); (order, id) total order keeps ranks
+    engine-independent under ties."""
+
+    def part_col(b: pa.Table) -> pa.Table:
+        ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "part", pa.array((ks % n_partitions).astype(np.int32), pa.int32())
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col, id_col], kind="mergesort")
+        df["rn"] = df.groupby(key, sort=False).cumcount() + 1
+        return df
+
+    return (
+        ds.select_columns([key, order_col, id_col])
+        .map_batches(part_col, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: rank(g.drop(columns=["part"])), batch_format="pandas")
+    )
+
+
 def correlation_stats(ds: ray.data.Dataset, col_a: str, col_b: str) -> pd.DataFrame:
     """G7 extension (VERDICT r1 gap): Pearson + Spearman between two
     integer columns — the reference's model-vs-label benchmark stats
