@@ -92,29 +92,67 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(e)
 
 
+try:
+    from ray.data.aggregate import AggregateFnV2
+
+    class _HLLAgg(AggregateFnV2):
+        """Distributed HLL accumulation: block partials + tree combine
+        run inside Ray's aggregate operator, so the driver touches ONE
+        register array — at 100 TB this matters (a driver-side loop
+        over per-batch partials would serialize millions of object
+        fetches)."""
+
+        def __init__(self, col: str, p: int = 12) -> None:
+            self._col = col
+            self._p = p
+            m = 1 << p
+            super().__init__(
+                f"hll({col})",
+                zero_factory=lambda: np.zeros(m, dtype=np.uint8),
+                on=None,
+                ignore_nulls=True,
+            )
+
+        def aggregate_block(self, block) -> np.ndarray:
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            return hll_registers(_hash_column(tbl[self._col]), self._p)
+
+        def combine(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            return np.maximum(a, b)
+
+        def finalize(self, a: np.ndarray) -> float:
+            return hll_estimate(a)
+
+except ImportError:  # older Ray: driver-merge fallback below
+    _HLLAgg = None
+
+
 def approx_distinct(
     ds: ray.data.Dataset, col: str, *, p: int = 12
 ) -> pd.DataFrame:
-    """Approximate distinct count of ``col``: per-batch register
-    partials (one 2^p-byte row per batch), elementwise-max merge on the
-    driver. Typical error ≈ 1.04/sqrt(2^p) (~1.6% at p=12). Returns a
-    1-row DataFrame (approx_distinct,)."""
+    """Approximate distinct count of ``col``: per-block register
+    partials combined tree-wise inside Ray's aggregate operator (max is
+    associative/commutative/idempotent). Typical error ≈
+    1.04/sqrt(2^p) (~1.6% at p=12). Returns a 1-row DataFrame
+    (approx_distinct,)."""
+    sub = ds.select_columns([col])
+    if _HLLAgg is not None:
+        out = sub.aggregate(_HLLAgg(col, p))
+        est = out[f"hll({col})"] if isinstance(out, dict) else out
+        return pd.DataFrame([{"approx_distinct": float(est)}])
+
     m = 1 << p
 
     def partial(b: pa.Table) -> pa.Table:
         regs = hll_registers(_hash_column(b[col]), p)
         return pa.table(
-            {
-                "regs": pa.FixedSizeListArray.from_arrays(
-                    pa.array(regs, pa.uint8()), m
-                )
-            }
+            {"regs": pa.FixedSizeListArray.from_arrays(pa.array(regs, pa.uint8()), m)}
         )
 
     merged = np.zeros(m, dtype=np.uint8)
-    for b in ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
+    for b in sub.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
         flat = b["regs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         merged = np.maximum(merged, flat.reshape(-1, m).max(axis=0))
     return pd.DataFrame([{"approx_distinct": hll_estimate(merged)}])
