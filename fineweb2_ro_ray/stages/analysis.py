@@ -13,7 +13,7 @@ Scale pattern: every aggregate is map-side partial (inside
 ``map_batches``) + a SMALL groupby/driver merge — never a full-row
 shuffle.  Percentiles use the value-histogram trick: for bounded-
 cardinality numeric columns, ``groupby(value).count()`` is exact and
-its merge output is tiny, so the np.percentile('linear') interpolation
+its merge output is tiny, so the quantile_cont-style convex interpolation
 runs on the driver over (value, count) pairs — the same
 partial-then-merge shape as the reference's ``quantiles_fetcher``.
 """
@@ -74,9 +74,15 @@ def value_counts(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
 def percentiles_from_counts(
     values: np.ndarray, counts: np.ndarray, qs: list[float]
 ) -> dict[float, float]:
-    """Exact np.percentile(..., method='linear') from a (value, count)
+    """Exact linear-interpolation percentiles from a (value, count)
     histogram: pos = q/100*(n-1); interpolate between the pos-th and
-    (pos+1)-th order statistics located via cumulative counts."""
+    (pos+1)-th order statistics located via cumulative counts.
+
+    Interpolation uses the CONVEX form ``(1-g)·a + g·b`` — DuckDB's
+    ``quantile_cont`` formula — NOT numpy's lerp ``a + g·(b-a)``; the
+    two differ in the last float bit on some inputs (both directions,
+    found by the sf0.001 grouped-percentile oracle), and the value-hash
+    gate needs bit equality with SQL."""
     order = np.argsort(values)
     v = np.asarray(values, dtype=np.float64)[order]
     c = np.asarray(counts, dtype=np.int64)[order]
@@ -92,7 +98,8 @@ def percentiles_from_counts(
         pos = q / 100.0 * (n - 1)
         lo, hi = int(np.floor(pos)), int(np.ceil(pos))
         a, b = kth(lo), kth(hi)
-        out[q] = a + (b - a) * (pos - lo)
+        g = pos - lo
+        out[q] = (1.0 - g) * a + g * b
     return out
 
 

@@ -93,13 +93,25 @@ def test_jaccard_pairs_hand_checked():
     assert out.iloc[0]["jaccard"] == 3 / 5
 
 
-def test_percentiles_match_numpy():
+def _convex_percentile(vals: np.ndarray, q: float) -> float:
+    """DuckDB quantile_cont reference: (1-g)*a + g*b over sorted order
+    statistics (differs from np.percentile's lerp in the last bit on
+    some inputs)."""
+    v = np.sort(vals.astype(np.float64))
+    pos = q / 100.0 * (len(v) - 1)
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    g = pos - lo
+    return (1.0 - g) * v[lo] + g * v[hi]
+
+
+def test_percentiles_match_quantile_cont():
     rng = np.random.default_rng(3)
     vals = rng.integers(0, 500, size=997)
     uniq, counts = np.unique(vals, return_counts=True)
     got = percentiles_from_counts(uniq, counts, [50.0, 90.5, 92.0, 99.0])
     for q, v in got.items():
-        assert v == np.percentile(vals.astype(np.float64), q), q
+        assert v == _convex_percentile(vals, q), q
+        assert abs(v - np.percentile(vals.astype(np.float64), q)) < 1e-9
 
 
 def test_grouped_counts_matches_pandas():
@@ -505,7 +517,7 @@ def test_grouped_percentiles_topk_rolling():
     gp = grouped_percentiles(ds, ["lang"], "n_chars", [50.0]).to_pandas()
     for lang, g in df.groupby("lang"):
         got = gp[(gp["lang"] == lang) & (gp["q"] == 50.0)]["value"].iloc[0]
-        assert got == np.percentile(g["n_chars"], 50, method="linear")
+        assert got == _convex_percentile(g["n_chars"].to_numpy(), 50.0)
 
     tk = grouped_top_k(ds, ["lang"], "n_chars", 3, tiebreak="doc_id").to_pandas()
     for lang, g in df.groupby("lang"):
