@@ -63,7 +63,7 @@ def run_bench() -> dict:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fineweb2_ro_ray.pipelines import parity as P
-    from fineweb2_ro_ray.pipelines.quality_filter import read_transcripts, run_flagship
+    from fineweb2_ro_ray.pipelines.quality_filter import run_flagship
 
     n_turns = _ensure_bench_transcripts()
 

@@ -27,6 +27,7 @@ from ..stages.analysis import (
     exact_percentiles,
     grouped_counts,
     numeric_summary,
+    round_half_away,
     top_k,
 )
 from ..stages.dedup import (
@@ -163,7 +164,7 @@ def q_events_type_counts(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df["value_cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        df["value_cents"] = round_half_away(df["value"].to_numpy() * 100)
         out = (
             df.groupby("event_type")
             .agg(partial_n=("value_cents", "size"), partial_cents=("value_cents", "sum"))
@@ -206,8 +207,8 @@ def q_lineitem_pricing(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["qty"] = df["l_quantity"].astype(np.int64)
-        df["price_cents"] = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        df["disc_bp"] = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["price_cents"] = round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        df["disc_bp"] = round_half_away(df["l_discount"].to_numpy() * 100)
         out = (
             df.groupby(["l_returnflag", "l_linestatus"])
             .agg(
@@ -246,7 +247,7 @@ def q_orders_by_segment(sf_dir: str):
         lut = ray.get(lookup_ref)
         df = b.to_pandas()
         df["c_mktsegment"] = df["o_custkey"].map(lut)
-        df["price_cents"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["price_cents"] = round_half_away(df["o_totalprice"].to_numpy() * 100)
         out = (
             df.groupby("c_mktsegment")
             .agg(partial_n=("price_cents", "size"), partial_cents=("price_cents", "sum"))
@@ -537,7 +538,7 @@ def q_orders_join_native(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df["price_cents"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["price_cents"] = round_half_away(df["o_totalprice"].to_numpy() * 100)
         out = (
             df.groupby("c_mktsegment")
             .agg(partial_n=("price_cents", "size"), partial_cents=("price_cents", "sum"))

@@ -37,13 +37,31 @@ def ingest_record_stream(
     shard = 0
     written = 0
     skipped = 0
+
+    def _stale_after(shard: int) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(out_dir)
+            if f.startswith("shard-")
+            and f.endswith(".parquet")
+            and int(f[6:12]) >= shard
+        )
+
     while True:
         path = os.path.join(out_dir, f"shard-{shard:06d}.parquet")
         if resume and os.path.exists(path):
             n = pq.read_metadata(path).num_rows
             for _ in range(n):  # fast-forward the serial stream
                 if next(it, None) is None:
-                    return {"shards": shard + 1, "rows_written": written, "shards_skipped": skipped + 1}
+                    # the replayed stream is SHORTER than the spool:
+                    # everything from this shard on is not covered by
+                    # the stream — surface it, never silently keep it
+                    return {
+                        "shards": shard,
+                        "rows_written": written,
+                        "shards_skipped": skipped,
+                        "stale_shards": _stale_after(shard),
+                    }
             skipped += 1
             shard += 1
             continue
@@ -62,7 +80,11 @@ def ingest_record_stream(
         shard += 1
         if len(buf) < shard_rows:
             break
-    return {"shards": shard, "rows_written": written, "shards_skipped": skipped}
+    out = {"shards": shard, "rows_written": written, "shards_skipped": skipped}
+    stale = _stale_after(shard)
+    if stale:  # leftovers from a previous longer run
+        out["stale_shards"] = stale
+    return out
 
 
 def dataset_from_stream(
@@ -72,8 +94,15 @@ def dataset_from_stream(
     shard_rows: int = 1300,
 ) -> ray.data.Dataset:
     """S1 composition: spool a serial stream to sharded parquet, then
-    open it as a Dataset (file-parallel from there on)."""
-    ingest_record_stream(records, spool_dir, shard_rows=shard_rows)
+    open it as a Dataset (file-parallel from there on). Raises if the
+    spool holds shards the supplied stream does not cover (a silently
+    shorter replay would otherwise return rows not in the stream)."""
+    s = ingest_record_stream(records, spool_dir, shard_rows=shard_rows)
+    if s.get("stale_shards"):
+        raise ValueError(
+            f"spool {spool_dir} contains shards not covered by this stream: "
+            f"{s['stale_shards']} — remove them or replay the full stream"
+        )
     return ray.data.read_parquet(spool_dir)
 
 

@@ -33,6 +33,15 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def round_half_away(x: np.ndarray) -> np.ndarray:
+    """SQL ``round()`` semantics (half AWAY from zero) as int64 —
+    ``np.rint`` is half-to-even, which diverges on exact .5 ties
+    (np.rint(12.5)=12, DuckDB round(12.5)=13). Every money→cents
+    conversion that is oracle-compared must use this."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
 def doc_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-document counting stats, all vectorized Arrow kernels:
     ``n_space_words`` = split on single space (SQL ``string_split``),
@@ -59,7 +68,13 @@ def grouped_counts(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select(keys).to_pandas()
-        out = df.groupby(keys, as_index=False).size().rename(columns={"size": "partial_n"})
+        # dropna=False: SQL GROUP BY keeps the NULL group (and so does
+        # Ray's native groupby) — pandas' default would silently lose it
+        out = (
+            df.groupby(keys, as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "partial_n"})
+        )
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -240,7 +255,9 @@ def grouped_top_k(
     def local(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df.sort_values([col, tiebreak], ascending=asc, kind="mergesort")
-        return pa.Table.from_pandas(df.groupby(keys).head(k), preserve_index=False)
+        return pa.Table.from_pandas(
+            df.groupby(keys, dropna=False).head(k), preserve_index=False
+        )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values([col, tiebreak], ascending=asc, kind="mergesort").head(k)
@@ -273,7 +290,7 @@ def rolling_sum_cents(
 
     def part_col(b: pa.Table) -> pa.Table:
         ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = np.rint(b[val_col].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = round_half_away(b[val_col].to_numpy(zero_copy_only=False) * 100)
         return (
             b.select([key, id_col, ts_col])
             .append_column("cents", pa.array(cents, pa.int64()))

@@ -131,6 +131,10 @@ class MinHasher:
 def minhash_signatures(
     ds: ray.data.Dataset, *, k: int = 5, num_perm: int = 64, concurrency=(1, 8)
 ) -> ray.data.Dataset:
+    # default is an AUTOSCALING pool so small/interactive inputs don't
+    # pay an 8-actor spin-up (and 4-CPU test sessions don't stall on an
+    # unsatisfiable fixed pool); bulk callers should pass a fixed int —
+    # fixed pools measured ~2x steady-state throughput on this box
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"k": k, "num_perm": num_perm},
@@ -239,20 +243,20 @@ def lsh_candidate_pairs(
             batch_format="pyarrow",
         )
     )
-    if not distinct:
-        return pairs
-    # same pair can surface from several bands → map-side thin + groupby
+    # same pair can surface from several bands (up to ``bands``× dups):
+    # map-side thinning always runs so the caller never sees band-
+    # multiplied volume, even on the distinct=False fast path
     def batch_unique(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    pairs = pairs.map_batches(batch_unique, batch_format="pyarrow")
+    if not distinct:
+        return pairs
+
     from ray.data.aggregate import Count
 
-    uniq = (
-        pairs.map_batches(batch_unique, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-    )
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
     return uniq.drop_columns(["_n"])
 
 
@@ -362,7 +366,7 @@ def verify_pairs_exact(
     text_col: str = "text",
     k: int = 5,
     verify_threshold: float = 0.7,
-    num_partitions: int = 16,
+    num_partitions: int = 512,
 ) -> ray.data.Dataset:
     """Distributed exact shingle-Jaccard verification of candidate id
     pairs — no document text ever reaches the driver (round 1 pulled
@@ -400,9 +404,18 @@ def verify_pairs_exact(
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
     )
+    # null text == empty document (the engine-wide convention): fill
+    # BEFORE the union below, where a null ``_t`` is the row-type tag —
+    # an unfilled null text would make per_part misread the text row as
+    # a pair row and silently drop its pairs
+    def sub_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[id_col], value_set=ids_arr))
+        return t.set_column(
+            t.schema.get_field_index(text_col), text_col, pc.fill_null(t[text_col], "")
+        )
+
     sub = ds.select_columns([id_col, text_col]).map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=ids_arr)),
-        batch_format="pyarrow",
+        sub_batch, batch_format="pyarrow"
     )
 
     # Attach each side's text with the union + keyed-groupby exchange

@@ -156,7 +156,7 @@ def embedding_neardup_lsh(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 6,
     n_tables: int = 24,
     n_partitions: int = 1024,
@@ -171,13 +171,24 @@ def embedding_neardup_lsh(
     precision exact, so output ⊆ the exact operator's output."""
     import pyarrow.compute as pc
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, dim, n_planes))
-    planes_ref = ray.put(planes)
+    # planes are derived deterministically from (seed, dim) INSIDE each
+    # task once the batch reveals the true dimensionality (dim=None) —
+    # identical across tasks by construction, no broadcast needed, and
+    # no crash when the table's width differs from a hardcoded default
+    plane_cache: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        pl = plane_cache.get(d)
+        if pl is None:
+            rng = np.random.default_rng(seed)
+            pl = rng.standard_normal((n_tables, d, n_planes))
+            plane_cache[d] = pl
+        return pl
 
     def bucketize(b: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
         m = _to_matrix(b[emb_col])
+        d = dim if dim is not None else (m.shape[1] if m.size else 0)
+        pl = _planes(d) if d else None
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
         if n == 0:

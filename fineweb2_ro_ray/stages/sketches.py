@@ -39,9 +39,12 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Column → uint64 hashes (vectorized for ints; md5 per unique for
-    strings)."""
+    strings). Nulls are DROPPED first — COUNT(DISTINCT) semantics; an
+    unfiltered null int would round-trip through NaN into an INT64_MIN
+    phantom value, and a null string would collide with ''."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    col = col.drop_null()
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         return _splitmix64(v)

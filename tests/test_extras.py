@@ -227,3 +227,26 @@ def test_ops_cli_list_and_run(tmp_path, capsys):
 
     t = pq.read_table(dst)
     assert t.num_rows >= 1 and set(t.schema.names) == {"lang", "n"}
+
+
+def test_ingest_stale_shards_flagged(tmp_path):
+    """A replayed stream SHORTER than the spool must surface the
+    uncovered shards; dataset_from_stream refuses to read them."""
+    import os
+
+    from fineweb2_ro_ray.sources.io import dataset_from_stream, ingest_record_stream
+
+    def stream(n):
+        for i in range(n):
+            yield {"doc_id": i}
+
+    out = str(tmp_path / "spool")
+    ingest_record_stream(stream(4000), out, shard_rows=1000)
+    s = ingest_record_stream(stream(1500), out, shard_rows=1000)
+    # shard 1 is only HALF covered by the 1500-row stream, so it is
+    # stale too, along with everything after it
+    assert s["stale_shards"] == [
+        "shard-000001.parquet", "shard-000002.parquet", "shard-000003.parquet"
+    ]
+    with pytest.raises(ValueError, match="not covered"):
+        dataset_from_stream(stream(1500), out, shard_rows=1000)

@@ -635,3 +635,50 @@ def test_correlation_stats_matches_numpy():
     ra, rb = avg_rank(a), avg_rank(b)
     assert abs(out["spearman"] - np.corrcoef(ra, rb)[0, 1]) < 1e-12
     assert out["n"] == 500
+
+
+def test_review_regressions_round2():
+    """Fixes from the round-2 self-review, pinned."""
+    from fineweb2_ro_ray.stages.analysis import (
+        grouped_counts,
+        grouped_top_k,
+        round_half_away,
+    )
+    from fineweb2_ro_ray.stages.sketches import approx_distinct
+
+    # 1) SQL round() semantics on exact .5 ties (np.rint would give 12)
+    assert round_half_away(np.array([12.5])).tolist() == [13]
+    assert round_half_away(np.array([-12.5])).tolist() == [-13]
+    assert round_half_away(np.array([12.4, 12.6])).tolist() == [12, 13]
+
+    # 2) null group keys survive grouped_counts / grouped_top_k
+    df = pd.DataFrame(
+        {"lang": ["ro", None, "ro", None, "en"], "doc_id": range(5), "n_chars": [5, 4, 3, 2, 1]}
+    )
+    gc = grouped_counts(rd.from_pandas(df), ["lang"]).to_pandas()
+    assert int(gc[gc["lang"].isna()]["n"].iloc[0]) == 2
+    tk = grouped_top_k(rd.from_pandas(df), ["lang"], "n_chars", 1, tiebreak="doc_id").to_pandas()
+    assert tk["lang"].isna().sum() == 1  # null partition emits its top row
+
+    # 3) HLL ignores nulls (COUNT DISTINCT semantics) and no NaN warnings
+    hdf = pd.DataFrame({"k": pd.array([1, 2, None, 2, None], dtype="Int64")})
+    est = approx_distinct(rd.from_pandas(hdf), "k")["approx_distinct"].iloc[0]
+    assert abs(est - 2) < 0.5
+
+
+def test_verify_pairs_exact_null_text():
+    """A candidate pair whose doc has null text must still be verified
+    (null == empty document), not silently dropped."""
+    from fineweb2_ro_ray.stages.dedup import verify_pairs_exact
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["ana are mere", "ana are mere", None]}
+    )
+    pairs = rd.from_pandas(pd.DataFrame({"doc_a": [1, 3], "doc_b": [2, 1]}))
+    # orient (3,1): verify gate takes pairs as given
+    out = verify_pairs_exact(
+        pairs, rd.from_pandas(docs), verify_threshold=0.0, num_partitions=8
+    ).to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    assert len(out) == 2  # the null-text pair is present, not dropped
+    exact = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)]["jaccard"].iloc[0]
+    assert exact == 1.0
