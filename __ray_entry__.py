@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest_by_lang": P.q_top_longest_by_lang,
         "events_rolling": P.q_events_rolling,
         "distinct_users_approx": P.q_distinct_users_approx,
+        "word_counts_top": P.q_word_counts_top,
         "lang_distinct_sources": P.q_lang_distinct_sources,
         "lang_source_pivot": P.q_lang_source_pivot,
         "events_rank": P.q_events_rank,
@@ -247,6 +248,13 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS roll_cents
             FROM events
+        """,
+        "word_counts_top": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 100
         """,
         "lang_distinct_sources": """
             SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct

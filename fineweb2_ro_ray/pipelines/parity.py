@@ -343,6 +343,16 @@ def q_top_longest_by_lang(sf_dir: str):
     return grouped_top_k(ds, ["lang"], "n_chars", 3, tiebreak="doc_id")
 
 
+def q_word_counts_top(sf_dir: str):
+    """Corpus word-frequency top-100 (single-space tokens, matching
+    ``unnest(string_split(...))``; deterministic (count DESC, word ASC)
+    tie-break)."""
+    from ..stages.analysis import word_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return word_counts(ds, top=100)
+
+
 def q_lang_distinct_sources(sf_dir: str):
     """Exact COUNT(DISTINCT source) per language (pair-histogram
     shuffle, never raw rows)."""

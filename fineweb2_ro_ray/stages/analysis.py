@@ -320,6 +320,50 @@ def rolling_sum_cents(
     )
 
 
+def word_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    top: int | None = None,
+) -> ray.data.Dataset | pd.DataFrame:
+    """Corpus word-frequency table (single-space tokenization — matches
+    SQL ``unnest(string_split(text, ' '))``): per-batch counts over the
+    dictionary-encoded flat token array (one bincount per batch, no
+    Python over tokens), then a (word → partial) groupby sum. With
+    ``top``, a deterministic (count DESC, word ASC) head is applied
+    driver-side over the merged table."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        if len(flat) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "partial_n": pa.array([], pa.int64())}
+            )
+        dic = flat.dictionary_encode()
+        cnt = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False), minlength=len(dic.dictionary)
+        )
+        return pa.table(
+            {"word": dic.dictionary, "partial_n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    merged = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+    if top is None:
+        return merged
+    df = merged.to_pandas()
+    df = df.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(top)
+    return df.reset_index(drop=True)
+
+
 def grouped_distinct_counts(
     ds: ray.data.Dataset, key: str, col: str
 ) -> ray.data.Dataset:
