@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distinct_sources": P.q_lang_distinct_sources,
         "lang_source_pivot": P.q_lang_source_pivot,
         "events_rank": P.q_events_rank,
+        "events_interarrival": P.q_events_interarrival,
         "nchars_summary": P.q_nchars_summary,
         "capped_token_sum": P.q_capped_token_sum,
         "top_longest": P.q_top_longest,
@@ -268,6 +269,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS n_src3,
                    CAST(sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS n_src4
             FROM documents GROUP BY lang
+        """,
+        "events_interarrival": """
+            SELECT user_id, event_id,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), -1) AS gap_us
+            FROM events
         """,
         "events_rank": """
             SELECT user_id, event_id,

@@ -133,9 +133,12 @@ def run_scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_FLAGSHIP_ONLY="1",
-            # the low-CPU leg needs a corpus it can finish in minutes;
+            # the corpus must be big enough that the ~5-10 s fixed
+            # overhead (actor spin-up + shuffle planning) is noise in
+            # the FAST leg too — at 250k convs the 8-CPU leg was ~40 s
+            # and the overhead ate ~15% of it, understating efficiency;
             # both legs use the SAME input so efficiency is well-defined
-            BENCH_CONVS=os.environ.get("BENCH_CONVS_SCALING", "250000"),
+            BENCH_CONVS=os.environ.get("BENCH_CONVS_SCALING", "500000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -386,6 +386,15 @@ def q_events_rank(sf_dir: str):
     )
 
 
+def q_events_interarrival(sf_dir: str):
+    """LAG-diff per user: integer microseconds since the previous event ((ts, id)
+    total order; -1 sentinel for each user's first event)."""
+    from ..stages.analysis import per_key_interarrival
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return per_key_interarrival(ds, key="user_id", id_col="event_id", ts_col="ts")
+
+
 def q_distinct_users_approx(sf_dir: str):
     """Mergeable HLL cardinality sketch (rows-only: the estimate is
     approximate by construction; accuracy is pytest-gated within 5%)."""
