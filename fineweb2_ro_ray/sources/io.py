@@ -38,14 +38,20 @@ def ingest_record_stream(
     written = 0
     skipped = 0
 
+    import re
+
+    _shard_re = re.compile(r"^shard-(\d+)\.parquet$")
+
     def _stale_after(shard: int) -> list[str]:
-        return sorted(
-            f
-            for f in os.listdir(out_dir)
-            if f.startswith("shard-")
-            and f.endswith(".parquet")
-            and int(f[6:12]) >= shard
-        )
+        # strict name match: foreign files like 'shard-merged.parquet'
+        # must not crash the happy path, and indices beyond 6 digits
+        # must parse fully (a fixed [6:12] slice truncated them)
+        out = []
+        for f in os.listdir(out_dir):
+            m = _shard_re.match(f)
+            if m and int(m.group(1)) >= shard:
+                out.append(f)
+        return sorted(out)
 
     while True:
         path = os.path.join(out_dir, f"shard-{shard:06d}.parquet")

@@ -37,9 +37,23 @@ def round_half_away(x: np.ndarray) -> np.ndarray:
     """SQL ``round()`` semantics (half AWAY from zero) as int64 —
     ``np.rint`` is half-to-even, which diverges on exact .5 ties
     (np.rint(12.5)=12, DuckDB round(12.5)=13). Every money→cents
-    conversion that is oracle-compared must use this."""
+    conversion that is oracle-compared must use this.
+
+    Implemented as rint with a tie-only correction: the naive
+    ``floor(x + 0.5)`` misrounds doubles just below .5 where the float
+    ADDITION itself rounds up (floor(0.49999999999999994 + 0.5) = 1,
+    SQL round = 0); detecting exact ties via ``frac == 0.5`` keeps every
+    non-tie on rint's (correct) nearest value."""
     x = np.asarray(x, dtype=np.float64)
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    r = np.rint(x)
+    fl = np.floor(x)
+    # tie test must be x == fl + 0.5, NOT (x - fl) == 0.5: the
+    # subtraction itself rounds (-0.49999999999999994 - (-1) lands
+    # exactly on 0.5) and would flag a non-tie; fl + 0.5 is exact for
+    # every magnitude where a fractional double exists
+    tie = x == fl + 0.5
+    # away from zero at a tie: +half rounds up, -half rounds down(= fl)
+    return np.where(tie, fl + (x >= 0), r).astype(np.int64)
 
 
 def doc_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -337,7 +351,10 @@ def word_counts(
         text = b[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        text = pc.fill_null(text, "")
+        # DROP nulls (don't fill ""): string_split(NULL) is NULL and
+        # unnest emits nothing for it, while a filled "" would add one
+        # empty-string token per null doc and diverge from the oracle
+        text = text.drop_null()
         flat = pc.list_flatten(pc.split_pattern(text, " "))
         if len(flat) == 0:
             return pa.table(

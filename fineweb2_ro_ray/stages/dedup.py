@@ -243,9 +243,12 @@ def lsh_candidate_pairs(
             batch_format="pyarrow",
         )
     )
-    # same pair can surface from several bands (up to ``bands``× dups):
-    # map-side thinning always runs so the caller never sees band-
-    # multiplied volume, even on the distinct=False fast path
+    # same pair can surface from several bands (up to ``bands``× dups).
+    # The map-side pass below thins WITHIN-batch duplicates only —
+    # duplicates of the same pair landing in different part groups
+    # (different band buckets) survive it, so distinct=False callers
+    # MUST still dedup (minhash_lsh_pairs does, via driver np.unique);
+    # global distinctness needs the groupby below.
     def batch_unique(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)

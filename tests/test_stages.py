@@ -682,3 +682,43 @@ def test_verify_pairs_exact_null_text():
     assert len(out) == 2  # the null-text pair is present, not dropped
     exact = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)]["jaccard"].iloc[0]
     assert exact == 1.0
+
+
+def test_round_half_away_matches_duckdb_round():
+    """Parity with SQL round() including near-tie doubles in both
+    directions (floor(x+0.5) would misround just-below-.5 values; a
+    lossy x-floor(x) tie test would misround just-above negatives)."""
+    import duckdb
+
+    from fineweb2_ro_ray.stages.analysis import round_half_away
+
+    con = duckdb.connect()
+    cases = [0.49999999999999994, -0.49999999999999994, 12.5, -12.5, 0.5, -0.5]
+    halves = np.array([k + 0.5 for k in range(-20, 20)])
+    cases += list(halves)
+    cases += list(np.nextafter(halves, -np.inf)) + list(np.nextafter(halves, np.inf))
+    rng = np.random.default_rng(2)
+    cases += list(rng.uniform(-1e5, 1e5, 300))
+    ours = round_half_away(np.array(cases))
+    for c, o in zip(cases, ours):
+        d = con.execute("SELECT CAST(round(?) AS BIGINT)", [float(c)]).fetchone()[0]
+        assert d == o, (c, o, d)
+
+
+def test_word_counts_null_text_matches_unnest_semantics():
+    """NULL text contributes nothing (string_split(NULL) unnests to
+    zero rows); empty text contributes one '' token (both engines)."""
+    import duckdb
+
+    from fineweb2_ro_ray.stages.analysis import word_counts
+
+    df = pd.DataFrame({"text": ["a b", None, "", "a"]})
+    got = word_counts(rd.from_pandas(df)).to_pandas().set_index("word")["n"].to_dict()
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = dict(
+        con.execute(
+            "SELECT word, count(*) FROM (SELECT unnest(string_split(text,' ')) word FROM documents) GROUP BY word"
+        ).fetchall()
+    )
+    assert got == exp == {"a": 2, "b": 1, "": 1}
