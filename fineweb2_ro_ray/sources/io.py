@@ -112,6 +112,82 @@ def dataset_from_stream(
     return ray.data.read_parquet(spool_dir)
 
 
+def publish_dataset(
+    ds: ray.data.Dataset,
+    repo_dir: str,
+    *,
+    max_shard_bytes: int = 500 * 2**20,
+    card: dict | None = None,
+) -> dict:
+    """S8: dataset publisher (``/root/reference/dataset_upload.py:10-60``
+    — generator over shards → ``push_to_hub(max_shard_size="500MB")``).
+    The Hub network call is env-blocked here, so the target is a LOCAL
+    repo layout with the same contract: size-bounded parquet shards
+    under ``data/``, a ``README.md`` dataset card (schema + row count +
+    the caller's metadata), and a ``manifest.json`` with per-file
+    sha256/rows/bytes so a downstream mirror can verify integrity.
+    Swap the directory for an HfApi upload call when network exists."""
+    import hashlib
+    import json
+
+    data_dir = os.path.join(repo_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    # size-bound shards via estimated bytes/row (the writer takes row
+    # counts, not byte budgets)
+    n_rows = ds.count()
+    est_bytes = ds.size_bytes() or 1
+    rows_per_file = max(1, int(max_shard_bytes / max(1, est_bytes / max(1, n_rows))))
+    ds.write_parquet(data_dir, max_rows_per_file=rows_per_file)
+
+    files = []
+    total_rows = 0
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(data_dir, f)
+        h = hashlib.sha256()
+        with open(path, "rb") as fh:
+            while chunk := fh.read(1 << 20):
+                h.update(chunk)
+        meta = pq.read_metadata(path)
+        total_rows += meta.num_rows
+        files.append(
+            {
+                "path": f"data/{f}",
+                "rows": meta.num_rows,
+                "bytes": os.path.getsize(path),
+                "sha256": h.hexdigest(),
+            }
+        )
+    schema = pq.read_schema(os.path.join(data_dir, files[0]["path"].split("/")[-1]))
+    manifest = {
+        "total_rows": total_rows,
+        "n_shards": len(files),
+        "max_shard_bytes": max_shard_bytes,
+        "schema": {f.name: str(f.type) for f in schema},
+        "files": files,
+    }
+    with open(os.path.join(repo_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+
+    card = card or {}
+    lines = ["# " + card.get("name", os.path.basename(repo_dir.rstrip("/"))), ""]
+    if "description" in card:
+        lines += [card["description"], ""]
+    lines += [
+        f"- rows: {total_rows}",
+        f"- shards: {len(files)} (≤ {max_shard_bytes} bytes each)",
+        "",
+        "## Schema",
+        "",
+    ]
+    lines += [f"- `{name}`: {typ}" for name, typ in manifest["schema"].items()]
+    with open(os.path.join(repo_dir, "README.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return manifest
+
+
 def read_transcripts_json(path: str | list[str]) -> ray.data.Dataset:
     """S4: JSON shard loader (``/root/reference/small_model_inference/
     shard_manager.py:52-58``) — Ray-native: one call reads a directory

@@ -250,3 +250,33 @@ def test_ingest_stale_shards_flagged(tmp_path):
     ]
     with pytest.raises(ValueError, match="not covered"):
         dataset_from_stream(stream(1500), out, shard_rows=1000)
+
+
+def test_publish_dataset_layout_and_integrity(tmp_path):
+    """S8 publisher (local repo target): size-bounded shards, dataset
+    card, checksum manifest that actually verifies."""
+    import hashlib
+    import json
+    import os
+
+    from fineweb2_ro_ray.sources.io import publish_dataset
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "cuvinte " * 50} for i in range(2000)]
+    )
+    repo = str(tmp_path / "repo")
+    m = publish_dataset(ds, repo, max_shard_bytes=64 * 1024,
+                        card={"name": "demo", "description": "test corpus"})
+    assert m["total_rows"] == 2000 and m["n_shards"] >= 2
+    assert m["schema"]["doc_id"] == "int64"
+    for f in m["files"]:
+        p = os.path.join(repo, f["path"])
+        assert os.path.getsize(p) == f["bytes"]
+        h = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        assert h == f["sha256"]
+    readme = open(os.path.join(repo, "README.md")).read()
+    assert "# demo" in readme and "`text`: string" in readme
+    disk = json.load(open(os.path.join(repo, "manifest.json")))
+    assert disk == m
+    # round-trip: the published repo is a readable dataset
+    assert rd.read_parquet(os.path.join(repo, "data")).count() == 2000
