@@ -150,3 +150,23 @@ def test_resume_lineage_validation(corpus, tmp_path):
     )
     assert s2["groups_run"] == 2 and s2["groups_skipped"] == 0
     assert _total_rows(out) == extra
+
+
+def test_interrupted_staging_is_redone(corpus, tmp_path):
+    """A staging pass that died before writing its .complete marker is
+    discarded and redone (no torn staging is ever trusted)."""
+    inp, n = corpus
+    out = str(tmp_path / "stage_out")
+    from fineweb2_ro_ray.state.checkpoint import _input_fingerprint, _list_parquet
+
+    fp = _input_fingerprint(_list_parquet(inp))
+    staging = os.path.join(out, f".staging-{fp}")
+    # simulate a torn staging dir from a crashed run: partial garbage,
+    # no marker
+    os.makedirs(os.path.join(staging, "part=0"), exist_ok=True)
+    with open(os.path.join(staging, "part=0", "torn.parquet"), "w") as f:
+        f.write("not parquet")
+    s = run_resumable(inp, out, lambda ds: annotate(ds, batch_size=512), n_groups=2)
+    assert s["groups_run"] == 2 and s["rows"] == n
+    assert _total_rows(out) == n
+    assert not os.path.isdir(staging)  # cleaned up after full commit
