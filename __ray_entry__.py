@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": P.q_events_sessions,
         "orders_join_native": P.q_orders_join_native,
         "events_asof_orders": P.q_events_asof_orders,
+        "lineitem_range_orders": P.q_lineitem_range_orders,
         "orders_semi_join": P.q_orders_semi_join,
         "orders_anti_join": P.q_orders_anti_join,
         "lineitem_pricing": P.q_lineitem_pricing,
@@ -379,6 +380,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "lineitem_range_orders": """
+            SELECT l.l_orderkey AS li_orderkey, l.l_linenumber,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+            FROM lineitem l
+            JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
         """,
         "orders_join_native": """
             SELECT c_mktsegment, count(*) AS n_orders,

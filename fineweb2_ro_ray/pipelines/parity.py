@@ -627,6 +627,42 @@ def q_events_asof_orders(sf_dir: str):
     return joined.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_lineitem_range_orders(sf_dir: str):
+    """Range join: every lineitem shipped within [orderdate,
+    orderdate+90d) of its order — the one-to-many interval sibling of
+    the as-of join."""
+    import pandas as pd  # noqa: F811
+
+    from ..stages.joins import range_join
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def tag(b: pa.Table) -> pa.Table:  # avoid column-name overlap rule
+        return b.rename_columns(["li_orderkey", "l_linenumber", "l_shipdate"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def add_end(b: pa.Table) -> pa.Table:
+        end = pc.add(b["o_orderdate"], pa.scalar(pd.Timedelta(days=90)))
+        return b.append_column("o_end", end)
+
+    joined = range_join(
+        items.map_batches(tag, batch_format="pyarrow"),
+        orders.map_batches(add_end, batch_format="pyarrow"),
+        key="li_orderkey",
+        right_key="o_orderkey",
+        left_ts="l_shipdate",
+        right_start="o_orderdate",
+        right_end="o_end",
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        d = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
+        return b.select(["li_orderkey", "l_linenumber"]).append_column("order_date", d)
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_embedding_neardup(sf_dir: str):
     """§2.7 embedding-cosine near-dup pairs, exact (block-pair tasks —
     no full-table driver materialization). Output int pairs only, so

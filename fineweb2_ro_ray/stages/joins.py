@@ -16,6 +16,18 @@ import pyarrow as pa
 import ray.data
 
 
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """The dataset's schema as a real Arrow schema — from_pandas
+    datasets report a PandasBlockSchema, so fall back to peeking one
+    batch."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return sch
+    for b in ds.limit(1).iter_batches(batch_format="pyarrow"):
+        return b.schema
+    raise ValueError("cannot determine Arrow schema of an empty non-Arrow dataset")
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -47,9 +59,9 @@ def asof_join(
             b = b.append_column(c, pa.nulls(b.num_rows, t))
         return b
 
-    l_schema, r_schema = left.schema(), right.schema()
-    r_types = [r_schema.base_schema.field(c).type for c in r_cols]
-    l_types = [l_schema.base_schema.field(c).type for c in l_cols]
+    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    r_types = [r_schema.field(c).type for c in r_cols]
+    l_types = [l_schema.field(c).type for c in l_cols]
 
     lt = left.map_batches(
         lambda b: pad(b, "l", key, r_cols, r_types), batch_format="pyarrow"
@@ -68,8 +80,8 @@ def asof_join(
     # float64 inside the group, so the merged frame must be cast back
     # (VERDICT r1: events_asof_orders emitted event_id as double).
     out_schema = pa.schema(
-        [l_schema.base_schema.field(c) for c in l_cols]
-        + [r_schema.base_schema.field(c) for c in r_cols]
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_cols]
     )
 
     def per_part(df: pd.DataFrame) -> pa.Table:
@@ -90,6 +102,93 @@ def asof_join(
         )
         out = out[out[right_ts].notna()]  # inner semantics
         t = pa.Table.from_pandas(out, preserve_index=False).select(out_schema.names)
+        return t.cast(out_schema)
+
+    return both.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    n_partitions: int = 512,
+) -> ray.data.Dataset:
+    """Interval/range join (the brief's custom-operator family next to
+    as-of): every (left, right) pair with equal keys and
+    ``right_start <= left_ts < right_end`` — one-to-MANY output.
+
+    Same single-shuffle shape as :func:`asof_join`: both sides are
+    hash-bucketed on the equality key, unioned under a superset schema
+    with a side tag, and each bucket resolves matches with a sorted
+    interval sweep (per key: right intervals sorted by start,
+    ``searchsorted`` bounds the candidates; the end-filter is
+    vectorized). Skew caveat: a key whose left×matching-right product is
+    huge emits that many rows — inherent to the join's semantics."""
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    overlap = set(l_cols) & set(r_cols)
+    assert not overlap, f"rename overlapping columns first: {overlap}"
+
+    def pad(b: pa.Table, side: str, k: str, other_cols, other_types) -> pa.Table:
+        ks = b[k].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = b.append_column("part", pa.array((ks % n_partitions).astype(np.int32), pa.int32()))
+        b = b.append_column("_side", pa.array([side] * b.num_rows, pa.string()))
+        for c, t in zip(other_cols, other_types):
+            b = b.append_column(c, pa.nulls(b.num_rows, t))
+        return b
+
+    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    r_types = [r_schema.field(c).type for c in r_cols]
+    l_types = [l_schema.field(c).type for c in l_cols]
+    out_schema = pa.schema(
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_cols]
+    )
+
+    order = l_cols + r_cols + ["part", "_side"]
+    lt = left.map_batches(
+        lambda b: pad(b, "l", key, r_cols, r_types).select(order), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        lambda b: pad(b, "r", right_key, l_cols, l_types).select(order), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        l = df[df["_side"] == "l"][l_cols]
+        r = df[df["_side"] == "r"][r_cols]
+        if l.empty or r.empty:
+            return out_schema.empty_table()
+        out_l, out_r = [], []
+        r_by_key = dict(tuple(r.groupby(right_key, sort=False)))
+        for kval, lg in l.groupby(key, sort=False):
+            rg = r_by_key.get(kval)
+            if rg is None:
+                continue
+            rg = rg.sort_values(right_start, kind="mergesort")
+            starts = rg[right_start].to_numpy()
+            ends = rg[right_end].to_numpy()
+            ts = lg[left_ts].to_numpy()
+            # candidates: intervals whose start <= ts, filtered by end
+            hi = np.searchsorted(starts, ts, side="right")
+            for i, h in enumerate(hi):
+                if h == 0:
+                    continue
+                m = np.flatnonzero(ends[:h] > ts[i])
+                if len(m):
+                    out_l.append(lg.iloc[[i] * len(m)])
+                    out_r.append(rg.iloc[m])
+        if not out_l:
+            return out_schema.empty_table()
+        lo = pd.concat(out_l, ignore_index=True)
+        ro = pd.concat(out_r, ignore_index=True)
+        merged = pd.concat([lo.reset_index(drop=True), ro.reset_index(drop=True)], axis=1)
+        t = pa.Table.from_pandas(merged, preserve_index=False).select(out_schema.names)
         return t.cast(out_schema)
 
     return both.groupby("part").map_groups(per_part, batch_format="pandas")

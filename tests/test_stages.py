@@ -722,3 +722,41 @@ def test_word_counts_null_text_matches_unnest_semantics():
         ).fetchall()
     )
     assert got == exp == {"a": 2, "b": 1, "": 1}
+
+
+def test_range_join_one_to_many_and_bounds():
+    """Interval join: inclusive start, exclusive end, one left row can
+    match many intervals, dtypes preserved through the union."""
+    from fineweb2_ro_ray.stages.joins import range_join
+
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 8],
+            "ts": pd.to_datetime(
+                ["2024-01-10", "2024-01-01", "2024-01-31", "2024-01-05"]
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "o_key": [7, 7, 8],
+            "start": pd.to_datetime(["2024-01-01", "2024-01-05", "2024-02-01"]),
+        }
+    )
+    right["end"] = right["start"] + pd.Timedelta(days=30)
+    out = range_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="user_id",
+        right_key="o_key",
+        left_ts="ts",
+        right_start="start",
+        right_end="end",
+    ).to_pandas()
+    got = sorted(zip(out["event_id"], out["start"].dt.strftime("%m-%d")))
+    # event 1 @01-10: both user-7 windows; event 2 @01-01: [01-01,..) only
+    # (inclusive start); event 3 @01-31: 01-01+30d = exclusive end -> only
+    # the 01-05 window; event 4: user 8's window starts 02-01 -> no match
+    assert got == [(1, "01-01"), (1, "01-05"), (2, "01-01"), (3, "01-05")]
+    assert out["event_id"].dtype == np.int64  # no float upcast leak
