@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": P.q_distinct_langs,
         # --- dedup family ---
         "dedup_exact": P.q_dedup_exact,
+        "dedup_keep_longest": P.q_dedup_keep_longest,
+        "sample_docs_10pct": P.q_sample_docs_10pct,
         "jaccard_pairs": P.q_jaccard_pairs,
         "minhash_pairs": P.q_minhash_pairs,
         "minhash_verified": P.q_minhash_verified,
@@ -303,6 +305,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_langs": """
             SELECT DISTINCT lang FROM documents ORDER BY lang
+        """,
+        "dedup_keep_longest": """
+            WITH r AS (
+                SELECT md5(text) AS text_md5, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY md5(text)
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT text_md5, doc_id, n_chars FROM r WHERE rn = 1
+        """,
+        "sample_docs_10pct": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  % 100 < 10
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS doc_id

@@ -141,6 +141,24 @@ def q_dedup_exact(sf_dir: str):
     return dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dedup_keep_longest(sf_dir: str):
+    """§2.7 exact dedup with the keep-longest policy (canonical row =
+    max n_chars, ties → min doc_id)."""
+    from ..stages.dedup import dedup_keep_best
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+    return dedup_keep_best(ds)
+
+
+def q_sample_docs_10pct(sf_dir: str):
+    """Deterministic 10% corpus sample via md5 key band (stable across
+    runs/cluster sizes; SQL-expressible)."""
+    from ..stages.dedup import sample_fraction_by_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sample_fraction_by_hash(ds, "doc_id", 10)
+
+
 def q_distinct_langs(sf_dir: str):
     """G6 label coverage (set union of seen labels)."""
     vals = sorted(_read(sf_dir, "documents", ["lang"]).unique("lang"))

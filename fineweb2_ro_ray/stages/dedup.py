@@ -63,6 +63,74 @@ def dedup_exact(
     return out
 
 
+def dedup_keep_best(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Exact dedup with a QUALITY policy: the canonical row per distinct
+    text is the one with the highest ``score_col`` (ties → smallest
+    id) — the keep-longest / keep-best-score rule a training-data
+    pipeline usually wants instead of min-id. Same scale shape as
+    :func:`dedup_exact`: map-side best-per-key combiner thins the
+    shuffle to one row per (batch, key); the global best is resolved in
+    a tiny ``map_groups``. Returns (text_md5, doc_id, score_col)."""
+
+    def best_per_batch(b: pa.Table) -> pa.Table:
+        df = add_md5(b, text_col, "text_md5").select(
+            ["text_md5", id_col, score_col]
+        ).to_pandas()
+        df = df.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(
+            df.groupby("text_md5", as_index=False).head(1), preserve_index=False
+        )
+
+    def best_global(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        return df.groupby("text_md5", as_index=False).head(1)
+
+    return (
+        ds.map_batches(best_per_batch, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(best_global, batch_format="pandas")
+    )
+
+
+def sample_fraction_by_hash(
+    ds: ray.data.Dataset, key_col: str, percent: int
+) -> ray.data.Dataset:
+    """Deterministic ``percent``-% sample by md5 band of the key — the
+    reproducible corpus-sampling primitive (stable across runs, block
+    layouts and cluster sizes; SQL-expressible via the same
+    ``('0x' || substr(md5(k),1,12))::BIGINT % 100`` band as
+    ``sources.splits``). Filter runs vectorized per unique key."""
+    assert 0 <= percent <= 100
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b[key_col].cast(pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dic = col.dictionary_encode()
+        lut = np.array(
+            [
+                int.from_bytes(hashlib.md5((u or "").encode()).digest()[:6], "big") % 100
+                < percent
+                for u in dic.dictionary.to_pylist()
+            ],
+            dtype=bool,
+        )
+        idx = dic.indices.to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(lut[idx]))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -760,3 +760,26 @@ def test_range_join_one_to_many_and_bounds():
     # the 01-05 window; event 4: user 8's window starts 02-01 -> no match
     assert got == [(1, "01-01"), (1, "01-05"), (2, "01-01"), (3, "01-05")]
     assert out["event_id"].dtype == np.int64  # no float upcast leak
+
+
+def test_dedup_keep_best_and_hash_sampling():
+    from fineweb2_ro_ray.stages.dedup import dedup_keep_best, sample_fraction_by_hash
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "n_chars": [10, 30, 30, 5, 99],
+            "text": ["same", "same", "same", "other", "third"],
+        }
+    )
+    out = dedup_keep_best(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    # 'same': max n_chars=30 tie between ids 2,3 -> smallest id 2
+    assert sorted(out["doc_id"]) == [2, 4, 5]
+
+    big = pd.DataFrame({"doc_id": range(5000), "lang": "ro"})
+    got = sample_fraction_by_hash(rd.from_pandas(big), "doc_id", 10).to_pandas()
+    assert 0.07 < len(got) / 5000 < 0.13  # ~10%, deterministic
+    got2 = sample_fraction_by_hash(rd.from_pandas(big).repartition(7), "doc_id", 10).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(got2["doc_id"])  # layout-stable
+    assert len(sample_fraction_by_hash(rd.from_pandas(big), "doc_id", 0).to_pandas()) == 0
+    assert len(sample_fraction_by_hash(rd.from_pandas(big), "doc_id", 100).to_pandas()) == 5000
