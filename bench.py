@@ -94,6 +94,10 @@ def run_bench() -> dict:
         ("dedup_exact", P.q_dedup_exact),
         ("minhash_pairs", P.q_minhash_pairs),
         ("ann_cosine", P.q_ann_cosine),
+        # round-2 operators
+        ("word_counts_top", P.q_word_counts_top),
+        ("events_rolling", P.q_events_rolling),
+        ("embedding_neardup", P.q_embedding_neardup),
     ]
     for rep in range(repeats):
         # headline: full quality-filter DAG + conversation reassembly → sink
