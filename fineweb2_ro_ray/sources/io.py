@@ -129,12 +129,19 @@ def publish_dataset(
     Swap the directory for an HfApi upload call when network exists."""
     import hashlib
     import json
+    import shutil
 
     data_dir = os.path.join(repo_dir, "data")
+    # publish REPLACES: write_parquet appends into an existing dir, so
+    # a re-publish (retry, refreshed dataset) would double-count rows
+    # and manifest stale shards
+    shutil.rmtree(data_dir, ignore_errors=True)
     os.makedirs(data_dir, exist_ok=True)
 
-    # size-bound shards via estimated bytes/row (the writer takes row
-    # counts, not byte budgets)
+    # one execution: materialize, then count/size/ write are metadata +
+    # a block write (count()/size_bytes()/write each re-execute a lazy
+    # pipeline otherwise — 3 full runs of the upstream DAG)
+    ds = ds.materialize()
     n_rows = ds.count()
     est_bytes = ds.size_bytes() or 1
     rows_per_file = max(1, int(max_shard_bytes / max(1, est_bytes / max(1, n_rows))))
@@ -160,7 +167,12 @@ def publish_dataset(
                 "sha256": h.hexdigest(),
             }
         )
-    schema = pq.read_schema(os.path.join(data_dir, files[0]["path"].split("/")[-1]))
+    if files:
+        schema = pq.read_schema(os.path.join(data_dir, files[0]["path"].split("/")[-1]))
+    else:  # empty dataset → empty-but-valid repo (schema from the Dataset)
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        schema = base if isinstance(base, pa.Schema) else pa.schema([])
     manifest = {
         "total_rows": total_rows,
         "n_shards": len(files),

@@ -25,8 +25,15 @@ import ray.data
 SPLITS = {"test": (0, 8), "val": (8, 12), "train": (12, 100)}  # % bands
 
 
+def hash_band(key: str) -> int:
+    """THE canonical md5 band hash (0..99) — single definition shared
+    by splits and hash-fraction sampling; its SQL mirror is
+    ``('0x' || substr(md5(key), 1, 12))::BIGINT % 100``."""
+    return int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:6], "big") % 100
+
+
 def split_of(conv_id: str) -> str:
-    h = int.from_bytes(hashlib.md5(conv_id.encode("utf-8")).digest()[:6], "big") % 100
+    h = hash_band(conv_id)
     for name, (lo, hi) in SPLITS.items():
         if lo <= h < hi:
             return name

@@ -35,17 +35,21 @@ from ray.data.aggregate import Min
 
 def add_md5(batch: pa.Table, col: str = "text", out: str = "text_md5") -> pa.Table:
     """Content fingerprint (md5 hex — matches DuckDB ``md5()`` for the
-    oracle)."""
+    oracle). NULL text → NULL fingerprint (``md5(NULL)`` is NULL in
+    SQL; hashing '' instead would merge the null group with genuine
+    empty strings and diverge from every GROUP BY md5(text) oracle)."""
     texts = batch[col].to_pylist()
-    h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    h = [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
     return batch.append_column(out, pa.array(h, pa.string()))
 
 
 def _batch_min_by_key(batch: pa.Table, key: str, id_col: str) -> pa.Table:
     """Map-side combiner: one (key, min id) row per distinct key per
-    batch — thins the shuffle input (ray_guide 'pre-aggregate first')."""
+    batch — thins the shuffle input (ray_guide 'pre-aggregate first').
+    dropna=False: the NULL-text group is a real group (SQL GROUP BY
+    keeps it; so does Ray's groupby)."""
     df = batch.select([key, id_col]).to_pandas()
-    out = df.groupby(key, as_index=False)[id_col].min()
+    out = df.groupby(key, as_index=False, dropna=False)[id_col].min()
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -69,14 +73,18 @@ def dedup_keep_best(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: str = "n_chars",
+    n_partitions: int = 1024,
 ) -> ray.data.Dataset:
     """Exact dedup with a QUALITY policy: the canonical row per distinct
     text is the one with the highest ``score_col`` (ties → smallest
     id) — the keep-longest / keep-best-score rule a training-data
     pipeline usually wants instead of min-id. Same scale shape as
     :func:`dedup_exact`: map-side best-per-key combiner thins the
-    shuffle to one row per (batch, key); the global best is resolved in
-    a tiny ``map_groups``. Returns (text_md5, doc_id, score_col)."""
+    shuffle to one row per (batch, key); the global best is resolved
+    per HASH PARTITION of the key (one vectorized pandas call covering
+    thousands of keys — ``groupby(text_md5).map_groups`` would invoke
+    Python once per distinct text). NULL text forms its own group
+    (``md5(NULL)`` is NULL). Returns (text_md5, doc_id, score_col)."""
 
     def best_per_batch(b: pa.Table) -> pa.Table:
         df = add_md5(b, text_col, "text_md5").select(
@@ -85,20 +93,30 @@ def dedup_keep_best(
         df = df.sort_values(
             [score_col, id_col], ascending=[False, True], kind="mergesort"
         )
+        df = df.groupby("text_md5", as_index=False, dropna=False).head(1)
+        # partition on the md5 hex prefix (uniform); NULL md5 → part 0
+        part = np.zeros(len(df), dtype=np.int32)
+        ok = df["text_md5"].notna().to_numpy()
+        if ok.any():
+            part[ok] = np.array(
+                [int(h[:12], 16) % n_partitions for h in df["text_md5"][ok]],
+                dtype=np.int32,
+            )
         return pa.Table.from_pandas(
-            df.groupby("text_md5", as_index=False).head(1), preserve_index=False
+            df.assign(part=part), preserve_index=False
         )
 
-    def best_global(df: pd.DataFrame) -> pd.DataFrame:
+    def best_per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
             [score_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        return df.groupby("text_md5", as_index=False).head(1)
+        out = df.groupby("text_md5", as_index=False, dropna=False).head(1)
+        return out.drop(columns=["part"])
 
     return (
         ds.map_batches(best_per_batch, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(best_global, batch_format="pandas")
+        .groupby("part")
+        .map_groups(best_per_part, batch_format="pandas")
     )
 
 
@@ -109,24 +127,26 @@ def sample_fraction_by_hash(
     reproducible corpus-sampling primitive (stable across runs, block
     layouts and cluster sizes; SQL-expressible via the same
     ``('0x' || substr(md5(k),1,12))::BIGINT % 100`` band as
-    ``sources.splits``). Filter runs vectorized per unique key."""
+    ``sources.splits``, whose ``hash_band`` is THE shared definition).
+    Filter runs vectorized per unique key; a NULL key is excluded —
+    the SQL predicate on ``md5(NULL)`` is NULL, i.e. not sampled."""
     assert 0 <= percent <= 100
+    from ..sources.splits import hash_band
 
     def f(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         col = b[key_col].cast(pa.string())
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         dic = col.dictionary_encode()
         lut = np.array(
-            [
-                int.from_bytes(hashlib.md5((u or "").encode()).digest()[:6], "big") % 100
-                < percent
-                for u in dic.dictionary.to_pylist()
-            ],
+            [u is not None and hash_band(u) < percent for u in dic.dictionary.to_pylist()],
             dtype=bool,
         )
-        idx = dic.indices.to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(lut[idx]))
+        valid = pc.is_valid(dic.indices).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(dic.indices, 0).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(lut[idx] & valid))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -783,3 +783,51 @@ def test_dedup_keep_best_and_hash_sampling():
     assert sorted(got["doc_id"]) == sorted(got2["doc_id"])  # layout-stable
     assert len(sample_fraction_by_hash(rd.from_pandas(big), "doc_id", 0).to_pandas()) == 0
     assert len(sample_fraction_by_hash(rd.from_pandas(big), "doc_id", 100).to_pandas()) == 5000
+
+
+def test_third_review_regressions():
+    """Fixes from the third self-review pass, pinned."""
+    from fineweb2_ro_ray.stages.dedup import (
+        add_md5,
+        dedup_exact,
+        dedup_keep_best,
+        sample_fraction_by_hash,
+    )
+
+    # md5(NULL) is NULL: null-text and empty-text are SEPARATE groups
+    t = pa.table({"doc_id": [1, 2, 3], "text": [None, "", None]})
+    md5s = add_md5(t)["text_md5"].to_pylist()
+    assert md5s[0] is None and md5s[2] is None and md5s[1] is not None
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "n_chars": [0, 0, 5, 7],
+         "text": [None, "", "x", None]}
+    )
+    de = dedup_exact(rd.from_pandas(df)).to_pandas()
+    assert len(de) == 3  # null group, '' group, 'x' group
+    assert de[de["text_md5"].isna()]["doc_id"].iloc[0] == 1  # min id of nulls
+    kb = dedup_keep_best(rd.from_pandas(df)).to_pandas()
+    assert len(kb) == 3
+    assert kb[kb["text_md5"].isna()]["doc_id"].iloc[0] == 4  # best score null
+
+    # null sampling key excluded, not crashed
+    sdf = pd.DataFrame({"doc_id": pd.array([1, 2, None, 4], dtype="Int64"),
+                        "lang": "ro"})
+    out = sample_fraction_by_hash(rd.from_pandas(sdf), "doc_id", 100).to_pandas()
+    assert sorted(out["doc_id"].dropna()) == [1, 2, 4] and len(out) == 3
+
+
+def test_publish_dataset_replace_and_empty(tmp_path):
+    """Re-publish REPLACES (no stale shards / double counts); an empty
+    dataset publishes an empty-but-valid repo."""
+    from fineweb2_ro_ray.sources.io import publish_dataset
+
+    repo = str(tmp_path / "repo")
+    ds = rd.from_items([{"doc_id": i} for i in range(100)])
+    m1 = publish_dataset(ds, repo)
+    m2 = publish_dataset(ds, repo)  # re-publish: same totals, no append
+    assert m1["total_rows"] == m2["total_rows"] == 100
+    assert rd.read_parquet(str(tmp_path / "repo" / "data")).count() == 100
+
+    empty = ds.filter(lambda r: False)
+    m3 = publish_dataset(empty, str(tmp_path / "empty"))
+    assert m3["total_rows"] == 0 and m3["files"] == []
