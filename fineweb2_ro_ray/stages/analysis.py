@@ -51,7 +51,10 @@ def round_half_away(x: np.ndarray) -> np.ndarray:
     # subtraction itself rounds (-0.49999999999999994 - (-1) lands
     # exactly on 0.5) and would flag a non-tie; fl + 0.5 is exact for
     # every magnitude where a fractional double exists
-    tie = x == fl + 0.5
+    # exclude integral x: for |x| in [2^52, 2^53) fl+0.5 is not
+    # representable and rounds-to-even back to fl, so an integer would
+    # otherwise be flagged as a tie and bumped to fl+1
+    tie = (x != fl) & (x == fl + 0.5)
     # away from zero at a tie: +half rounds up, -half rounds down(= fl)
     return np.where(tie, fl + (x >= 0), r).astype(np.int64)
 
@@ -63,10 +66,28 @@ def doc_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    text = pc.fill_null(text, "")
-    n_space = pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.int64())
-    n_tok = pc.count_substring_regex(text, TOKEN_PATTERN).cast(pa.int64())
-    n_lines = pc.add(pc.count_substring(text, "\n"), 1).cast(pa.int64())
+    # NULL text propagates NULL stats (SQL: len(string_split(NULL,' '))
+    # IS NULL) — consistent with the NULL-exact conventions of add_md5 /
+    # word_counts / grouped_counts. Kernels run on ""-filled text, then
+    # nulls are re-imposed via if_else.
+    null_mask = pc.is_null(text)
+    filled = pc.fill_null(text, "")
+    null_i64 = pa.scalar(None, pa.int64())
+    n_space = pc.if_else(
+        null_mask,
+        null_i64,
+        pc.list_value_length(pc.split_pattern(filled, " ")).cast(pa.int64()),
+    )
+    n_tok = pc.if_else(
+        null_mask,
+        null_i64,
+        pc.count_substring_regex(filled, TOKEN_PATTERN).cast(pa.int64()),
+    )
+    n_lines = pc.if_else(
+        null_mask,
+        null_i64,
+        pc.add(pc.count_substring(filled, "\n"), 1).cast(pa.int64()),
+    )
     return (
         batch.append_column("n_space_words", n_space)
         .append_column("n_tokens", n_tok)

@@ -144,6 +144,10 @@ def sample_fraction_by_hash(
             [u is not None and hash_band(u) < percent for u in dic.dictionary.to_pylist()],
             dtype=bool,
         )
+        if len(lut) == 0:
+            # all-null key batch: empty dictionary, nothing can be sampled
+            # (fill_null(0) indices below would index into an empty lut)
+            return b.slice(0, 0)
         valid = pc.is_valid(dic.indices).to_numpy(zero_copy_only=False)
         idx = pc.fill_null(dic.indices, 0).to_numpy(zero_copy_only=False)
         return b.filter(pa.array(lut[idx] & valid))
@@ -546,22 +550,31 @@ def verify_pairs_exact(
             [pair_schema.field(c) for c in pair_cols] + [pa.field(out_col, pa.string())]
         )
 
-        def per_part(df: "pd.DataFrame") -> pa.Table:
-            texts = df[df["_t"].notna()]
-            pairs_df = df[df["_t"].isna()]
-            if pairs_df.empty:
+        def per_part(g: pa.Table) -> pa.Table:
+            # split by the _t tag ARROW-side, each side converted to
+            # pandas only over its own null-free columns — a whole-group
+            # pandas conversion would upcast the pair rows' int64 ids to
+            # float64 via the text rows' null padding and collapse ids
+            # above 2^53 (the joins._split_sides discipline)
+            is_text = pc.is_valid(g["_t"])
+            pairs_t = g.filter(pc.invert(is_text))
+            if pairs_t.num_rows == 0:
                 return out_schema.empty_table()
-            lut = dict(zip(texts[key], texts["_t"]))
+            texts_t = g.filter(is_text)
+            lut = dict(
+                zip(texts_t[key].to_pylist(), texts_t["_t"].to_pylist())
+            )
+            pairs_df = pairs_t.select(pair_cols).to_pandas()
             got = pairs_df[key].map(lut)
             keep = got.notna()
             pairs_df = pairs_df[keep]
             t = pa.Table.from_pandas(
-                pairs_df[pair_cols].assign(**{out_col: got[keep]}),
+                pairs_df.assign(**{out_col: got[keep]}),
                 preserve_index=False,
             ).select(out_schema.names)
             return t.cast(out_schema)
 
-        return pt.union(tt).groupby("part").map_groups(per_part, batch_format="pandas")
+        return pt.union(tt).groupby("part").map_groups(per_part, batch_format="pyarrow")
 
     with_a = attach(cand, "doc_a", "text_a")
     with_ab = attach(with_a, "doc_b", "text_b")

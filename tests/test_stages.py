@@ -831,3 +831,53 @@ def test_publish_dataset_replace_and_empty(tmp_path):
     empty = ds.filter(lambda r: False)
     m3 = publish_dataset(empty, str(tmp_path / "empty"))
     assert m3["total_rows"] == 0 and m3["files"] == []
+
+
+def test_advice_round2_regressions():
+    """Round-2 ADVICE findings, pinned.
+
+    1) sample_fraction_by_hash on an ALL-null key batch (empty
+       dictionary) filters to empty instead of IndexError.
+    2) round_half_away leaves even integers in [2^52, 2^53) alone
+       (fl+0.5 is unrepresentable there; the tie test must exclude
+       integral inputs).
+    3) verify_pairs_exact keeps int64 ids above 2^53 exact (Arrow-side
+       side split; a whole-bucket pandas conversion would collapse
+       them via float64).
+    4) doc_stats propagates NULL text -> NULL stats (SQL
+       len(string_split(NULL,' ')) IS NULL).
+    """
+    from fineweb2_ro_ray.stages.analysis import doc_stats, round_half_away
+    from fineweb2_ro_ray.stages.dedup import sample_fraction_by_hash, verify_pairs_exact
+
+    # 1) all-null key batch
+    sdf = pd.DataFrame({"doc_id": pd.array([None, None, None], dtype="Int64")})
+    out = sample_fraction_by_hash(rd.from_pandas(sdf), "doc_id", 100).to_pandas()
+    assert len(out) == 0
+
+    # 2) huge even integers are not ties
+    big = float(2**52)
+    got = round_half_away(np.array([big, big + 2.0, -big]))
+    assert got.tolist() == [2**52, 2**52 + 2, -(2**52)]
+    # and true ties at normal magnitudes still round away
+    assert round_half_away(np.array([0.5, -0.5, 2.5])).tolist() == [1, -1, 3]
+
+    # 3) ids above 2^53: adjacent int64 ids that float64 would merge
+    base = (1 << 53) + 2  # 2^53+1 unrepresentable; +2 is
+    ids = [base, base + 2, base + 4]
+    docs = pd.DataFrame({"doc_id": pd.array(ids, dtype="Int64"),
+                         "text": ["hello world", "hello world", "different"]})
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([ids[0], ids[0]], pa.int64()),
+        "doc_b": pa.array([ids[1], ids[2]], pa.int64()),
+    }))
+    v = verify_pairs_exact(pairs, rd.from_pandas(docs), verify_threshold=0.9).to_pandas()
+    assert v["doc_a"].tolist() == [ids[0]] and v["doc_b"].tolist() == [ids[1]]
+    assert v["doc_a"].dtype == np.int64 and v["doc_b"].dtype == np.int64
+
+    # 4) null text -> null stats
+    t = pa.table({"text": ["a b", None, ""]})
+    st = doc_stats(t)
+    assert st["n_space_words"].to_pylist() == [2, None, 1]
+    assert st["n_tokens"].to_pylist() == [2, None, 0]
+    assert st["n_lines"].to_pylist() == [1, None, 1]
