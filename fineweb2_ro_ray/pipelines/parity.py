@@ -33,7 +33,7 @@ from ..stages.analysis import (
 from ..stages.dedup import (
     add_md5,
     dedup_exact,
-    jaccard_pairs_by_group,
+    jaccard_pairs_skew_safe,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -168,7 +168,7 @@ def q_distinct_langs(sf_dir: str):
 def q_jaccard_pairs(sf_dir: str):
     """§2.7 n-gram(word)-Jaccard near-dup pairs within source groups."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    return jaccard_pairs_by_group(ds, group_col="source", threshold=0.5)
+    return jaccard_pairs_skew_safe(ds, group_col="source", threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -881,3 +881,41 @@ def test_advice_round2_regressions():
     assert st["n_space_words"].to_pylist() == [2, None, 1]
     assert st["n_tokens"].to_pylist() == [2, None, 0]
     assert st["n_lines"].to_pylist() == [1, None, 1]
+
+
+def test_jaccard_distributed_matches_per_group():
+    """The prefix-token-partitioned AllPairs (large-group scale path)
+    returns EXACTLY the per-group single-task result — same candidates
+    survive the exact verify regardless of prefix tiebreak order."""
+    from fineweb2_ro_ray.stages.dedup import (
+        jaccard_pairs_by_group,
+        jaccard_pairs_distributed,
+        jaccard_pairs_skew_safe,
+    )
+
+    rng = np.random.default_rng(42)
+    words = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(250):
+        n = int(rng.integers(3, 12))
+        toks = list(rng.choice(words, size=n, replace=True))
+        rows.append({"doc_id": i, "source": f"s{int(rng.integers(0, 2))}",
+                     "text": " ".join(toks)})
+    # inject guaranteed near-dup pairs (same group)
+    rows.append({"doc_id": 900, "source": "s0", "text": "a b c d e f"})
+    rows.append({"doc_id": 901, "source": "s0", "text": "a b c d e g"})
+    rows.append({"doc_id": 902, "source": "s1", "text": None})  # null text
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df)
+
+    ref = (jaccard_pairs_by_group(ds, threshold=0.5).to_pandas()
+           .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    got = (jaccard_pairs_distributed(ds, threshold=0.5).to_pandas()
+           .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    pd.testing.assert_frame_equal(ref, got, check_dtype=False)
+    assert ((ref["doc_a"] == 900) & (ref["doc_b"] == 901)).any()
+
+    # the dispatcher with a tiny cutoff routes everything distributed
+    got2 = (jaccard_pairs_skew_safe(ds, threshold=0.5, large_group_cutoff=10)
+            .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True))
+    pd.testing.assert_frame_equal(ref, got2, check_dtype=False)
