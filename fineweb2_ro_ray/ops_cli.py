@@ -17,6 +17,7 @@ import argparse
 import json
 import sys
 import time
+from fineweb2_ro_ray.schema import from_pandas_clean
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -76,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             import pyarrow.parquet as pq
 
-            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.output)
+            pq.write_table(from_pandas_clean(df), args.output)
         else:
             print(df.head(args.limit).to_string())
         n = len(df)

@@ -39,10 +39,17 @@ from ..stages.dedup import (
 )
 from ..stages.similarity import _to_matrix, knn_bruteforce, knn_lsh
 from ..functions.textstats import SYMBOL_PATTERN
+from ..schema import from_pandas_clean, strip_metadata
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # strip_metadata: pandas-written parquet embeds a b'pandas' schema
+    # blob that makes Arrow schemas unhashable in Ray's reduce-side
+    # block unification (warning spam + slow path); zero-copy strip at
+    # the read boundary keeps every downstream block clean
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns
+    ).map_batches(strip_metadata, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +195,7 @@ def q_events_type_counts(sf_dir: str):
             .agg(partial_n=("value_cents", "size"), partial_cents=("value_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     from ray.data.aggregate import Sum
 
@@ -237,7 +244,7 @@ def q_lineitem_pricing(sf_dir: str):
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     from ray.data.aggregate import Sum
 
@@ -271,7 +278,7 @@ def q_orders_by_segment(sf_dir: str):
             .agg(partial_n=("price_cents", "size"), partial_cents=("price_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     from ray.data.aggregate import Sum
 
@@ -292,7 +299,7 @@ def q_supplier_nations(sf_dir: str):
         lut = ray.get(lookup_ref)
         df = b.to_pandas()
         df["n_name"] = df["s_nationkey"].map(lut)
-        return pa.Table.from_pandas(df[["n_name"]], preserve_index=False)
+        return from_pandas_clean(df[["n_name"]])
 
     return grouped_counts(ds.map_batches(f, batch_format="pyarrow"), ["n_name"])
 
@@ -581,7 +588,7 @@ def q_orders_join_native(sf_dir: str):
             .agg(partial_n=("price_cents", "size"), partial_cents=("price_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     from ray.data.aggregate import Sum
 
@@ -731,3 +738,59 @@ def q_minhash_verified(sf_dir: str):
     return minhash_verified_pairs(ds, candidate_threshold=0.3, verify_threshold=0.5)
 
 
+
+
+def q_train_distill(sf_dir: str):
+    """Training loop + model-benchmark harness (reference:
+    ``training/all_tasks_bert.py:556-684`` fine-tune,
+    ``benchmark/benchmark_llms.py:65-96`` per-model metrics): label the
+    documents with the frozen teacher, train the score head by
+    distributed normal equations and the topic head by distributed
+    full-batch Adam, then evaluate teacher vs student in one metric
+    pass. Rows-only (iterative float optimization has no SQL oracle)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.model_scoring import TASKS, FrozenLinearModel, score_documents
+    from ..training import evaluate_models, fit_linear_head, fit_softmax_head
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = score_documents(ds, concurrency=(1, 4)).materialize()
+    w = fit_linear_head(scored, y_col="score", l2=1e-9)
+    W = fit_softmax_head(
+        scored, TASKS["topic"], label_col="topic_class_1", n_iter=40
+    )
+
+    def student(b: pa.Table) -> pa.Table:
+        x = FrozenLinearModel._features(
+            [t or "" for t in b["text"].to_pylist()]
+        )
+        xa = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+        b = b.append_column(
+            "student_score", pa.array(x @ w[:-1] + w[-1], pa.float64())
+        )
+        top = (xa @ W).argmax(axis=1)
+        return b.append_column(
+            "student_topic",
+            pa.array([TASKS["topic"][i] for i in top], pa.string()),
+        )
+
+    both = scored.map_batches(student, batch_format="pyarrow")
+    m_score = evaluate_models(
+        both, {"teacher_score": "score", "student_score": "student_score"}, "score"
+    )
+
+    def topic_hit(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "hit": pa.array(
+                    [int(pc.sum(pc.equal(b["student_topic"], b["topic_class_1"])).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    hits = both.map_batches(topic_hit, batch_format="pyarrow").to_pandas().sum()
+    m_score["topic_accuracy"] = float(hits["hit"]) / float(hits["n"])
+    return m_score

@@ -38,8 +38,14 @@ from ..functions.textstats import compute_text_stats
 def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
     """Source: the transcript Parquet table (reference source analog S1,
     ``/root/reference/fineweb/fineweb2_download.py:40-57`` — but a
-    column-pruned parquet read instead of an HF stream)."""
-    return ray.data.read_parquet(path)
+    column-pruned parquet read instead of an HF stream). Schema
+    metadata is stripped at the boundary (``schema.strip_metadata``:
+    the b'pandas' blob makes schemas unhashable in reduce tasks)."""
+    from ..schema import strip_metadata
+
+    return ray.data.read_parquet(path).map_batches(
+        strip_metadata, batch_format="pyarrow"
+    )
 
 
 def _default_pool() -> tuple[int, int]:

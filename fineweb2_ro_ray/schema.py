@@ -72,3 +72,21 @@ CONVERSATION_SCHEMA = pa.schema(
         pa.field("last_ts", pa.timestamp("us")),
     ]
 )
+
+
+def from_pandas_clean(df, **kwargs) -> pa.Table:
+    """``pa.Table.from_pandas`` WITHOUT the ``b'pandas'`` schema
+    metadata. The metadata blob makes the Arrow schema unhashable in
+    Ray's block-unification fast path (``set(schemas)`` →
+    "Failed to hash the schemas" warnings in every reduce task) and
+    serves no purpose inside an engine that pins dtypes explicitly."""
+    t = pa.Table.from_pandas(df, preserve_index=False, **kwargs)
+    return t.replace_schema_metadata(None)
+
+
+def strip_metadata(t: pa.Table) -> pa.Table:
+    """Zero-copy schema-metadata strip — applied at every Parquet read
+    boundary (files written by pandas embed the ``b'pandas'`` blob in
+    the file schema, which would otherwise taint every downstream
+    block)."""
+    return t.replace_schema_metadata(None)

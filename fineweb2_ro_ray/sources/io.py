@@ -109,7 +109,11 @@ def dataset_from_stream(
             f"spool {spool_dir} contains shards not covered by this stream: "
             f"{s['stale_shards']} — remove them or replay the full stream"
         )
-    return ray.data.read_parquet(spool_dir)
+    from ..schema import strip_metadata
+
+    return ray.data.read_parquet(spool_dir).map_batches(
+        strip_metadata, batch_format="pyarrow"
+    )
 
 
 def publish_dataset(

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ..schema import from_pandas_clean
 
 # canonical BPE-ish token pattern (letters | digits | single symbol) —
 # matches DuckDB regexp_extract_all for the oracle
@@ -110,7 +111,7 @@ def grouped_counts(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
             .size()
             .rename(columns={"size": "partial_n"})
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(Sum("partial_n", alias_name="n"))
@@ -290,9 +291,7 @@ def grouped_top_k(
     def local(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df.sort_values([col, tiebreak], ascending=asc, kind="mergesort")
-        return pa.Table.from_pandas(
-            df.groupby(keys, dropna=False).head(k), preserve_index=False
-        )
+        return from_pandas_clean(df.groupby(keys, dropna=False).head(k))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values([col, tiebreak], ascending=asc, kind="mergesort").head(k)
@@ -630,7 +629,7 @@ def top_k(
     def local(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df.sort_values([col, tiebreak], ascending=[not descending, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values([col, tiebreak], ascending=[not descending, True]).head(k)

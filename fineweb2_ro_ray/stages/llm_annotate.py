@@ -99,8 +99,24 @@ class LLMAnnotator:
 
 
 def annotate_llm(
-    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency=(1, 4)
+    ds: ray.data.Dataset,
+    *,
+    batch_size: int = 64,
+    concurrency=(1, 4),
+    num_gpus: float = 0,
+    num_cpus: float | None = None,
 ) -> ray.data.Dataset:
+    """``num_gpus``: per-actor GPU share for the real-LLM swap-in (the
+    reference runs 2 vLLM workers × 1 GPU with strided shard
+    assignment, ``fineweb/big_inference.py:251``; on a GPU cluster pass
+    ``num_gpus=1`` and the actor pool lands on GPU nodes — the
+    deterministic stub needs none)."""
+    kw = {}
+    if num_gpus:
+        kw["num_gpus"] = num_gpus
+    if num_cpus is not None:
+        kw["num_cpus"] = num_cpus
     return ds.map_batches(
-        LLMAnnotator, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        LLMAnnotator, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **kw,
     )

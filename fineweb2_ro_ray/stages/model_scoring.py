@@ -96,10 +96,26 @@ class MultiTaskScorer:
 
 
 def score_documents(
-    ds: ray.data.Dataset, *, batch_size: int = 1024, concurrency=(1, 8)
+    ds: ray.data.Dataset,
+    *,
+    batch_size: int = 1024,
+    concurrency=(1, 8),
+    num_gpus: float = 0,
+    num_cpus: float | None = None,
 ) -> ray.data.Dataset:
+    """``num_gpus``: per-actor GPU share for the real-model swap-in
+    (the reference runs this scorer 2 workers × 1 GPU with batch 32,
+    ``small_model_inference/small_model_inference.py:46``; pass
+    ``num_gpus=1, batch_size=32`` on a GPU cluster and Ray schedules
+    the pool onto GPU nodes — the frozen stand-in needs none)."""
+    kw = {}
+    if num_gpus:
+        kw["num_gpus"] = num_gpus
+    if num_cpus is not None:
+        kw["num_cpus"] = num_cpus
     return ds.map_batches(
-        MultiTaskScorer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        MultiTaskScorer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **kw,
     )
 
 

@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
+from ..schema import from_pandas_clean
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -117,7 +118,7 @@ try:
             )
 
         def aggregate_block(self, block) -> np.ndarray:
-            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            tbl = block if isinstance(block, pa.Table) else from_pandas_clean(block)
             return hll_registers(_hash_column(tbl[self._col]), self._p)
 
         def combine(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
