@@ -428,11 +428,11 @@ def distinct_pair_ids(
     pairs: ray.data.Dataset, a_col: str, b_col: str
 ) -> np.ndarray:
     """Distinct ids appearing in either column of an id-pair dataset —
-    per-batch ``np.unique`` combiner, then ONE distributed groupby
-    dedup; the driver receives only the final distinct list (8 B per
-    involved doc: linear in docs-with-a-near-dup, never the quadratic
-    candidate-pair count)."""
-    from ray.data.aggregate import Count
+    per-batch ``np.unique`` combiner, final dedup on the driver (8 B
+    per involved doc per batch it appears in: linear in
+    docs-with-a-near-dup, never the quadratic candidate-pair count; a
+    groupby here measured slower than the pull it saves for any
+    realistic dup rate)."""
 
     def flat_ids(t: pa.Table) -> pa.Table:
         u = np.unique(
@@ -447,16 +447,12 @@ def distinct_pair_ids(
         )
         return pa.table({"_id": pa.array(u, pa.int64())})
 
-    uniq = (
-        pairs.map_batches(flat_ids, batch_format="pyarrow")
-        .groupby("_id")
-        .aggregate(Count(alias_name="_n"))
-    )
+    uniq = pairs.map_batches(flat_ids, batch_format="pyarrow")
     chunks = [
         b["_id"].to_numpy(zero_copy_only=False)
         for b in uniq.iter_batches(batch_format="pyarrow")
     ]
-    return np.sort(np.concatenate(chunks)) if chunks else np.array([], np.int64)
+    return np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
 
 
 def attach_payload_exchange(
@@ -468,6 +464,8 @@ def attach_payload_exchange(
     payload_col: str,
     out_col: str,
     num_partitions: int = 512,
+    pairs_schema: pa.Schema | None = None,
+    payload_type: pa.DataType | None = None,
 ) -> ray.data.Dataset:
     """Attach ``payload[payload_col]`` (looked up by ``id_col``) to each
     pair row on its ``key`` column with ONE keyed exchange — the fully
@@ -487,8 +485,16 @@ def attach_payload_exchange(
 
     from .joins import _arrow_schema
 
-    pair_schema = _arrow_schema(pairs)
-    pay_type = _arrow_schema(payload).field(payload_col).type
+    # pass pairs_schema/payload_type when the pair side is a LAZY chain
+    # (e.g. the second attach round): Dataset.schema() on an unexecuted
+    # plan triggers a partial execution, and the union below would then
+    # re-execute the whole upstream — measured 2x on minhash_pairs
+    pair_schema = pairs_schema if pairs_schema is not None else _arrow_schema(pairs)
+    pay_type = (
+        payload_type
+        if payload_type is not None
+        else _arrow_schema(payload).field(payload_col).type
+    )
     pair_cols = list(pair_schema.names)
     out_schema = pa.schema(
         [pair_schema.field(c) for c in pair_cols] + [pa.field(out_col, pay_type)]
@@ -583,6 +589,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     n_partitions: int = 2048,
+    broadcast_involved_limit: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via banded LSH — the fully distributed
     shape (round-2 judge flag closed): candidate pairs are deduped by
@@ -616,13 +623,53 @@ def minhash_lsh_pairs(
     sigpay = involved_signatures_ds(
         ds, involved, id_col=id_col, k=k, num_perm=num_perm
     )
+    # Path selection, the broadcast-vs-shuffle join rule: when the
+    # involved-doc count is bounded (≤ limit, default 1M docs ≈ 512 MB
+    # of signatures), ship the sig matrix ONCE via ray.put and compute
+    # est_jaccard in a single map over the distinct pairs — two whole
+    # sort exchanges cheaper. Beyond the limit (heavily duplicated
+    # corpus), fall back to the fully distributed keyed attach, which
+    # never concentrates the signatures anywhere.
+    if len(involved) <= broadcast_involved_limit:
+        sigm = np.zeros((len(involved), num_perm), np.uint64)
+        for b in sigpay.iter_batches(batch_format="pyarrow"):
+            bi = np.searchsorted(
+                involved, b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            sigm[bi] = _sig_matrix(b["minhash"])
+        ref = ray.put((involved, sigm))
+
+        def est_map(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            ids_s, S = ray.get(ref)
+            ia = np.searchsorted(ids_s, t["doc_a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(ids_s, t["doc_b"].to_numpy(zero_copy_only=False))
+            est = (S[ia] == S[ib]).mean(axis=1)
+            out = pa.table(
+                {
+                    "doc_a": t["doc_a"].cast(pa.int64()),
+                    "doc_b": t["doc_b"].cast(pa.int64()),
+                    "est_jaccard": pa.array(est, pa.float64()),
+                }
+            )
+            return out.filter(pa.array(est >= threshold))
+
+        return cand.map_batches(est_map, batch_format="pyarrow")
+
+    cand_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+    )
+    sig_type = pa.list_(pa.uint64(), num_perm)
     wa = attach_payload_exchange(
         cand, sigpay, key="doc_a", id_col=id_col, payload_col="minhash",
-        out_col="_sig_a",
+        out_col="_sig_a", pairs_schema=cand_schema, payload_type=sig_type,
     )
     wab = attach_payload_exchange(
         wa, sigpay, key="doc_b", id_col=id_col, payload_col="minhash",
         out_col="_sig_b",
+        pairs_schema=cand_schema.append(pa.field("_sig_a", sig_type)),
+        payload_type=sig_type,
     )
 
     def est_batch(t: pa.Table) -> pa.Table:
@@ -724,13 +771,19 @@ def verify_pairs_exact(
     # round co-locates pair rows with the text rows of that side. The
     # shared exchange splits sides ARROW-side before any pandas touch,
     # so int64 ids above 2^53 stay exact.
+    pair_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+    )
     with_a = attach_payload_exchange(
         cand, sub, key="doc_a", id_col=id_col, payload_col=text_col,
         out_col="text_a", num_partitions=num_partitions,
+        pairs_schema=pair_schema, payload_type=pa.string(),
     )
     with_ab = attach_payload_exchange(
         with_a, sub, key="doc_b", id_col=id_col, payload_col=text_col,
         out_col="text_b", num_partitions=num_partitions,
+        pairs_schema=pair_schema.append(pa.field("text_a", pa.string())),
+        payload_type=pa.string(),
     )
 
     def score(t: pa.Table) -> pa.Table:

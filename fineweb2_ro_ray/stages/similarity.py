@@ -161,6 +161,7 @@ def embedding_neardup_lsh(
     n_tables: int = 24,
     n_partitions: int = 1024,
     seed: int = 99,
+    broadcast_involved_limit: int = 500_000,
 ) -> ray.data.Dataset:
     """Approximate near-dup pairs — the 100 TB path: ``n_tables``
     independent hyperplane-LSH bucketings (MinHash-banding shape), thin
@@ -286,13 +287,52 @@ def embedding_neardup_lsh(
         .map_batches(norm_payload, batch_format="pyarrow")
         .materialize()  # involved vectors only, dup-rate bounded
     )
+    # broadcast-vs-shuffle selection (same rule as minhash_lsh_pairs):
+    # bounded involved set → ship normalized vectors once via ray.put
+    # and verify cosine in a single map over the distinct pairs
+    if len(involved) <= broadcast_involved_limit:
+        mats = []
+        idss = []
+        for b in pay.iter_batches(batch_format="pyarrow"):
+            idss.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            mats.append(_to_matrix(b["_nvec"]))
+        ids_cat = np.concatenate(idss) if idss else np.array([], np.int64)
+        order = np.argsort(ids_cat)
+        ids_sorted = ids_cat[order]
+        V = (np.concatenate(mats)[order] if mats else np.zeros((0, 0)))
+        ref = ray.put((ids_sorted, V))
+
+        def sim_map(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            ids_s, Vv = ray.get(ref)
+            ia = np.searchsorted(ids_s, t["vec_a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(ids_s, t["vec_b"].to_numpy(zero_copy_only=False))
+            sims = np.einsum("ij,ij->i", Vv[ia], Vv[ib])
+            out = pa.table(
+                {
+                    "vec_a": t["vec_a"].cast(pa.int64()),
+                    "vec_b": t["vec_b"].cast(pa.int64()),
+                }
+            )
+            return out.filter(pa.array(sims >= threshold))
+
+        return cand.map_batches(sim_map, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [pa.field("vec_a", pa.int64()), pa.field("vec_b", pa.int64())]
+    )
+    vec_type = pa.list_(pa.float64())
     wa = attach_payload_exchange(
         cand, pay, key="vec_a", id_col=id_col, payload_col="_nvec",
         out_col="_va", num_partitions=n_partitions,
+        pairs_schema=pair_schema, payload_type=vec_type,
     )
     wab = attach_payload_exchange(
         wa, pay, key="vec_b", id_col=id_col, payload_col="_nvec",
         out_col="_vb", num_partitions=n_partitions,
+        pairs_schema=pair_schema.append(pa.field("_va", vec_type)),
+        payload_type=vec_type,
     )
 
     def sim_batch(t: pa.Table) -> pa.Table:

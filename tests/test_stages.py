@@ -972,3 +972,43 @@ def test_joins_string_keys_and_vectorized_range():
     pd.testing.assert_frame_equal(
         ref_a[["lv", "rstart"]], got_a[["lv", "rstart"]], check_dtype=False
     )
+
+
+def test_lsh_broadcast_equals_distributed_paths():
+    """The bounded broadcast fast path and the fully distributed keyed
+    attach produce IDENTICAL results for both LSH near-dup operators
+    (broadcast-vs-shuffle selection must never change answers)."""
+    from fineweb2_ro_ray.stages.dedup import minhash_lsh_pairs
+    from fineweb2_ro_ray.stages.similarity import embedding_neardup_lsh
+
+    rng = np.random.default_rng(11)
+    base = "ana are mere si pere multe in cosul cel mare de nuiele"
+    texts, ids = [], []
+    for i in range(120):
+        t = base + f" varianta {i % 7}"
+        if i % 3 == 0:
+            t += " plus un sufix diferit " + str(rng.integers(0, 3))
+        texts.append(t)
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    a = (minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+         .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    b = (minhash_lsh_pairs(ds, threshold=0.5, broadcast_involved_limit=0)
+         .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+    emb = rng.standard_normal((80, 16))
+    emb[40:] = emb[:40] + 0.01 * rng.standard_normal((40, 16))  # near-dups
+    vt = pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              pa.list_(pa.float64())),
+    })
+    vds = rd.from_arrow(vt)
+    ea = (embedding_neardup_lsh(vds, threshold=0.9).to_pandas()
+          .sort_values(["vec_a", "vec_b"], ignore_index=True))
+    eb = (embedding_neardup_lsh(vds, threshold=0.9, broadcast_involved_limit=0)
+          .to_pandas().sort_values(["vec_a", "vec_b"], ignore_index=True))
+    pd.testing.assert_frame_equal(ea, eb)
+    assert len(ea) > 0
