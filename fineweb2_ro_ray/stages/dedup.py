@@ -1230,7 +1230,9 @@ def jaccard_pairs_distributed(
     # exchange 1: df per (group, token), vectorized per partition
     def add_df(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["part"])
-        g["df"] = g.groupby([group_col, "token"])[id_col].transform("size")
+        # dropna=False: a NULL group_col is a real group (matches the
+        # per-group path, where Ray's groupby keeps the null group)
+        g["df"] = g.groupby([group_col, "token"], dropna=False)[id_col].transform("size")
         return g
 
     with_df = (
@@ -1244,7 +1246,7 @@ def jaccard_pairs_distributed(
         g = g.drop(columns=["part"]).sort_values(
             [group_col, id_col, "df", "token"], kind="mergesort"
         )
-        pos = g.groupby([group_col, id_col]).cumcount()
+        pos = g.groupby([group_col, id_col], dropna=False).cumcount()
         p = g["set_size"] - np.ceil(t * g["set_size"]).astype(np.int64) + 1
         out = g[pos < p]
         return out[[group_col, "token", id_col, "set_size"]]
