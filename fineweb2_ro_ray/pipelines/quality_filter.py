@@ -234,28 +234,35 @@ def _precombine_dropped(b: pa.Table) -> pa.Table:
     if dropped.num_rows:
         df = dropped.select(["conv_id", "turn_idx", "ts"]).to_pandas()
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        g = df.groupby("conv_id", sort=False)
+        d_n = df.groupby("conv_id", sort=False).size()
+        # first/last ts follow pandas groupby.first/last semantics
+        # (SKIP nulls): boundaries are computed over the NON-NULL-ts
+        # subset only, so a dropped turn with null ts contributes its
+        # count but never a NaT boundary (parity with the plain path)
+        nn = df[df["ts"].notna()]
+        gn = nn.groupby("conv_id", sort=False)
         agg = pd.DataFrame(
             {
-                "d_n": g.size().astype(np.int64),
-                "d_min_ti": g["turn_idx"].first(),
-                "d_min_ts": g["ts"].first(),
-                "d_max_ti": g["turn_idx"].last(),
-                "d_max_ts": g["ts"].last(),
+                "d_n": d_n.astype(np.int64),
+                "d_min_ti": gn["turn_idx"].first().reindex(d_n.index),
+                "d_min_ts": gn["ts"].first().reindex(d_n.index),
+                "d_max_ti": gn["turn_idx"].last().reindex(d_n.index),
+                "d_max_ts": gn["ts"].last().reindex(d_n.index),
             }
         ).reset_index()
         ti_type = kept.schema.field("turn_idx").type
+        ts_type = b.schema.field("ts").type
         meta_t = pa.table(
             {
                 "conv_id": pa.array(agg["conv_id"], kept_t.schema.field("conv_id").type),
                 "turn_idx": pa.nulls(len(agg), ti_type),
-                "ts": pa.nulls(len(agg), b.schema.field("ts").type),
+                "ts": pa.nulls(len(agg), ts_type),
                 "scrubbed_text": pa.nulls(len(agg), pa.string()),
                 "d_n": pa.array(agg["d_n"], pa.int64()),
-                "d_min_ti": pa.array(agg["d_min_ti"], ti_type),
-                "d_min_ts": pa.array(agg["d_min_ts"], b.schema.field("ts").type),
-                "d_max_ti": pa.array(agg["d_max_ti"], ti_type),
-                "d_max_ts": pa.array(agg["d_max_ts"], b.schema.field("ts").type),
+                "d_min_ti": pa.array(agg["d_min_ti"], ti_type, from_pandas=True),
+                "d_min_ts": pa.array(agg["d_min_ts"], ts_type, from_pandas=True),
+                "d_max_ti": pa.array(agg["d_max_ti"], ti_type, from_pandas=True),
+                "d_max_ts": pa.array(agg["d_max_ts"], ts_type, from_pandas=True),
             }
         )
         return pa.concat_tables([kept_t, meta_t]).combine_chunks()
@@ -272,10 +279,14 @@ def _reassemble_partition_combined(df: pd.DataFrame) -> pd.DataFrame:
     kept = kept.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     kg = kept.groupby("conv_id", sort=True)
     k_n = kg.size()
-    k_min_ti = kg["turn_idx"].first()
-    k_min_ts = kg["ts"].first()
-    k_max_ti = kg["turn_idx"].last()
-    k_max_ts = kg["ts"].last()
+    # ts boundaries over the NON-NULL-ts kept rows only (pandas
+    # first()/last() skip nulls — the plain path's semantics); a kept
+    # turn with null ts still counts and still contributes text
+    knn = kept[kept["ts"].notna()].groupby("conv_id", sort=True)
+    k_min_ti = knn["turn_idx"].first()
+    k_min_ts = knn["ts"].first()
+    k_max_ti = knn["turn_idx"].last()
+    k_max_ts = knn["ts"].last()
     text = kg["scrubbed_text"].agg("\n".join)
     mg = meta.groupby("conv_id", sort=True)
     m_n = mg["d_n"].sum()

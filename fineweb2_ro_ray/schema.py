@@ -90,3 +90,58 @@ def strip_metadata(t: pa.Table) -> pa.Table:
     the file schema, which would otherwise taint every downstream
     block)."""
     return t.replace_schema_metadata(None)
+
+
+def hash_key_u64(col) -> "np.ndarray":
+    """Dtype-CANONICAL 64-bit key hash for partition assignment: equal
+    logical keys hash identically regardless of physical representation
+    — int32 vs int64 across sides, or the float64 upcast a
+    null-containing batch picks up through pandas (round-3 review: a
+    raw ``pd.util.hash_array`` over mixed representations silently
+    scattered equal keys across partitions, dropping join matches).
+
+    Integers / booleans / temporals are cast to int64 ARROW-side (nulls
+    preserved — never a float round-trip) and mixed with splitmix64;
+    floats are canonicalized to float64 bit views; everything else goes
+    through ``pd.util.hash_array`` on the object form. Null keys all
+    receive one fixed sentinel hash."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = col.dictionary_decode()
+        t = col.type
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+
+    def _splitmix64(v: "np.ndarray") -> "np.ndarray":
+        with np.errstate(over="ignore"):
+            z = v + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_temporal(t)
+    ):
+        v = (
+            pc.fill_null(col.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        h = _splitmix64(v)
+    elif pa.types.is_floating(t):
+        v = pc.fill_null(col.cast(pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        h = _splitmix64(np.ascontiguousarray(v).view(np.uint64))
+    else:
+        obj = col.to_pandas().to_numpy()
+        h = pd.util.hash_array(obj, categorize=False).astype(np.uint64)
+    h[null_mask] = np.uint64(0x9E3779B97F4A7C15)
+    return h

@@ -1205,16 +1205,17 @@ def jaccard_pairs_distributed(
         )
 
     def part_by(cols: list[str]):
-        # vectorized composite-key partitioner: pandas hash_array runs
-        # in C over string/int columns (a per-row Python crc32 loop here
-        # would put an interpreter loop in the hottest exchange) and is
-        # deterministic across worker processes
+        # vectorized composite-key partitioner; hash_key_u64 is
+        # dtype-CANONICAL so a null-containing batch (float64 upcast)
+        # hashes identically to a clean one — a per-row Python crc32
+        # loop here would put an interpreter loop in the hottest
+        # exchange, and a raw hash_array would scatter equal keys
+        from ..schema import hash_key_u64
+
         def f(b: pa.Table) -> pa.Table:
             h = np.zeros(b.num_rows, dtype=np.uint64)
             for c in cols:
-                hc = pd.util.hash_array(
-                    b[c].to_pandas().to_numpy(), categorize=False
-                ).astype(np.uint64)
+                hc = hash_key_u64(b[c])
                 with np.errstate(over="ignore"):
                     h = h * np.uint64(0x9E3779B97F4A7C15) + hc
             return b.append_column(
@@ -1290,21 +1291,38 @@ def jaccard_pairs_distributed(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
+        .materialize()  # consumed twice: involved-id scan + attach
     )
 
-    # exchange 4: exact verification with the canonical tokenizer
+    # exchange 4: exact verification with the canonical tokenizer —
+    # text payload SEMI-JOIN-FILTERED to the docs that appear in a
+    # candidate pair (round-3 review: an unfiltered corpus here shipped
+    # every document's text through two attach shuffles only to be
+    # discarded by inner semantics); shuffle volume is dup-rate bounded
+    involved = distinct_pair_ids(cand, "doc_a", "doc_b")
+    ids_arr = pa.array(involved.astype(np.int64), pa.int64())
+
     def fill_text(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b[id_col].cast(pa.int64()), value_set=ids_arr))
         i = b.schema.get_field_index("text")
         return b.set_column(i, "text", pc.fill_null(b["text"], ""))
 
-    sub = ds.select_columns([id_col, "text"]).map_batches(
-        fill_text, batch_format="pyarrow"
+    sub = (
+        ds.select_columns([id_col, "text"])
+        .map_batches(fill_text, batch_format="pyarrow")
+        .materialize()  # involved texts only; consumed by both rounds
+    )
+    pair_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
     )
     wa = attach_payload_exchange(
-        cand, sub, key="doc_a", id_col=id_col, payload_col="text", out_col="_ta"
+        cand, sub, key="doc_a", id_col=id_col, payload_col="text", out_col="_ta",
+        pairs_schema=pair_schema, payload_type=pa.string(),
     )
     wab = attach_payload_exchange(
-        wa, sub, key="doc_b", id_col=id_col, payload_col="text", out_col="_tb"
+        wa, sub, key="doc_b", id_col=id_col, payload_col="text", out_col="_tb",
+        pairs_schema=pair_schema.append(pa.field("_ta", pa.string())),
+        payload_type=pa.string(),
     )
 
     def verify(b: pa.Table) -> pa.Table:

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ..schema import from_pandas_clean
+from ..schema import from_pandas_clean, hash_key_u64
 
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
@@ -54,12 +54,13 @@ def _bucket_union(
     assert not overlap, f"rename overlapping columns first: {overlap}"
 
     def pad(b: pa.Table, side: str, k: str, other_cols, other_types) -> pa.Table:
-        # key hash works for ANY dtype (string conv_ids included):
-        # pandas hash_array is vectorized C and deterministic across
-        # worker processes — round 2 required int64 keys here
-        ks = pd.util.hash_array(
-            b[k].to_pandas().to_numpy(), categorize=False
-        ).astype(np.uint64)
+        # NULL keys never match (SQL semantics) — drop them before the
+        # shuffle so they neither skew a partition nor hash at all.
+        # hash_key_u64 is dtype-canonical: equal logical keys land in
+        # the same partition even when one side's batch upcast to
+        # float64 via null padding or uses a narrower int type.
+        b = b.filter(pc.is_valid(b[k]))
+        ks = hash_key_u64(b[k])
         b = b.append_column(
             "part", pa.array((ks % n_partitions).astype(np.int32), pa.int32())
         )

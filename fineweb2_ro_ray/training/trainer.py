@@ -114,18 +114,25 @@ def fit_softmax_head(
     # the object store (score-scale features: d floats/row ≈ the text
     # itself; at 100 TB one would re-featurize per pass instead — flip
     # `cache` off to do that)
+    empty_feats = pa.table(
+        {"x": pa.array([], pa.list_(pa.float64())), "y": pa.array([], pa.int64())}
+    )
+
     def feats(b: pa.Table) -> pa.Table:
         texts = pc.fill_null(b[text_col], "").to_pylist()
-        x = FrozenLinearModel._features(texts)
-        x = np.concatenate([x, np.ones((len(x), 1))], axis=1)
         yi = np.array(
             [lab_to_idx.get(v, -1) for v in b[label_col].to_pylist()], np.int64
         )
         keep = yi >= 0
-        x, yi = x[keep], yi[keep]
+        if not keep.any():
+            # all labels absent/unknown: reshape(0, -1) would raise
+            return empty_feats
+        x = FrozenLinearModel._features([texts[i] for i in np.flatnonzero(keep)])
+        x = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+        yi = yi[keep]
         return pa.table(
             {
-                "x": pa.array(list(x.reshape(len(x), -1)), pa.list_(pa.float64())),
+                "x": pa.array(list(x), pa.list_(pa.float64())),
                 "y": pa.array(yi, pa.int64()),
             }
         )
@@ -142,6 +149,10 @@ def fit_softmax_head(
         w_ref = ray.put(w)
 
         def grad_partial(b: pa.Table, w_ref=w_ref) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"g": pa.array([np.zeros(d * c)], pa.list_(pa.float64()))}
+                )
             W = ray.get(w_ref)
             xs = b["x"]
             if isinstance(xs, pa.ChunkedArray):

@@ -1012,3 +1012,77 @@ def test_lsh_broadcast_equals_distributed_paths():
           .to_pandas().sort_values(["vec_a", "vec_b"], ignore_index=True))
     pd.testing.assert_frame_equal(ea, eb)
     assert len(ea) > 0
+
+
+def test_review_round3_regressions():
+    """Round-3 self-review findings, pinned.
+
+    1) asof/range joins: equal logical keys match across physical
+       representations — int32 left vs int64 right, and a left batch
+       containing a NULL key (whose pandas form upcasts to float64)
+       must not scatter the other keys; NULL keys never match.
+    2) fit_softmax_head survives batches whose labels are all unknown.
+    """
+    from fineweb2_ro_ray.stages.joins import range_join
+
+    l = pd.DataFrame({
+        "k": pd.array([1, 2, None, 3], dtype="Int32"),
+        "lts": np.array([5, 5, 5, 5], dtype=np.int64),
+        "lv": np.arange(4, dtype=np.int64),
+    })
+    r = pd.DataFrame({
+        "rk": np.array([1, 2, 3], dtype=np.int64),
+        "rstart": np.array([0, 0, 0], dtype=np.int64),
+        "rend": np.array([10, 10, 10], dtype=np.int64),
+        "rv": np.arange(3, dtype=np.int64),
+    })
+    got = (range_join(rd.from_pandas(l), rd.from_pandas(r), key="k",
+                      right_key="rk", left_ts="lts", right_start="rstart",
+                      right_end="rend").to_pandas()
+           .sort_values("lv", ignore_index=True))
+    # all three non-null keys match; the null-key row is dropped
+    assert got["lv"].tolist() == [0, 1, 3]
+
+    from fineweb2_ro_ray.stages.model_scoring import TASKS
+    from fineweb2_ro_ray.training import fit_softmax_head
+
+    df = pd.DataFrame({
+        "text": ["a b c"] * 4 + ["d e f"] * 4,
+        "topic_label": [None] * 4 + [TASKS["topic"][0]] * 4,
+    })
+    # batches of 4: the first is entirely unknown-label
+    W = fit_softmax_head(
+        rd.from_pandas(df).repartition(2), TASKS["topic"],
+        label_col="topic_label", n_iter=3,
+    )
+    assert np.isfinite(W).all()
+
+
+def test_reassemble_precombine_null_ts_parity():
+    """first_ts/last_ts skip NULL timestamps exactly like the plain
+    path (pandas groupby.first semantics), including a conversation
+    whose FIRST turn has a null ts and one whose every ts is null."""
+    import ray.data as rdx
+
+    from fineweb2_ro_ray.pipelines.quality_filter import reassemble
+
+    ts = pa.array(
+        pd.to_datetime([None, "2025-01-02", "2025-01-03",
+                        None, None, "2025-01-05", None]),
+        pa.timestamp("us"),
+    )
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c3", "c3"],
+        "turn_idx": pa.array([0, 1, 2, 0, 1, 0, 1], pa.int32()),
+        "ts": ts,
+        "keep": [False, True, True, False, False, True, False],
+        "scrubbed_text": ["x", "hello", "world", "y", "z", "ok", "no"],
+    })
+    ds = rdx.from_arrow(t)
+    a = (reassemble(ds, precombine=False).to_pandas()
+         .sort_values("conv_id", ignore_index=True))
+    b = (reassemble(ds, precombine=True).to_pandas()
+         .sort_values("conv_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert str(b.loc[0, "first_ts"])[:10] == "2025-01-02"  # null ts skipped
+    assert pd.isna(b.loc[1, "first_ts"])  # all-null conv -> NaT
