@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": P.q_split_counts,
         "ann_cosine": P.q_ann_cosine,
         "embedding_neardup": P.q_embedding_neardup,
+        "contamination": P.q_contamination,
         # --- rows-only, still inside the graded-50 window ---
         "transcript_labels": _q_transcript_labels,
         "transcript_kept": _q_transcript_kept,
@@ -195,6 +196,19 @@ _TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "contamination": """
+            WITH ev AS (
+              SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS phrase
+              FROM documents
+              WHERE doc_id % 97 = 0 AND text IS NOT NULL
+                AND len(string_split(text, ' ')) >= 8
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN d.text IS NOT NULL AND EXISTS (
+                        SELECT 1 FROM ev WHERE instr(d.text, ev.phrase) > 0
+                   ) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents d
+        """,
         "doc_stats": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_space_words,

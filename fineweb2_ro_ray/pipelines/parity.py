@@ -794,3 +794,16 @@ def q_train_distill(sf_dir: str):
     hits = both.map_batches(topic_hit, batch_format="pyarrow").to_pandas().sum()
     m_score["topic_accuracy"] = float(hits["hit"]) / float(hits["n"])
     return m_score
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination report (§ training-data ops): flag
+    docs containing any eval phrase as a substring. Eval side = the
+    deterministic stand-in set (first 8 single-space words of docs with
+    doc_id % 97 == 0), broadcast once as an RE2 literal alternation;
+    corpus side streams through one vectorized match pass."""
+    from ..stages.decontaminate import contamination_flags, eval_phrases_from_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    phrases = eval_phrases_from_docs(ds)
+    return contamination_flags(ds, phrases)

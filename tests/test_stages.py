@@ -1086,3 +1086,46 @@ def test_reassemble_precombine_null_ts_parity():
     pd.testing.assert_frame_equal(a, b)
     assert str(b.loc[0, "first_ts"])[:10] == "2025-01-02"  # null ts skipped
     assert pd.isna(b.loc[1, "first_ts"])  # all-null conv -> NaT
+
+
+def test_decontamination_flags_and_filter():
+    """Contamination = eval phrase appears as a SUBSTRING; null text is
+    clean; regex metacharacters in phrases are literals; the filter
+    variant drops exactly the flagged docs."""
+    from fineweb2_ro_ray.stages.decontaminate import (
+        contamination_flags,
+        decontaminate,
+        eval_phrases_from_docs,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta eps zeta eta theta tail",  # eval doc (0%97==0)
+            "prefix alpha beta gamma delta eps zeta eta theta suffix",  # contains
+            "unrelated words only here",
+            None,
+            "alpha beta gamma delta eps zeta eta NOPE",  # partial, no match
+        ],
+    })
+    ds = rd.from_pandas(docs)
+    phrases = eval_phrases_from_docs(ds)
+    assert phrases == ["alpha beta gamma delta eps zeta eta theta"]
+    out = (contamination_flags(ds, phrases).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert out["contaminated"].tolist() == [1, 1, 0, 0, 0]
+    kept = decontaminate(ds, phrases).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3, 4]
+
+    # regex metacharacters stay literal
+    ds2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": ["price (a+b)*c here", "price a+b c here"],
+    }))
+    out2 = (contamination_flags(ds2, ["(a+b)*c"]).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    assert out2["contaminated"].tolist() == [1, 0]
+
+    # empty eval set: nothing contaminated
+    out3 = contamination_flags(ds, []).to_pandas()
+    assert out3["contaminated"].sum() == 0
