@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": P.q_ann_cosine,
         "embedding_neardup": P.q_embedding_neardup,
         "contamination": P.q_contamination,
+        "sample_stratified": P.q_sample_stratified,
         # --- rows-only, still inside the graded-50 window ---
         "transcript_labels": _q_transcript_labels,
         "transcript_kept": _q_transcript_kept,
@@ -196,6 +197,17 @@ _TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_stratified": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
         "contamination": """
             WITH ev AS (
               SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS phrase

@@ -807,3 +807,34 @@ def q_contamination(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     phrases = eval_phrases_from_docs(ds)
     return contamination_flags(ds, phrases)
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling: exactly k docs PER GROUP,
+    chosen by ascending md5 hash of the id (stable across runs, block
+    layouts and cluster sizes — the per-group counterpart of the global
+    hash-fraction sample). Map-side per-batch top-k thins the shuffle
+    to <= k rows per (batch, group)."""
+    import hashlib
+
+    from ..stages.analysis import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(i)).encode()).digest()[:6], "big"
+                )
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return b.append_column("h", pa.array(h, pa.int64()))
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow")
+    out = grouped_top_k(withh, ["source"], "h", 3, tiebreak="doc_id", descending=False)
+    return out.select_columns(["source", "doc_id"])
