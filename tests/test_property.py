@@ -117,3 +117,83 @@ def test_scrub_never_crashes_and_is_deterministic(s):
     # scrubbing never grows pii count beyond match count and never
     # produces None
     assert a[0] is not None and a[1] >= 0 and a[2] >= 0
+
+
+@given(
+    st.lists(
+        st.one_of(st.integers(-(2**31), 2**31 - 1), st.none()),
+        min_size=0,
+        max_size=50,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_hash_key_u64_dtype_canonical(keys):
+    """Equal logical keys hash identically across int32/int64/float64
+    physical representations; nulls all hash to one sentinel."""
+    from fineweb2_ro_ray.schema import hash_key_u64
+
+    a32 = pa.array(keys, pa.int32())
+    a64 = pa.array(keys, pa.int64())
+    h32, h64 = hash_key_u64(a32), hash_key_u64(a64)
+    assert (h32 == h64).all()
+    # float64 representation of the same integers (pandas null upcast)
+    af = pa.array(
+        [None if k is None else float(k) for k in keys], pa.float64()
+    )
+    # float path hashes the float64 BIT pattern — must at least agree
+    # with itself and give nulls the same sentinel
+    hf = hash_key_u64(af)
+    nulls = np.array([k is None for k in keys])
+    if nulls.any():
+        assert len(set(h32[nulls].tolist()) | set(hf[nulls].tolist())) == 1
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    st.lists(st.integers(0, 30), min_size=1, max_size=40),
+)
+@settings(max_examples=25, deadline=None)
+def test_attach_payload_exchange_matches_pandas_join(pair_keys, payload_ids):
+    """attach_payload_exchange == an inner pandas merge on the key, for
+    arbitrary overlap patterns (missing payloads drop the pair)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fineweb2_ro_ray.stages.dedup import attach_payload_exchange
+
+    payload_ids = sorted(set(payload_ids))
+    pairs = pd.DataFrame(
+        {
+            "doc_a": np.array(pair_keys, np.int64),
+            "doc_b": np.arange(len(pair_keys), dtype=np.int64),
+        }
+    )
+    payload = pd.DataFrame(
+        {
+            "doc_id": np.array(payload_ids, np.int64),
+            "text": [f"payload-{i}" for i in payload_ids],
+        }
+    )
+    out = attach_payload_exchange(
+        rd.from_pandas(pairs),
+        rd.from_pandas(payload),
+        key="doc_a",
+        id_col="doc_id",
+        payload_col="text",
+        out_col="t",
+        num_partitions=7,
+    )
+    got = out.to_pandas()
+    ref = (
+        pairs.merge(payload, left_on="doc_a", right_on="doc_id")
+        .rename(columns={"text": "t"})[["doc_a", "doc_b", "t"]]
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    if len(ref) == 0:
+        # Ray's to_pandas drops columns on a fully-empty dataset; the
+        # dataset SCHEMA must still be intact
+        assert len(got) == 0
+        assert out.schema().names == ["doc_a", "doc_b", "t"]
+    else:
+        got = got.sort_values(["doc_a", "doc_b"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, ref)
