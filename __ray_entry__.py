@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": P.q_embedding_neardup,
         "contamination": P.q_contamination,
         "sample_stratified": P.q_sample_stratified,
+        "dedup_clusters": P.q_dedup_clusters,
         # --- rows-only, still inside the graded-50 window ---
         "transcript_labels": _q_transcript_labels,
         "transcript_kept": _q_transcript_kept,
@@ -197,6 +198,31 @@ _TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_clusters": """
+            WITH RECURSIVE s AS (
+                SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+                FROM documents
+            ), e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                          / len(list_distinct(a.w || b.w)) >= 0.5
+            ), ee AS (
+                SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), reach(src, dst) AS (
+                SELECT src, dst FROM ee
+                UNION
+                SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src
+            ), comp AS (
+                SELECT src AS doc_id,
+                       LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT c.doc_id, c.component,
+                   CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+                       AS cluster_size
+            FROM comp c
+        """,
         "sample_stratified": """
             SELECT source, doc_id FROM (
                 SELECT source, doc_id,

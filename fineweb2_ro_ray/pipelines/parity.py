@@ -838,3 +838,30 @@ def q_sample_stratified(sf_dir: str):
     withh = ds.map_batches(add_h, batch_format="pyarrow")
     out = grouped_top_k(withh, ["source"], "h", 3, tiebreak="doc_id", descending=False)
     return out.select_columns(["source", "doc_id"])
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERING: connected components over the (oracle-
+    exact) word-set-Jaccard pair graph, plus each cluster's size — the
+    engine-side derivation of the reference's ``minhash_cluster_size``
+    passenger column. Output: (doc_id, component, cluster_size) for
+    every doc appearing in a pair."""
+    from ..stages.components import cluster_sizes, connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    pairs = jaccard_pairs_skew_safe(ds, group_col="source", threshold=0.5)
+    comp = connected_components(pairs).materialize()
+    sizes = cluster_sizes(comp)
+    # broadcast the (component, size) table — components are a small
+    # summary (bounded by involved docs)
+    sz = sizes.to_pandas()
+    import ray as _ray
+
+    lut_ref = _ray.put(dict(zip(sz["component"], sz["cluster_size"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut = _ray.get(lut_ref)
+        cs = [int(lut[c]) for c in t["component"].to_pylist()]
+        return t.append_column("cluster_size", pa.array(cs, pa.int64()))
+
+    return comp.map_batches(attach, batch_format="pyarrow")

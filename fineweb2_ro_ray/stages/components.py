@@ -1,0 +1,194 @@
+"""Distributed connected components over an id-pair edge list.
+
+The primitive behind near-duplicate CLUSTERING: the reference consumes
+the upstream FineWeb-2 ``minhash_cluster_size`` passenger column
+(``/root/reference/fineweb/fineweb2_download.py:22``) — the cluster ids
+that column summarizes are the connected components of the near-dup
+pair graph. This module computes them Ray-Data-native so the engine can
+produce that column itself (pairs → components → cluster sizes →
+keep-one-per-cluster).
+
+Algorithm: iterative neighbor-min label propagation. Every node starts
+labeled with its own id; each round every node takes the min of its
+label and its neighbors' labels; converged when the global label SUM
+stops decreasing (labels only ever decrease, so an unchanged sum is
+exact convergence, checked with one tiny aggregate — no driver diff).
+Rounds = graph diameter; near-dup clusters are dense (quasi-cliques),
+so 2–3 rounds in practice.
+
+Scale shape per round: two keyed attach exchanges
+(:func:`~fineweb2_ro_ray.stages.dedup.attach_payload_exchange`) ship
+(edge-endpoint, 8-byte label) rows, then one groupby-min over thin
+(node, candidate) rows. Nothing ever concentrates the graph on the
+driver; the edge list is materialized once in the object store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+    driver_edge_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """(doc_id, component) for every node appearing in ``pairs``, where
+    ``component`` is the MIN node id of its connected component.
+
+    Path selection (the broadcast-vs-shuffle rule): an edge list under
+    ``driver_edge_limit`` (16 B/edge — the DEDUPED near-dup pair set,
+    not the corpus) is solved with a driver union-find in one pass; a
+    larger graph runs the distributed label propagation, whose per-
+    round exchanges only pay off once the graph itself is beyond one
+    machine. Both paths are exact and equality-tested."""
+    from .dedup import attach_payload_exchange
+
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t[a_col].cast(pa.int64()),
+                "b": t[b_col].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if edges.count() <= driver_edge_limit:
+        ea, eb = [], []
+        for t in edges.iter_batches(batch_format="pyarrow"):
+            ea.append(t["a"].to_numpy(zero_copy_only=False))
+            eb.append(t["b"].to_numpy(zero_copy_only=False))
+        a = np.concatenate(ea) if ea else np.array([], np.int64)
+        b = np.concatenate(eb) if eb else np.array([], np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        for x, y in zip(ia, ib):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                # union by MIN node id keeps the component label exact
+                if nodes[rx] < nodes[ry]:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        comp = np.array([nodes[find(int(i))] for i in range(len(nodes))], np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes, pa.int64()),
+                    "component": pa.array(comp, pa.int64()),
+                }
+            )
+        )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["a"].to_numpy(zero_copy_only=False),
+                    t["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table(
+            {"doc_id": pa.array(u, pa.int64()), "lbl": pa.array(u, pa.int64())}
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+
+    edge_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
+
+    def label_sum(lds: ray.data.Dataset) -> int:
+        s = 0
+        for b in lds.select_columns(["lbl"]).iter_batches(batch_format="pyarrow"):
+            s += int(b["lbl"].to_numpy(zero_copy_only=False).sum())
+        return s
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
+        # attach each endpoint's current label to the edge, emit the
+        # cross-propagated candidates plus the self rows, reduce by min
+        wa = attach_payload_exchange(
+            edges, labels, key="a", id_col="doc_id", payload_col="lbl",
+            out_col="l_a", pairs_schema=edge_schema, payload_type=pa.int64(),
+        )
+        wab = attach_payload_exchange(
+            wa, labels, key="b", id_col="doc_id", payload_col="lbl",
+            out_col="l_b",
+            pairs_schema=edge_schema.append(pa.field("l_a", pa.int64())),
+            payload_type=pa.int64(),
+        )
+
+        def cands(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            la = t["l_a"].to_numpy(zero_copy_only=False)
+            lb = t["l_b"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "lbl": pa.array(np.concatenate([lb, la]), pa.int64()),
+                }
+            )
+
+        prop = wab.map_batches(cands, batch_format="pyarrow")
+        labels = (
+            prop.union(labels)
+            .groupby("doc_id")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev_sum:  # labels only decrease: fixed point reached
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "component": t["lbl"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cluster_sizes(components: ray.data.Dataset) -> ray.data.Dataset:
+    """(component, cluster_size) — the engine-side derivation of the
+    reference's ``minhash_cluster_size`` passenger column."""
+    from ray.data.aggregate import Count
+
+    return components.groupby("component").aggregate(Count(alias_name="cluster_size"))
+
+
+def dedup_by_components(
+    components: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Canonical survivor per near-dup cluster: the MIN doc id (= the
+    component label itself). Returns one (doc_id,) row per cluster."""
+    return (
+        components.groupby("component")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )

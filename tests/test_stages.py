@@ -1129,3 +1129,33 @@ def test_decontamination_flags_and_filter():
     # empty eval set: nothing contaminated
     out3 = contamination_flags(ds, []).to_pandas()
     assert out3["contaminated"].sum() == 0
+
+
+def test_connected_components_and_cluster_ops():
+    """Label propagation finds exact components on hand-built graphs:
+    a chain (worst-case diameter), a clique, singleton-free semantics,
+    plus cluster sizes and keep-min dedup."""
+    from fineweb2_ro_ray.stages.components import (
+        cluster_sizes,
+        connected_components,
+        dedup_by_components,
+    )
+
+    # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+    pairs = pd.DataFrame({
+        "doc_a": [1, 2, 3, 4, 10, 10, 11, 20],
+        "doc_b": [2, 3, 4, 5, 11, 12, 12, 21],
+    })
+    comp = (connected_components(rd.from_pandas(pairs)).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert dict(zip(comp["doc_id"], comp["component"])) == expect
+    # distributed label-propagation path (driver_edge_limit=0) agrees —
+    # the chain exercises multi-round propagation
+    comp_d = (connected_components(rd.from_pandas(pairs), driver_edge_limit=0)
+              .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert dict(zip(comp_d["doc_id"], comp_d["component"])) == expect
+    sizes = cluster_sizes(rd.from_pandas(comp)).to_pandas()
+    assert dict(zip(sizes["component"], sizes["cluster_size"])) == {1: 5, 10: 3, 20: 2}
+    keep = dedup_by_components(rd.from_pandas(comp)).to_pandas()
+    assert sorted(keep["doc_id"]) == [1, 10, 20]
