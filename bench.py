@@ -100,6 +100,10 @@ def run_bench() -> dict:
         ("word_counts_top", P.q_word_counts_top),
         ("events_rolling", P.q_events_rolling),
         ("embedding_neardup", P.q_embedding_neardup),
+        # round-3 operators
+        ("contamination", P.q_contamination),
+        ("sample_stratified", P.q_sample_stratified),
+        ("dedup_clusters", P.q_dedup_clusters),
     ]
     for rep in range(repeats):
         # headline: full quality-filter DAG + conversation reassembly → sink
