@@ -139,7 +139,16 @@ def hash_key_u64(col) -> "np.ndarray":
         v = pc.fill_null(col.cast(pa.float64()), 0.0).to_numpy(
             zero_copy_only=False
         )
-        h = _splitmix64(np.ascontiguousarray(v).view(np.uint64))
+        v = np.ascontiguousarray(v)
+        # integral float64 values canonicalize to the INT hash: a key
+        # batch that upcast int64->float64 through pandas null padding
+        # must hash like its int-typed siblings (the motivating case)
+        with np.errstate(invalid="ignore"):
+            is_int = (v == np.floor(v)) & (np.abs(v) < 2**63)
+        h = _splitmix64(v.view(np.uint64))
+        if is_int.any():
+            h_int = _splitmix64(v[is_int].astype(np.int64).astype(np.uint64))
+            h[is_int] = h_int
     else:
         obj = col.to_pandas().to_numpy()
         h = pd.util.hash_array(obj, categorize=False).astype(np.uint64)

@@ -120,14 +120,18 @@ def connected_components(
     )
 
     edge_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
+    lbl_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("lbl", pa.int64())]
+    )
 
     def label_sum(lds: ray.data.Dataset) -> int:
-        s = 0
-        for b in lds.select_columns(["lbl"]).iter_batches(batch_format="pyarrow"):
-            s += int(b["lbl"].to_numpy(zero_copy_only=False).sum())
-        return s
+        # ONE distributed aggregate; only the scalar reaches the driver
+        from ray.data.aggregate import Sum
+
+        return int(lds.aggregate(Sum("lbl", alias_name="s"))["s"])
 
     prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         # attach each endpoint's current label to the edge, emit the
         # cross-propagated candidates plus the self rows, reduce by min
@@ -161,10 +165,37 @@ def connected_components(
             .aggregate(Min("lbl", alias_name="lbl"))
             .materialize()
         )
+        # pointer jump: l(x) <- min(l(x), l(l(x))). Every label IS a
+        # node id, so the lookup always resolves; combined with the
+        # neighbor-min this gives O(log diameter) rounds instead of
+        # O(diameter) — a long transitive chain converges within the
+        # iteration budget instead of silently falling out of it.
+        jumped = attach_payload_exchange(
+            labels, labels, key="lbl", id_col="doc_id", payload_col="lbl",
+            out_col="lbl2", pairs_schema=lbl_schema, payload_type=pa.int64(),
+        )
+
+        def shortcut(t: pa.Table) -> pa.Table:
+            l1 = t["lbl"].to_numpy(zero_copy_only=False)
+            l2 = t["lbl2"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "lbl": pa.array(np.minimum(l1, l2), pa.int64()),
+                }
+            )
+
+        labels = jumped.map_batches(shortcut, batch_format="pyarrow").materialize()
         cur = label_sum(labels)
         if cur == prev_sum:  # labels only decrease: fixed point reached
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixed point within max_iter={max_iter} "
+            f"rounds (graph diameter > 2^{max_iter}?) — raise max_iter"
+        )
 
     return labels.map_batches(
         lambda t: pa.table(

@@ -70,6 +70,29 @@ def eval_phrases_from_docs(
     return sorted(set(phrases))
 
 
+def _pattern_chunks(phrases: list[str]) -> list[str]:
+    """Chunked RE2 literal alternations. Empty phrases are DROPPED —
+    ``re.escape('') == ''`` would create an empty alternation branch
+    that matches every document (a blank line in a real benchmark file
+    would otherwise flag the whole corpus)."""
+    CHUNK = 1000
+    clean = [p for p in phrases if p]
+    return [
+        "|".join(re.escape(p) for p in clean[i : i + CHUNK])
+        for i in range(0, len(clean), CHUNK)
+    ]
+
+
+def _hit_mask(filled: pa.Array, pats: list[str], n: int) -> np.ndarray:
+    hit = np.zeros(n, dtype=bool)
+    for p in pats:
+        if p:
+            hit |= pc.match_substring_regex(filled, p).to_numpy(
+                zero_copy_only=False
+            )
+    return hit
+
+
 def contamination_flags(
     ds: ray.data.Dataset,
     phrases: list[str],
@@ -84,12 +107,7 @@ def contamination_flags(
     At very large phrase counts, shard the alternation into several
     regexes (RE2 program-size limit) — handled below."""
     # RE2 has a program-size limit; chunk the alternation defensively
-    CHUNK = 1000
-    pats = [
-        "|".join(re.escape(p) for p in phrases[i : i + CHUNK])
-        for i in range(0, len(phrases), CHUNK)
-    ]
-    pats_ref = ray.put(pats)
+    pats_ref = ray.put(_pattern_chunks(phrases))
 
     def flag(b: pa.Table) -> pa.Table:
         ps = ray.get(pats_ref)
@@ -98,12 +116,7 @@ def contamination_flags(
             text = text.combine_chunks()
         valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
         filled = pc.fill_null(text, "")
-        hit = np.zeros(b.num_rows, dtype=bool)
-        for p in ps:
-            if p:
-                hit |= pc.match_substring_regex(filled, p).to_numpy(
-                    zero_copy_only=False
-                )
+        hit = _hit_mask(filled, ps, b.num_rows)
         hit &= valid
         return pa.table(
             {
@@ -126,12 +139,7 @@ def decontaminate(
     """Filter variant: drop contaminated documents, keep the rest with
     all their columns (the actual pipeline step; ``contamination_flags``
     is the auditable report)."""
-    CHUNK = 1000
-    pats = [
-        "|".join(re.escape(p) for p in phrases[i : i + CHUNK])
-        for i in range(0, len(phrases), CHUNK)
-    ]
-    pats_ref = ray.put(pats)
+    pats_ref = ray.put(_pattern_chunks(phrases))
 
     def keep(b: pa.Table) -> pa.Table:
         ps = ray.get(pats_ref)
@@ -139,12 +147,7 @@ def decontaminate(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         filled = pc.fill_null(text, "")  # null text can't be contaminated
-        hit = np.zeros(b.num_rows, dtype=bool)
-        for p in ps:
-            if p:
-                hit |= pc.match_substring_regex(filled, p).to_numpy(
-                    zero_copy_only=False
-                )
+        hit = _hit_mask(filled, ps, b.num_rows)
         return b.filter(pa.array(~hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")

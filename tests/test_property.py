@@ -137,12 +137,12 @@ def test_hash_key_u64_dtype_canonical(keys):
     h32, h64 = hash_key_u64(a32), hash_key_u64(a64)
     assert (h32 == h64).all()
     # float64 representation of the same integers (pandas null upcast)
+    # must hash IDENTICALLY — integral floats canonicalize to int64
     af = pa.array(
         [None if k is None else float(k) for k in keys], pa.float64()
     )
-    # float path hashes the float64 BIT pattern — must at least agree
-    # with itself and give nulls the same sentinel
     hf = hash_key_u64(af)
+    assert (h64 == hf).all()
     nulls = np.array([k is None for k in keys])
     if nulls.any():
         assert len(set(h32[nulls].tolist()) | set(hf[nulls].tolist())) == 1
