@@ -113,6 +113,31 @@ def _q_multimodal_frames(sf_dir: str):
     return sample_frames(ds, n_frames=4).drop_columns(["frame"])
 
 
+
+
+def _q_multimodal_search(sf_dir: str):
+    """Composition: media -> byte-histogram featurize (fake decode,
+    real actor plumbing) -> brute-force cosine top-k against the first
+    5 media items as queries. The multimodal-to-similarity chain a
+    production near-dup/image-search pipeline runs (rows-only)."""
+    import numpy as np
+    import ray.data
+
+    from fineweb2_ro_ray.stages.multimodal import decode_and_featurize, synth_media
+    from fineweb2_ro_ray.stages.similarity import knn_bruteforce
+
+    n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 60
+    )
+    ds = ray.data.from_arrow(synth_media(n))
+    feats = decode_and_featurize(ds, fake=True).drop_columns(["payload"]).materialize()
+    head = feats.take(5)
+    q = np.stack([np.asarray(r["features"], dtype=np.float64) for r in head])
+    return knn_bruteforce(
+        feats, q, k=5, id_col="media_id", emb_col="features"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver grades the first 50 entries, so every
     # oracle-SQL-backed query comes first (43), then the most important
@@ -186,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_annotate": P.q_llm_annotate,
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_search": _q_multimodal_search,
         "train_distill": P.q_train_distill,
     }
 
