@@ -156,3 +156,33 @@ def test_reassemble_precombine_equivalence():
         pd.testing.assert_frame_equal(a, b)
         assert (~b["conv_keep"]).any() or True  # sanity: frame non-empty
         assert len(b) == 150
+
+
+def test_flagship_has_exactly_one_shuffle():
+    """Plan-shape invariant: the flagship DAG contains exactly ONE
+    all-to-all exchange (conversation reassembly). A regression that
+    sneaks a second shuffle into the hot path (an accidental sort,
+    repartition or non-broadcast join) fails here before it burns a
+    100 TB run."""
+    import ray.data as rd
+
+    from fineweb2_ro_ray.pipelines.quality_filter import annotate, reassemble
+    from fineweb2_ro_ray.sources.synth import write_transcripts
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        write_transcripts(d, 40, seed=5)
+        out = reassemble(annotate(rd.read_parquet(d))).materialize()
+        stats = out.stats()
+        n_all2all = stats.count("AllToAllOperator") or stats.count("Sort:")
+        # ds.stats() prints one section per operator; count the Sort
+        # (Ray's sort-based groupby) sections
+        assert stats.count("Operator") >= 1
+        import re as _re
+        sorts = len(_re.findall(r"\bSort\b", stats))
+        assert sorts >= 1, stats[:500]
+        # exactly one Sort OPERATOR section (Sort suboperators SortMap/
+        # SortReduce belong to it and are named differently)
+        op_lines = [l for l in stats.splitlines() if _re.match(r"Operator \d+ ", l)]
+        sort_ops = [l for l in op_lines if "Sort" in l]
+        assert len(sort_ops) == 1, op_lines
