@@ -173,16 +173,12 @@ def test_flagship_has_exactly_one_shuffle():
     with tempfile.TemporaryDirectory() as d:
         write_transcripts(d, 40, seed=5)
         out = reassemble(annotate(rd.read_parquet(d))).materialize()
-        stats = out.stats()
-        n_all2all = stats.count("AllToAllOperator") or stats.count("Sort:")
-        # ds.stats() prints one section per operator; count the Sort
-        # (Ray's sort-based groupby) sections
-        assert stats.count("Operator") >= 1
         import re as _re
-        sorts = len(_re.findall(r"\bSort\b", stats))
-        assert sorts >= 1, stats[:500]
-        # exactly one Sort OPERATOR section (Sort suboperators SortMap/
-        # SortReduce belong to it and are named differently)
+
+        stats = out.stats()
+        # ds.stats() prints one section per operator; exactly one of
+        # them may be the Sort (Ray's sort-based groupby exchange) —
+        # Sort suboperators (SortMap/SortReduce) are named differently
         op_lines = [l for l in stats.splitlines() if _re.match(r"Operator \d+ ", l)]
         sort_ops = [l for l in op_lines if "Sort" in l]
         assert len(sort_ops) == 1, op_lines
