@@ -327,16 +327,32 @@ def _reassemble_partition_combined(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def reassemble(
-    ds: ray.data.Dataset, n_partitions: int = 4096, precombine: bool = True
+    ds: ray.data.Dataset,
+    n_partitions: int = 4096,
+    precombine: bool = True,
+    exchange: str = "hash",
+    input_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Conversation reassembly: the only all-to-all exchange in the
     pipeline. Conversations are hash-partitioned by ``conv_id`` (crc32,
-    the ONE partitioning key used everywhere — SURVEY.md §7.2) into
-    ``n_partitions`` buckets; the shuffle then moves ``n_partitions``
-    groups instead of one group per conversation, and each group is
-    reassembled vectorized. Hot conversations skew only their bucket;
-    raise ``n_partitions`` to thin buckets (salting is unnecessary here
-    because a conversation must land in exactly one group).
+    the ONE partitioning key used everywhere — SURVEY.md §7.2) and each
+    partition is reassembled vectorized. Hot conversations skew only
+    their partition (salting is impossible here — a conversation must
+    land in exactly one group; thinning partitions is the lever).
+
+    ``exchange`` selects the shuffle implementation (identical output,
+    equivalence-tested):
+
+    - ``"hash"`` (default): raw-Ray push-based hash exchange
+      (:mod:`..stages.exchange`) — no key sampling, no per-block sort,
+      no merge heap; profiled ~1.7x faster end-to-end than the sort
+      path on the 6M-turn bench.
+    - ``"sort"``: Ray Data's native ``groupby().map_groups`` (a
+      range-partitioned sort). Keys are pre-binned into
+      ``n_partitions`` buckets — the bucket count must be LARGE
+      (thousands): the sort samples boundaries from the key, and with
+      only ~64 distinct values it collapses everything into one reduce
+      task (measured 8x slower).
 
     ``precombine`` (default): dropped turns collapse map-side to one
     per-conversation meta row per batch (:func:`_precombine_dropped`),
@@ -345,25 +361,45 @@ def reassemble(
     from ..state.checkpoint import add_partition_column
 
     # prune to the five columns the shuffle needs — the exchange moves
-    # scrubbed text + keys only, not the full annotated table
+    # scrubbed text + keys only, not the full annotated table.
+    # ``input_schema``: callers that know the upstream schema (e.g.
+    # run_flagship, whose annotate stage projects to a fixed column
+    # set) pass it to avoid ds.schema() triggering a limit-1 PARTIAL
+    # EXECUTION of the lazy chain — which spins up the whole annotate
+    # actor pool just to learn column names (~2-4 s at 32 CPUs).
+    if input_schema is not None:
+        names, ts_type = input_schema.names, input_schema.field("ts").type
+    else:
+        sch = ds.schema()
+        names, ts_type = sch.names, sch.base_schema.field("ts").type
     needed = ["conv_id", "turn_idx", "ts", "keep", "scrubbed_text"]
-    have = [c for c in needed if c in ds.schema().names]
+    have = [c for c in needed if c in names]
     if len(have) == len(needed):
         ds = ds.select_columns(needed)
     if precombine:
         ds = ds.map_batches(_precombine_dropped, batch_format="pyarrow")
-    # n_partitions must be LARGE (thousands): Ray's groupby shuffles via
-    # a range-partitioned sort whose boundaries are sampled from the
-    # key; with only ~64 distinct values the sampler collapses the
-    # whole dataset into one reduce task and reassembly serializes
-    # (measured: 64 parts -> 1 reduce task with all rows, 8x slower).
-    # 4096 parts keeps reduce tasks balanced while per-group Python
-    # overhead stays amortized (~thousands of conversations per group).
+    fn = _reassemble_partition_combined if precombine else _reassemble_partition
+    if exchange == "hash":
+        from ..stages.exchange import hash_exchange_map_groups
+
+        out_schema = pa.schema(
+            [
+                pa.field("conv_id", pa.string()),
+                pa.field("n_turns", pa.int64()),
+                pa.field("n_kept", pa.int64()),
+                pa.field("conv_keep", pa.bool_()),
+                pa.field("text", pa.string()),
+                pa.field("first_ts", ts_type),
+                pa.field("last_ts", ts_type),
+            ]
+        )
+        return hash_exchange_map_groups(
+            ds, fn, key="conv_id", out_schema=out_schema
+        )
     ds = ds.map_batches(
         partial(add_partition_column, n_partitions=n_partitions),
         batch_format="pyarrow",
     )
-    fn = _reassemble_partition_combined if precombine else _reassemble_partition
     out = ds.groupby("part").map_groups(
         lambda g: fn(g.drop(columns=["part"])),
         batch_format="pandas",
@@ -431,10 +467,20 @@ def run_flagship(
     Dataset (lazy; caller consumes). The fused annotate stage projects
     to exactly the reassembly columns, so the original text column never
     leaves the actor."""
-    ds = annotate(
-        read_transcripts(input_path),
-        cfg,
-        batch_size=batch_size,
-        project=["conv_id", "turn_idx", "ts", "keep", "scrubbed_text"],
+    # parquet-footer schema (metadata-only, no task execution) feeds the
+    # reassembly schema hint so nothing pre-executes the annotate chain
+    base = ray.data.read_parquet(input_path).schema().base_schema
+    project = ["conv_id", "turn_idx", "ts", "keep", "scrubbed_text"]
+    ann_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", base.field("turn_idx").type),
+            pa.field("ts", base.field("ts").type),
+            pa.field("keep", pa.bool_()),
+            pa.field("scrubbed_text", pa.string()),
+        ]
     )
-    return reassemble(ds)
+    ds = annotate(
+        read_transcripts(input_path), cfg, batch_size=batch_size, project=project
+    )
+    return reassemble(ds, input_schema=ann_schema)

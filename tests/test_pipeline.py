@@ -163,7 +163,10 @@ def test_flagship_has_exactly_one_shuffle():
     all-to-all exchange (conversation reassembly). A regression that
     sneaks a second shuffle into the hot path (an accidental sort,
     repartition or non-broadcast join) fails here before it burns a
-    100 TB run."""
+    100 TB run. With the default raw hash exchange the Dataset plan
+    contains NO sort at all (the exchange runs as raw tasks outside
+    the plan); the sort fallback must show exactly one Sort. Both
+    exchanges must produce identical conversations."""
     import ray.data as rd
 
     from fineweb2_ro_ray.pipelines.quality_filter import annotate, reassemble
@@ -172,7 +175,7 @@ def test_flagship_has_exactly_one_shuffle():
     import tempfile
     with tempfile.TemporaryDirectory() as d:
         write_transcripts(d, 40, seed=5)
-        out = reassemble(annotate(rd.read_parquet(d))).materialize()
+        out = reassemble(annotate(rd.read_parquet(d)), exchange="sort").materialize()
         import re as _re
 
         stats = out.stats()
@@ -182,3 +185,11 @@ def test_flagship_has_exactly_one_shuffle():
         op_lines = [l for l in stats.splitlines() if _re.match(r"Operator \d+ ", l)]
         sort_ops = [l for l in op_lines if "Sort" in l]
         assert len(sort_ops) == 1, op_lines
+
+        out2 = reassemble(annotate(rd.read_parquet(d)), exchange="hash").materialize()
+        stats2 = out2.stats()
+        assert "Sort" not in stats2 and "Repartition" not in stats2, stats2
+        a = out.to_pandas().sort_values("conv_id", ignore_index=True)
+        b = out2.to_pandas().sort_values("conv_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+        assert len(a) == 40
