@@ -425,14 +425,19 @@ def lsh_candidate_pairs(
 
 
 def distinct_pair_ids(
-    pairs: ray.data.Dataset, a_col: str, b_col: str
-) -> np.ndarray:
+    pairs: ray.data.Dataset, a_col: str, b_col: str, limit: int | None = None
+) -> np.ndarray | None:
     """Distinct ids appearing in either column of an id-pair dataset —
-    per-batch ``np.unique`` combiner, final dedup on the driver (8 B
-    per involved doc per batch it appears in: linear in
-    docs-with-a-near-dup, never the quadratic candidate-pair count; a
-    groupby here measured slower than the pull it saves for any
-    realistic dup rate)."""
+    per-batch ``np.unique`` combiner, incremental merge on the driver
+    (8 B per involved doc: linear in docs-with-a-near-dup, never the
+    quadratic candidate-pair count; a groupby here measured slower
+    than the pull it saves for any realistic dup rate).
+
+    ``limit`` bounds the driver's exposure: the stream is abandoned and
+    ``None`` returned as soon as the running distinct count exceeds it
+    — the caller then switches to the fixed-memory Bloom path
+    (:mod:`.bloom`), so a pathologically duplicated corpus can never
+    grow a driver-resident id list."""
 
     def flat_ids(t: pa.Table) -> pa.Table:
         u = np.unique(
@@ -448,11 +453,12 @@ def distinct_pair_ids(
         return pa.table({"_id": pa.array(u, pa.int64())})
 
     uniq = pairs.map_batches(flat_ids, batch_format="pyarrow")
-    chunks = [
-        b["_id"].to_numpy(zero_copy_only=False)
-        for b in uniq.iter_batches(batch_format="pyarrow")
-    ]
-    return np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
+    seen = np.array([], np.int64)
+    for b in uniq.iter_batches(batch_format="pyarrow"):
+        seen = np.union1d(seen, b["_id"].to_numpy(zero_copy_only=False))
+        if limit is not None and len(seen) > limit:
+            return None
+    return seen
 
 
 def attach_payload_exchange(
@@ -599,9 +605,11 @@ def minhash_lsh_pairs(
     by a narrow re-hash and attached via the keyed union exchange
     (:func:`attach_payload_exchange`), and ``est_jaccard`` is computed
     inside the partitions. The ONLY driver-materialized object is the
-    distinct involved-id list (8 B/doc with ≥1 candidate — linear in
-    duplicated docs, not quadratic pair count), used to broadcast-filter
-    the corpus for the re-hash.
+    distinct involved-id list — and even that is bounded by
+    ``broadcast_involved_limit``: past it, the pull is abandoned
+    mid-stream and the corpus is semi-join-filtered through a fixed
+    16 MB Bloom bitmap instead (:mod:`.bloom`), so driver memory is
+    O(1) in the duplicate rate.
 
     Output: (doc_a, doc_b, est_jaccard) distinct pairs with
     est_jaccard ≥ threshold, as a distributed Dataset."""
@@ -617,20 +625,24 @@ def minhash_lsh_pairs(
         n_partitions=n_partitions, distinct=True,
     ).materialize()  # consumed twice (involved-id scan + attach); pairs
     # stay in the distributed object store, dup-rate bounded
-    involved = distinct_pair_ids(cand, "doc_a", "doc_b")
-    if involved.size == 0:
-        return ray.data.from_arrow(empty)
-    sigpay = involved_signatures_ds(
-        ds, involved, id_col=id_col, k=k, num_perm=num_perm
-    )
     # Path selection, the broadcast-vs-shuffle join rule: when the
     # involved-doc count is bounded (≤ limit, default 1M docs ≈ 512 MB
     # of signatures), ship the sig matrix ONCE via ray.put and compute
     # est_jaccard in a single map over the distinct pairs — two whole
     # sort exchanges cheaper. Beyond the limit (heavily duplicated
-    # corpus), fall back to the fully distributed keyed attach, which
-    # never concentrates the signatures anywhere.
-    if len(involved) <= broadcast_involved_limit:
+    # corpus) distinct_pair_ids ABANDONS the driver pull mid-stream
+    # and we switch to a fixed-memory Bloom semi-join (16 MB bitmap,
+    # FPs dropped by the inner attach) + the fully distributed keyed
+    # attach, which never concentrates signatures anywhere.
+    involved = distinct_pair_ids(
+        cand, "doc_a", "doc_b", limit=broadcast_involved_limit
+    )
+    if involved is not None and involved.size == 0:
+        return ray.data.from_arrow(empty)
+    if involved is not None:
+        sigpay = involved_signatures_ds(
+            ds, involved, id_col=id_col, k=k, num_perm=num_perm
+        )
         sigm = np.zeros((len(involved), num_perm), np.uint64)
         for b in sigpay.iter_batches(batch_format="pyarrow"):
             bi = np.searchsorted(
@@ -657,6 +669,16 @@ def minhash_lsh_pairs(
 
         return cand.map_batches(est_map, batch_format="pyarrow")
 
+    from .bloom import bloom_filter_ids, build_id_bloom
+
+    bm = build_id_bloom(cand, ["doc_a", "doc_b"])
+    sigpay = (
+        minhash_signatures(
+            bloom_filter_ids(ds, bm, id_col=id_col), k=k, num_perm=num_perm
+        )
+        .select_columns([id_col, "minhash"])
+        .materialize()
+    )
     cand_schema = pa.schema(
         [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
     )
@@ -708,25 +730,26 @@ def verify_pairs_exact(
     k: int = 5,
     verify_threshold: float = 0.7,
     num_partitions: int = 512,
+    involved_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Distributed exact shingle-Jaccard verification of candidate id
     pairs — no document text ever reaches the driver (round 1 pulled
     all involved texts into a driver-side index; the judge flagged it
     as unbounded on a heavily-duplicated corpus).
 
-    Shape: only the candidate ID LIST is centralized (16 B/pair) to
-    broadcast the involved-id filter; the texts stay distributed — the
-    corpus is semi-join-filtered to involved docs, then two native hash
-    joins co-locate each pair's two texts inside one batch, where the
-    exact Jaccard is computed. Shuffle volume = involved texts only,
-    i.e. proportional to the duplicate rate."""
+    Shape: the candidate pairs stay DISTRIBUTED (materialized once so
+    the id scan and the two attach rounds reuse them); the driver sees
+    at most the distinct involved-id list (bounded by
+    ``involved_limit`` — beyond it the id pull is abandoned and the
+    corpus is semi-join-filtered through a fixed 16 MB Bloom bitmap
+    instead, Bloom FPs dropped by the inner attach). Two keyed union
+    exchanges then co-locate each pair's two texts inside one batch,
+    where the exact Jaccard is computed. Shuffle volume = involved
+    texts only, i.e. proportional to the duplicate rate."""
     import pyarrow.compute as pc
 
-    id_batches = list(
-        pairs.select_columns(["doc_a", "doc_b"]).iter_batches(batch_format="pyarrow")
-    )
-    id_tbl = pa.concat_tables(id_batches) if id_batches else None
-    if id_tbl is None or id_tbl.num_rows == 0:
+    cand = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if cand.count() == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -736,21 +759,29 @@ def verify_pairs_exact(
                 }
             )
         )
-    a = id_tbl["doc_a"].to_numpy(zero_copy_only=False)
-    b = id_tbl["doc_b"].to_numpy(zero_copy_only=False)
-    involved = np.unique(np.concatenate([a, b]))
-    ids_arr = pa.array(np.sort(involved), pa.int64())
-    cand = ray.data.from_arrow(
-        pa.table(
-            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
-        )
-    )
+    involved = distinct_pair_ids(cand, "doc_a", "doc_b", limit=involved_limit)
+    if involved is not None:
+        ids_arr = pa.array(involved, pa.int64())
+
+        def id_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[id_col], value_set=ids_arr))
+
+    else:
+        from .bloom import bloom_contains, build_id_bloom
+
+        bm = build_id_bloom(cand, ["doc_a", "doc_b"])
+        bm_ref = ray.put(bm)
+
+        def id_filter(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(bloom_contains(ray.get(bm_ref), ids)))
+
     # null text == empty document (the engine-wide convention): fill
     # BEFORE the union below, where a null ``_t`` is the row-type tag —
     # an unfilled null text would make per_part misread the text row as
     # a pair row and silently drop its pairs
     def sub_batch(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t[id_col], value_set=ids_arr))
+        t = id_filter(t)
         return t.set_column(
             t.schema.get_field_index(text_col), text_col, pc.fill_null(t[text_col], "")
         )

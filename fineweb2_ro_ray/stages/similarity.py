@@ -267,13 +267,31 @@ def embedding_neardup_lsh(
         .drop_columns(["_n"])
         .materialize()  # consumed twice (involved-id scan + attach)
     )
-    involved = distinct_pair_ids(cand, "vec_a", "vec_b")
-    if involved.size == 0:
+    involved = distinct_pair_ids(
+        cand, "vec_a", "vec_b", limit=broadcast_involved_limit
+    )
+    if involved is not None and involved.size == 0:
         return ray.data.from_arrow(empty)
-    ids_arr = pa.array(involved.astype(np.int64), pa.int64())
+    if involved is not None:
+        ids_arr = pa.array(involved.astype(np.int64), pa.int64())
+
+        def id_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[id_col].cast(pa.int64()), value_set=ids_arr))
+
+    else:
+        # involved-id pull abandoned at the limit: fixed 16 MB Bloom
+        # semi-join instead (FP-admitted vectors are dropped by the
+        # inner attach; never a driver-resident id list)
+        from .bloom import bloom_contains, build_id_bloom
+
+        bm_ref = ray.put(build_id_bloom(cand, ["vec_a", "vec_b"]))
+
+        def id_filter(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(bloom_contains(ray.get(bm_ref), ids)))
 
     def norm_payload(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t[id_col].cast(pa.int64()), value_set=ids_arr))
+        t = id_filter(t)
         m = _to_matrix(t[emb_col])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30) if m.size else m
         n = mn.shape[0]
@@ -290,7 +308,7 @@ def embedding_neardup_lsh(
     # broadcast-vs-shuffle selection (same rule as minhash_lsh_pairs):
     # bounded involved set → ship normalized vectors once via ray.put
     # and verify cosine in a single map over the distinct pairs
-    if len(involved) <= broadcast_involved_limit:
+    if involved is not None:
         mats = []
         idss = []
         for b in pay.iter_batches(batch_format="pyarrow"):

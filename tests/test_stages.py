@@ -1159,3 +1159,52 @@ def test_connected_components_and_cluster_ops():
     assert dict(zip(sizes["component"], sizes["cluster_size"])) == {1: 5, 10: 3, 20: 2}
     keep = dedup_by_components(rd.from_pandas(comp)).to_pandas()
     assert sorted(keep["doc_id"]) == [1, 10, 20]
+
+
+def test_bloom_semi_join_bounded_driver():
+    """The fixed-memory Bloom involved-id path (ROADMAP known-limit 3):
+    membership has NO false negatives, the FP rate stays within the
+    design bound, and verify_pairs_exact produces identical output
+    whether the involved ids are pulled exactly or Bloom-filtered
+    (involved_limit=0 forces the overflow path)."""
+    from fineweb2_ro_ray.stages.bloom import bloom_contains, build_id_bloom
+    from fineweb2_ro_ray.stages.dedup import verify_pairs_exact
+
+    rng = np.random.default_rng(17)
+    ids = np.unique(rng.integers(0, 2**62, size=5000, dtype=np.int64))
+    pairs_tbl = pa.table(
+        {
+            "doc_a": pa.array(ids[: len(ids) // 2], pa.int64()),
+            "doc_b": pa.array(ids[len(ids) // 2 : 2 * (len(ids) // 2)], pa.int64()),
+        }
+    )
+    bm = build_id_bloom(rd.from_arrow(pairs_tbl), ["doc_a", "doc_b"], m_bits=1 << 20)
+    inserted = np.concatenate(
+        [ids[: len(ids) // 2], ids[len(ids) // 2 : 2 * (len(ids) // 2)]]
+    )
+    assert bloom_contains(bm, inserted).all()  # no false negatives, ever
+    probe = rng.integers(0, 2**62, size=20000, dtype=np.int64)
+    probe = probe[~np.isin(probe, inserted)]
+    # load ≈ 5000·4/2^20 ≈ 1.9% → FP ≈ load^4 ≈ 1e-7; 1% is generous
+    assert bloom_contains(bm, probe).mean() < 0.01
+
+    texts = ["ana are mere si pere " * 4 + str(i % 3) for i in range(30)]
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(30), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    cand = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([0, 1, 2, 3], pa.int64()),
+                "doc_b": pa.array([3, 4, 5, 6], pa.int64()),
+            }
+        )
+    )
+    a = (verify_pairs_exact(cand, docs, verify_threshold=0.5).to_pandas()
+         .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    b = (verify_pairs_exact(cand, docs, verify_threshold=0.5, involved_limit=0)
+         .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
