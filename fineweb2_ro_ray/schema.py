@@ -129,8 +129,14 @@ def hash_key_u64(col) -> "np.ndarray":
         or pa.types.is_boolean(t)
         or pa.types.is_temporal(t)
     ):
+        # unsigned stays unsigned: a uint64 above 2^63 (e.g. an LSH
+        # bucket hash) would overflow an int64 cast; values
+        # representable in BOTH widths hash identically either way
+        # (the canonical form is the two's-complement uint64 pattern
+        # of the logical value, and int64->uint64 is a bit reinterpret)
+        wide = pa.uint64() if pa.types.is_unsigned_integer(t) else pa.int64()
         v = (
-            pc.fill_null(col.cast(pa.int64()), 0)
+            pc.fill_null(col.cast(wide), 0)
             .to_numpy(zero_copy_only=False)
             .astype(np.uint64)
         )

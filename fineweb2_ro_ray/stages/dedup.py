@@ -381,35 +381,45 @@ def lsh_candidate_pairs(
     bands: int = 16,
     n_partitions: int = 2048,
     distinct: bool = True,
+    sigs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """LSH candidate id pairs (doc_a < doc_b): signature → explode to
     (bucket, id) → hash-partitioned groupby → pair within buckets →
     distinct. The only wide exchange ships 16 bytes per band row.
     ``distinct=False`` skips the global pair-dedup shuffle (same pair
-    from several bands may repeat) for callers that dedup themselves."""
+    from several bands may repeat) for callers that dedup themselves.
+    ``sigs``: precomputed (id, minhash) dataset to reuse instead of
+    hashing ``ds`` (see ``minhash_lsh_pairs`` signature caching)."""
+    from .exchange import hash_exchange_map_groups
+
     rows = num_perm // bands
-    sigs = minhash_signatures(ds, k=k, num_perm=num_perm)
+    if sigs is None:
+        sigs = minhash_signatures(ds, k=k, num_perm=num_perm)
     exploded = sigs.map_batches(
         lambda b: _explode_bands_thin(b, bands, rows, id_col), batch_format="pyarrow"
     )
-
-    def add_part(b: pa.Table) -> pa.Table:
-        part = (b["bucket"].to_numpy(zero_copy_only=False) % n_partitions).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
-
-    pairs = (
-        exploded.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: _partition_bucket_id_pairs(g.drop_columns(["part"]), id_col),
-            batch_format="pyarrow",
-        )
+    pair_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+    )
+    # both wide steps run on the raw hash exchange (stages/exchange.py)
+    # instead of Ray's sort-based groupby — each sort carries a
+    # multi-second fixed floor (sampling pass + merge) that dominated
+    # this operator's bench time; the exchange moves the same 16-byte
+    # rows with no sort at all
+    pairs = hash_exchange_map_groups(
+        exploded,
+        lambda t: _partition_bucket_id_pairs(t, id_col),
+        key="bucket",
+        batch_format="pyarrow",
+        out_schema=pair_schema,
     )
     # same pair can surface from several bands (up to ``bands``× dups).
     # The map-side pass below thins WITHIN-batch duplicates only —
     # duplicates of the same pair landing in different part groups
     # (different band buckets) survive it, so distinct=False callers
-    # MUST still dedup; global distinctness needs the groupby below.
+    # MUST still dedup; global distinctness needs the keyed exchange
+    # below (equal pairs hash to one partition; drop_duplicates there
+    # is globally distinct).
     def batch_unique(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
         return from_pandas_clean(df)
@@ -417,11 +427,12 @@ def lsh_candidate_pairs(
     pairs = pairs.map_batches(batch_unique, batch_format="pyarrow")
     if not distinct:
         return pairs
-
-    from ray.data.aggregate import Count
-
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
-    return uniq.drop_columns(["_n"])
+    return hash_exchange_map_groups(
+        pairs,
+        lambda df: df.drop_duplicates(),
+        key=["doc_a", "doc_b"],
+        out_schema=pair_schema,
+    )
 
 
 def distinct_pair_ids(
@@ -596,6 +607,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     n_partitions: int = 2048,
     broadcast_involved_limit: int = 1_000_000,
+    cache_signatures_limit: int = 10_000_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via banded LSH — the fully distributed
     shape (round-2 judge flag closed): candidate pairs are deduped by
@@ -620,9 +632,27 @@ def minhash_lsh_pairs(
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
+    # Recompute-vs-cache selection for the verify-side signatures: the
+    # signature pass runs once either way (inside lsh_candidate_pairs);
+    # the question is how the est pass gets signatures for involved
+    # docs. Small corpus (≤ cache_signatures_limit docs ≈ 5 GB of
+    # (id, minhash) rows at the default 64 perms): MATERIALIZE the thin
+    # signature dataset once and reuse it — re-hashing involved docs
+    # would repeat most of the signature work when the dup rate is high
+    # (measured 3.8 s of a 7.2 s sf0.1 op). Large corpus: holding
+    # 512 B/doc corpus-wide is the wrong trade at 10^11 docs, so the
+    # est pass RE-HASHES only the involved docs (cost ∝ dup rate).
+    n_docs = ds.count()
+    sig_cache: ray.data.Dataset | None = None
+    if n_docs is not None and n_docs <= cache_signatures_limit:
+        sig_cache = (
+            minhash_signatures(ds, k=k, num_perm=num_perm)
+            .select_columns([id_col, "minhash"])
+            .materialize()
+        )
     cand = lsh_candidate_pairs(
         ds, id_col=id_col, k=k, num_perm=num_perm, bands=bands,
-        n_partitions=n_partitions, distinct=True,
+        n_partitions=n_partitions, distinct=True, sigs=sig_cache,
     ).materialize()  # consumed twice (involved-id scan + attach); pairs
     # stay in the distributed object store, dup-rate bounded
     # Path selection, the broadcast-vs-shuffle join rule: when the
@@ -640,15 +670,22 @@ def minhash_lsh_pairs(
     if involved is not None and involved.size == 0:
         return ray.data.from_arrow(empty)
     if involved is not None:
-        sigpay = involved_signatures_ds(
-            ds, involved, id_col=id_col, k=k, num_perm=num_perm
+        sigpay = (
+            sig_cache
+            if sig_cache is not None
+            else involved_signatures_ds(
+                ds, involved, id_col=id_col, k=k, num_perm=num_perm
+            )
         )
         sigm = np.zeros((len(involved), num_perm), np.uint64)
         for b in sigpay.iter_batches(batch_format="pyarrow"):
-            bi = np.searchsorted(
-                involved, b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            sigm[bi] = _sig_matrix(b["minhash"])
+            ids_b = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(involved, ids_b)
+            # the cached signature set holds ALL docs — mask rows whose
+            # id is not in the involved list before scattering
+            ok = pos < len(involved)
+            ok[ok] = involved[pos[ok]] == ids_b[ok]
+            sigm[pos[ok]] = _sig_matrix(b["minhash"])[ok]
         ref = ray.put((involved, sigm))
 
         def est_map(t: pa.Table) -> pa.Table:
@@ -669,16 +706,19 @@ def minhash_lsh_pairs(
 
         return cand.map_batches(est_map, batch_format="pyarrow")
 
-    from .bloom import bloom_filter_ids, build_id_bloom
+    if sig_cache is not None:
+        sigpay = sig_cache
+    else:
+        from .bloom import bloom_filter_ids, build_id_bloom
 
-    bm = build_id_bloom(cand, ["doc_a", "doc_b"])
-    sigpay = (
-        minhash_signatures(
-            bloom_filter_ids(ds, bm, id_col=id_col), k=k, num_perm=num_perm
+        bm = build_id_bloom(cand, ["doc_a", "doc_b"])
+        sigpay = (
+            minhash_signatures(
+                bloom_filter_ids(ds, bm, id_col=id_col), k=k, num_perm=num_perm
+            )
+            .select_columns([id_col, "minhash"])
+            .materialize()
         )
-        .select_columns([id_col, "minhash"])
-        .materialize()
-    )
     cand_schema = pa.schema(
         [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
     )

@@ -1,21 +1,24 @@
-"""Raw-Ray two-stage hash exchange for keyed reassembly.
+"""Raw-Ray two-stage hash exchange for keyed map_groups.
 
 This is the engine's one deliberate drop below the Dataset API (the
 "raw tasks only where Dataset can't express it" rule): Ray Data 2.49
 expresses a keyed ``groupby().map_groups`` ONLY as a range-partitioned
 SORT — boundary sampling, per-block sort, merge reduce — and its
 experimental hash-shuffle strategy hangs in local mode (measured,
-BASELINE.md). Conversation reassembly needs CO-LOCATION of each
-conversation's turns, not global order, so the sort is pure overhead:
-profiled at ~2/3 of the flagship wall (Sort 51 s vs 19 s of scoring
-compute at sf-bench, scripts/profile_flagship.py).
+BASELINE.md). A keyed map_groups needs CO-LOCATION of each key's rows,
+not global order, so the sort is pure overhead: profiled at ~2/3 of
+the flagship wall (Sort 51 s vs 19 s of scoring compute at sf-bench,
+scripts/profile_flagship.py), and a multi-second fixed floor per
+groupby on small inputs (sampling pass + sort tasks + merge).
 
 Shape (classic push-based hash shuffle, the same exchange the
 reference delegates to its external dedup/shuffle tooling for):
 
-    M map tasks    — split each upstream block into P slices by
-                     crc32(key) % P (``state.checkpoint.partition_of``,
-                     the engine's ONE partitioning hash);
+    M map tasks    — split each upstream block into P slices by a
+                     canonical 64-bit key hash (``schema.hash_key_u64``
+                     per key column, splitmix64-combined; single string
+                     keys use the engine-pinned crc32 of
+                     ``state.checkpoint.add_partition_column``);
     P reduce tasks — concat their M slices, run ONE vectorized
                      reduce_fn over the whole partition (every key's
                      rows are now co-located), emit an Arrow block.
@@ -27,11 +30,10 @@ all-to-all pipeline BARRIERS (the input materializes either way).
 
 Scale notes (100 TB): pick ``n_reducers`` ~ input_bytes / 256 MB so a
 reduce partition fits a worker's heap; skewed keys skew only their
-partition (a conversation must land in exactly one reducer — salting
-is impossible for reassembly semantics, thinning partitions is the
-lever). Map outputs are plain object-store objects, so Ray spills
-them to disk under memory pressure exactly as it spills sort blocks.
-"""
+partition (a key's rows must land in one reducer — thinning partitions
+is the lever). Map outputs are plain object-store objects, so Ray
+spills them to disk under memory pressure exactly as it spills sort
+blocks."""
 
 from __future__ import annotations
 
@@ -45,18 +47,39 @@ import ray
 import ray.data
 
 
-@ray.remote
-def _split_block(t: pa.Table, n_reducers: int, key: str) -> tuple:
-    """Map side: one task per upstream block; returns ``n_reducers``
-    table slices, routed by the engine-pinned crc32 partition hash
-    (computed per *unique* key — cheap for multi-turn conversations)."""
-    from ..state.checkpoint import add_partition_column
+def _part_codes(t: pa.Table, keys: list[str], n_reducers: int) -> np.ndarray:
+    """Partition id per row: canonical per-column 64-bit hashes,
+    splitmix64-combined across key columns (dtype-representation-safe —
+    see ``schema.hash_key_u64``)."""
+    from ..schema import hash_key_u64
+    from .bloom import _mix64
 
-    t2 = add_partition_column(t, n_reducers, key=key)
-    part = t2["part"].to_numpy(zero_copy_only=False)
+    acc: np.ndarray | None = None
+    for c in keys:
+        h = hash_key_u64(t[c])
+        acc = h if acc is None else _mix64(acc ^ h, np.uint64(0xA076_1D64_78BD_642F))
+    return (acc % np.uint64(n_reducers)).astype(np.int64)
+
+
+@ray.remote
+def _split_block(t: pa.Table, n_reducers: int, key: str | list[str]) -> tuple:
+    """Map side: one task per upstream block; returns ``n_reducers``
+    table slices. A single STRING key routes via the engine-pinned
+    crc32 partition hash (computed per *unique* key — cheap for
+    multi-turn conversations); other keys via the canonical hash."""
+    if isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
+        from ..state.checkpoint import add_partition_column
+
+        t2 = add_partition_column(t, n_reducers, key=key)
+        part = t2["part"].to_numpy(zero_copy_only=False)
+        tt = t2
+    else:
+        keys = [key] if isinstance(key, str) else list(key)
+        part = _part_codes(t, keys, n_reducers)
+        tt = t.append_column("part", pa.array(part, pa.int32()))
     order = np.argsort(part, kind="stable")
     sorted_part = part[order]
-    tt = t2.take(pa.array(order, pa.int64())).drop_columns(["part"])
+    tt = tt.take(pa.array(order, pa.int64())).drop_columns(["part"])
     bounds = np.searchsorted(sorted_part, np.arange(n_reducers + 1))
     return tuple(
         tt.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_reducers)
@@ -64,9 +87,15 @@ def _split_block(t: pa.Table, n_reducers: int, key: str) -> tuple:
 
 
 @ray.remote
+def _num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
 def _reduce_partition(
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     out_schema: pa.Schema | None,
+    batch_format: str,
     *chunks: pa.Table,
 ) -> pa.Table:
     """Reduce side: all of one partition's slices → one vectorized
@@ -74,6 +103,9 @@ def _reduce_partition(
     so an empty partition emits a schema-identical empty block (pandas
     would otherwise upcast empty columns to object/float64)."""
     t = pa.concat_tables(chunks).combine_chunks()
+    if batch_format == "pyarrow":
+        out_t = fn(t)
+        return out_t.cast(out_schema) if out_schema is not None else out_t
     out = fn(t.to_pandas())
     if out_schema is not None:
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
@@ -84,23 +116,25 @@ def _reduce_partition(
 
 def hash_exchange_map_groups(
     ds: ray.data.Dataset,
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     *,
-    key: str = "conv_id",
+    key: str | list[str],
     n_reducers: int | None = None,
     out_schema: pa.Schema | None = None,
+    batch_format: str = "pandas",
 ) -> ray.data.Dataset:
-    """Hash-partition ``ds`` by ``key`` and apply ``fn`` once per
-    partition (all rows of any key value co-located), bypassing Ray
-    Data's sort-based groupby. Returns a Dataset over the reduce
-    outputs, so downstream stages (``write_parquet``, further
-    ``map_batches``) stream as usual.
+    """Hash-partition ``ds`` by ``key`` (one column or several) and
+    apply ``fn`` once per partition (all rows of any key value
+    co-located), bypassing Ray Data's sort-based groupby. Returns a
+    Dataset over the reduce outputs, so downstream stages
+    (``write_parquet``, further ``map_batches``) stream as usual.
 
     ``fn`` must be partition-local and key-complete (the contract of
-    ``groupby(key).map_groups`` with a vectorized body): it receives a
-    pandas frame holding EVERY row of each key in the partition and
-    groups internally. Unlike ``map_groups`` it is called once per
-    PARTITION, not per key — no 4096-bucket pre-binning needed."""
+    ``groupby(key).map_groups`` with a vectorized body): it receives
+    EVERY row of each key in the partition (a pandas frame, or an
+    Arrow table with ``batch_format="pyarrow"``) and groups
+    internally. Unlike ``map_groups`` it is called once per PARTITION,
+    not per key — no bucket pre-binning column needed."""
     mat = ds.materialize()
     refs: list = []
     for bundle in mat.iter_internal_ref_bundles():
@@ -112,7 +146,13 @@ def hash_exchange_map_groups(
     p = max(2, p)  # num_returns>=2 so _split_block returns a tuple of refs
     splits = [_split_block.options(num_returns=p).remote(r, p, key) for r in refs]
     outs = [
-        _reduce_partition.remote(fn, out_schema, *[s[i] for s in splits])
+        _reduce_partition.remote(fn, out_schema, batch_format, *[s[i] for s in splits])
         for i in range(p)
     ]
-    return ray.data.from_arrow_refs(outs)
+    # drop 0-row partitions: Ray's map operators emit an EMPTY-SCHEMA
+    # block for a 0-row input block (observed on 2.49), which then
+    # poisons any downstream keyed stage with a KeyError; the exchange
+    # is a barrier anyway, so this row-count sync costs nothing extra
+    counts = ray.get([_num_rows.remote(o) for o in outs])
+    keep = [o for o, n in zip(outs, counts) if n > 0]
+    return ray.data.from_arrow_refs(keep or outs[:1])
