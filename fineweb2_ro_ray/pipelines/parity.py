@@ -39,17 +39,21 @@ from ..stages.dedup import (
 )
 from ..stages.similarity import _to_matrix, knn_bruteforce, knn_lsh
 from ..functions.textstats import SYMBOL_PATTERN
-from ..schema import from_pandas_clean, strip_metadata
+from ..schema import from_pandas_clean
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    # strip_metadata: pandas-written parquet embeds a b'pandas' schema
-    # blob that makes Arrow schemas unhashable in Ray's reduce-side
-    # block unification (warning spam + slow path); zero-copy strip at
-    # the read boundary keeps every downstream block clean
+    # clean schema AT the read: pandas-written parquet embeds a
+    # b'pandas' schema blob that makes Arrow schemas unhashable in
+    # Ray's block unification (warning spam + slow path), including
+    # inside the fused ReadParquet operator where a post-read strip
+    # can't reach (schema.clean_parquet_schema)
+    from ..schema import clean_parquet_schema
+
+    path = f"{sf_dir}/{table}.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns
-    ).map_batches(strip_metadata, batch_format="pyarrow")
+        path, schema=clean_parquet_schema(path, columns), columns=columns
+    )
 
 
 # ---------------------------------------------------------------------------

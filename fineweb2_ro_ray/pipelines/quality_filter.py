@@ -38,14 +38,15 @@ from ..functions.textstats import compute_text_stats
 def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
     """Source: the transcript Parquet table (reference source analog S1,
     ``/root/reference/fineweb/fineweb2_download.py:40-57`` — but a
-    column-pruned parquet read instead of an HF stream). Schema
-    metadata is stripped at the boundary (``schema.strip_metadata``:
-    the b'pandas' blob makes schemas unhashable in reduce tasks)."""
-    from ..schema import strip_metadata
+    column-pruned parquet read instead of an HF stream). A
+    metadata-free schema is passed AT the read so the b'pandas' blob of
+    pandas-written files never enters any block — including Ray's fused
+    ReadParquet operator, where it would make schemas unhashable
+    (``schema.clean_parquet_schema``)."""
+    from ..schema import clean_parquet_schema
 
-    return ray.data.read_parquet(path).map_batches(
-        strip_metadata, batch_format="pyarrow"
-    )
+    first = path[0] if isinstance(path, list) else path
+    return ray.data.read_parquet(path, schema=clean_parquet_schema(first))
 
 
 def _default_pool() -> tuple[int, int]:

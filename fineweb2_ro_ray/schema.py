@@ -92,6 +92,29 @@ def strip_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def clean_parquet_schema(path: str, columns: list[str] | None = None) -> pa.Schema:
+    """Metadata-free (projected) schema of a Parquet file or dataset
+    dir, for ``read_parquet(schema=...)``. Passing a clean schema at
+    the READ keeps the b'pandas' blob out of Ray's fused ReadParquet
+    operator itself — the one place a post-read ``strip_metadata`` map
+    can't reach (its SplitBlocks schema-unification hashes the FILE
+    schema and warns "Failed to hash the schemas" on the unhashable
+    pandas dict). One driver-side footer read; no data pages touched."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        names = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not names:
+            raise FileNotFoundError(f"no parquet files under {p}")
+        p = os.path.join(p, names[0])
+    s = pq.read_schema(p)
+    fields = columns if columns is not None else s.names
+    return pa.schema([s.field(c).remove_metadata() for c in fields])
+
+
 def hash_key_u64(col) -> "np.ndarray":
     """Dtype-CANONICAL 64-bit key hash for partition assignment: equal
     logical keys hash identically regardless of physical representation

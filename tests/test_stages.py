@@ -1208,3 +1208,86 @@ def test_bloom_semi_join_bounded_driver():
          .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_hash_exchange_multi_key_pyarrow_matches_groupby():
+    """The generalized exchange (multi-column key, Arrow reduce path)
+    computes the same grouped result as a pandas groupby: every
+    (k1, k2) key's rows land in exactly one reduce partition, whatever
+    the key dtypes (string + int, with nulls and a uint64 column above
+    2^63 exercising the unsigned canonical hash)."""
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "k1": pa.array(
+                [None if i % 97 == 0 else f"s{i % 37}" for i in range(n)]
+            ),
+            "k2": pa.array((rng.integers(0, 23, n)).astype(np.int64)),
+            "ku": pa.array(
+                (rng.integers(0, 5, n).astype(np.uint64) + np.uint64(1 << 63))
+            ),
+            "v": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        }
+    )
+
+    def per_part(tt: pa.Table) -> pa.Table:
+        df = tt.to_pandas().fillna({"k1": "<null>"})
+        g = (
+            df.groupby(["k1", "k2", "ku"], as_index=False)["v"]
+            .sum()
+            .rename(columns={"v": "v_sum"})
+        )
+        return pa.table(
+            {
+                "k1": pa.array(g["k1"].astype(str)),
+                "k2": pa.array(g["k2"].to_numpy(np.int64)),
+                "ku": pa.array(g["ku"].to_numpy(np.uint64)),
+                "v_sum": pa.array(g["v_sum"].to_numpy(np.int64)),
+            }
+        )
+
+    out = hash_exchange_map_groups(
+        rd.from_arrow(t),
+        per_part,
+        key=["k1", "k2", "ku"],
+        n_reducers=13,
+        batch_format="pyarrow",
+    ).to_pandas()
+    ref = (
+        t.to_pandas()
+        .fillna({"k1": "<null>"})
+        .groupby(["k1", "k2", "ku"], as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "v_sum"})
+    )
+    out = out.sort_values(["k1", "k2", "ku"], ignore_index=True)
+    ref = ref.sort_values(["k1", "k2", "ku"], ignore_index=True)
+    # if any key were split across partitions, per-partition sums would
+    # produce duplicate key rows and this exact-frame compare would fail
+    pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict()))
+
+
+def test_hash_exchange_single_int_key_routes_complete_groups():
+    """A single NON-string key takes the canonical-hash route (not the
+    crc32 string path); each key must still be partition-complete."""
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    t = pa.table(
+        {
+            "k": pa.array(np.repeat(np.arange(40, dtype=np.int64), 25)),
+            "v": pa.array(np.arange(1000, dtype=np.int64)),
+        }
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False)["v"].count().rename(columns={"v": "n"})
+
+    out = (
+        hash_exchange_map_groups(rd.from_arrow(t), per_part, key="k", n_reducers=7)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert (out["n"] == 25).all() and len(out) == 40
