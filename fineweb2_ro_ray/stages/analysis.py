@@ -114,7 +114,17 @@ def grouped_counts(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
         return from_pandas_clean(out)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(keys).aggregate(Sum("partial_n", alias_name="n"))
+    # the residual after the combiner is tiny (batches × distinct key
+    # combos), but Ray's sort-based groupby still pays its fixed floor
+    # (boundary sampling + per-block sort + merge) — the raw hash
+    # exchange sums the partials with no sort at all
+    from .exchange import hash_exchange_map_groups
+
+    def reduce_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, as_index=False, dropna=False)["partial_n"].sum()
+        return out.rename(columns={"partial_n": "n"})
+
+    return hash_exchange_map_groups(partials, reduce_sum, key=list(keys))
 
 
 def value_counts(ds: ray.data.Dataset, col: str) -> pd.DataFrame:

@@ -1162,8 +1162,32 @@ def jaccard_pairs_by_group(
             }
         )
 
-    return ds.select_columns([group_col, id_col, "text"]).groupby(group_col).map_groups(
-        per_group, batch_format="pandas"
+    # hash exchange, not Ray's sort-based groupby: each reduce partition
+    # holds several complete groups; loop them pandas-side (the
+    # per-group body is the expensive part, the loop is over distinct
+    # sources). Null groups are real groups (dropna=False), matching
+    # Ray map_groups semantics.
+    from .exchange import hash_exchange_map_groups
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            per_group(g) for _, g in df.groupby(group_col, dropna=False, sort=False)
+        ]
+        return (
+            pd.concat(outs, ignore_index=True) if outs else per_group(df.head(0))
+        )
+
+    return hash_exchange_map_groups(
+        ds.select_columns([group_col, id_col, "text"]),
+        per_partition,
+        key=group_col,
+        out_schema=pa.schema(
+            [
+                pa.field("doc_a", pa.int64()),
+                pa.field("doc_b", pa.int64()),
+                pa.field("jaccard", pa.float64()),
+            ]
+        ),
     )
 
 
@@ -1233,8 +1257,9 @@ def jaccard_pairs_distributed(
     AllPairs stays correct when the candidate index is built per
     prefix-token partition: two docs with Jaccard ≥ t must share a
     token lying in BOTH AllPairs prefixes (pigeonhole), so the pair
-    surfaces in that token's bucket. Exchanges (all hash-partitioned,
-    rows are thin):
+    surfaces in that token's bucket. Exchanges (all on the raw hash
+    exchange — Ray's sort-based groupby carries a fixed multi-second
+    sort floor per wide step — rows are thin):
 
     1. explode → per-doc unique (group, token, doc, set_size) rows,
        partitioned by hash(group, token): document frequency per token
@@ -1275,25 +1300,7 @@ def jaccard_pairs_distributed(
             }
         )
 
-    def part_by(cols: list[str]):
-        # vectorized composite-key partitioner; hash_key_u64 is
-        # dtype-CANONICAL so a null-containing batch (float64 upcast)
-        # hashes identically to a clean one — a per-row Python crc32
-        # loop here would put an interpreter loop in the hottest
-        # exchange, and a raw hash_array would scatter equal keys
-        from ..schema import hash_key_u64
-
-        def f(b: pa.Table) -> pa.Table:
-            h = np.zeros(b.num_rows, dtype=np.uint64)
-            for c in cols:
-                hc = hash_key_u64(b[c])
-                with np.errstate(over="ignore"):
-                    h = h * np.uint64(0x9E3779B97F4A7C15) + hc
-            return b.append_column(
-                "part", pa.array((h % n_partitions).astype(np.int32), pa.int32())
-            )
-
-        return f
+    from .exchange import hash_exchange_map_groups
 
     tok_rows = ds.select_columns([group_col, id_col, "text"]).map_batches(
         explode_unique, batch_format="pyarrow"
@@ -1301,32 +1308,24 @@ def jaccard_pairs_distributed(
 
     # exchange 1: df per (group, token), vectorized per partition
     def add_df(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["part"])
         # dropna=False: a NULL group_col is a real group (matches the
         # per-group path, where Ray's groupby keeps the null group)
+        g = g.copy()
         g["df"] = g.groupby([group_col, "token"], dropna=False)[id_col].transform("size")
         return g
 
-    with_df = (
-        tok_rows.map_batches(part_by([group_col, "token"]), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(add_df, batch_format="pandas")
-    )
+    with_df = hash_exchange_map_groups(tok_rows, add_df, key=[group_col, "token"])
 
     # exchange 2: per-doc prefix by the global (df, token) order
     def take_prefix(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["part"]).sort_values(
-            [group_col, id_col, "df", "token"], kind="mergesort"
-        )
+        g = g.sort_values([group_col, id_col, "df", "token"], kind="mergesort")
         pos = g.groupby([group_col, id_col], dropna=False).cumcount()
         p = g["set_size"] - np.ceil(t * g["set_size"]).astype(np.int64) + 1
         out = g[pos < p]
         return out[[group_col, "token", id_col, "set_size"]]
 
-    prefixes = (
-        with_df.map_batches(part_by([group_col, id_col]), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(take_prefix, batch_format="pandas")
+    prefixes = hash_exchange_map_groups(
+        with_df, take_prefix, key=[group_col, id_col]
     )
 
     # exchange 3: candidate pairs within each (group, token) bucket
@@ -1353,17 +1352,20 @@ def jaccard_pairs_distributed(
             {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    from ray.data.aggregate import Count
-
-    cand = (
-        prefixes.map_batches(part_by([group_col, "token"]), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()  # consumed twice: involved-id scan + attach
+    pair_only_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
     )
+    cand = hash_exchange_map_groups(
+        hash_exchange_map_groups(
+            prefixes, bucket_pairs, key=[group_col, "token"],
+            out_schema=pair_only_schema,
+        ),
+        # global pair-distinct: equal pairs hash to one partition, so a
+        # partition-local drop_duplicates is globally distinct
+        lambda df: df.drop_duplicates(),
+        key=["doc_a", "doc_b"],
+        out_schema=pair_only_schema,
+    ).materialize()  # consumed twice: involved-id scan + attach
 
     # exchange 4: exact verification with the canonical tokenizer —
     # text payload SEMI-JOIN-FILTERED to the docs that appear in a

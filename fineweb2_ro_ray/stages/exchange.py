@@ -62,11 +62,17 @@ def _part_codes(t: pa.Table, keys: list[str], n_reducers: int) -> np.ndarray:
 
 
 @ray.remote
-def _split_block(t: pa.Table, n_reducers: int, key: str | list[str]) -> tuple:
+def _split_block(t, n_reducers: int, key: str | list[str]) -> tuple:
     """Map side: one task per upstream block; returns ``n_reducers``
     table slices. A single STRING key routes via the engine-pinned
     crc32 partition hash (computed per *unique* key — cheap for
-    multi-turn conversations); other keys via the canonical hash."""
+    multi-turn conversations); other keys via the canonical hash.
+
+    Accepts a pandas-backed block too (Ray stores ``from_pandas`` /
+    pandas-map_groups outputs as DataFrames): converted to Arrow here,
+    metadata-stripped."""
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
     if isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
         from ..state.checkpoint import add_partition_column
 
