@@ -69,32 +69,34 @@ def connected_components(
         a = np.concatenate(ea) if ea else np.array([], np.int64)
         b = np.concatenate(eb) if eb else np.array([], np.int64)
         nodes = np.unique(np.concatenate([a, b]))
-        parent = np.arange(len(nodes), dtype=np.int64)
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
         ia = np.searchsorted(nodes, a)
         ib = np.searchsorted(nodes, b)
-        for x, y in zip(ia, ib):
-            rx, ry = find(int(x)), find(int(y))
-            if rx != ry:
-                # union by MIN node id keeps the component label exact
-                if nodes[rx] < nodes[ry]:
-                    parent[ry] = rx
-                else:
-                    parent[rx] = ry
-        comp = np.array([nodes[find(int(i))] for i in range(len(nodes))], np.int64)
+        # vectorized label propagation (a per-edge Python union-find
+        # loop was this operator's hot spot at 444k edges): each round
+        # every endpoint takes the edge-min label (np.minimum.at), then
+        # pointer-jumps lab <- lab[lab] to collapse chains; labels are
+        # INDICES into the ascending-sorted node array, so min index ==
+        # min node id and the final label is exact. Rounds ~ O(log
+        # diameter); near-dup clusters are quasi-cliques (2-4 rounds).
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            m = np.minimum(lab[ia], lab[ib])
+            new = lab.copy()
+            np.minimum.at(new, ia, m)
+            np.minimum.at(new, ib, m)
+            while True:  # full pointer-jump collapse (strictly decreasing)
+                jumped = new[new]
+                if np.array_equal(jumped, new):
+                    break
+                new = jumped
+            if np.array_equal(new, lab):
+                break
+            lab = new
         return ray.data.from_arrow(
             pa.table(
                 {
                     "doc_id": pa.array(nodes, pa.int64()),
-                    "component": pa.array(comp, pa.int64()),
+                    "component": pa.array(nodes[lab], pa.int64()),
                 }
             )
         )
@@ -112,12 +114,14 @@ def connected_components(
             {"doc_id": pa.array(u, pa.int64()), "lbl": pa.array(u, pa.int64())}
         )
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Min("lbl", alias_name="lbl"))
-        .materialize()
-    )
+    from .exchange import hash_exchange_map_groups
+
+    lbl_min = lambda df: df.groupby("doc_id", as_index=False)["lbl"].min()  # noqa: E731
+    labels = hash_exchange_map_groups(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        lbl_min,
+        key="doc_id",
+    ).materialize()
 
     edge_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
     lbl_schema = pa.schema(
@@ -159,12 +163,9 @@ def connected_components(
             )
 
         prop = wab.map_batches(cands, batch_format="pyarrow")
-        labels = (
-            prop.union(labels)
-            .groupby("doc_id")
-            .aggregate(Min("lbl", alias_name="lbl"))
-            .materialize()
-        )
+        labels = hash_exchange_map_groups(
+            prop.union(labels), lbl_min, key="doc_id"
+        ).materialize()
         # pointer jump: l(x) <- min(l(x), l(l(x))). Every label IS a
         # node id, so the lookup always resolves; combined with the
         # neighbor-min this gives O(log diameter) rounds instead of
@@ -208,9 +209,13 @@ def connected_components(
 def cluster_sizes(components: ray.data.Dataset) -> ray.data.Dataset:
     """(component, cluster_size) — the engine-side derivation of the
     reference's ``minhash_cluster_size`` passenger column."""
-    from ray.data.aggregate import Count
+    from .exchange import hash_exchange_map_groups
 
-    return components.groupby("component").aggregate(Count(alias_name="cluster_size"))
+    def count_per_part(df):
+        out = df.groupby("component", as_index=False).size()
+        return out.rename(columns={"size": "cluster_size"})
+
+    return hash_exchange_map_groups(components, count_per_part, key="component")
 
 
 def dedup_by_components(
@@ -218,8 +223,10 @@ def dedup_by_components(
 ) -> ray.data.Dataset:
     """Canonical survivor per near-dup cluster: the MIN doc id (= the
     component label itself). Returns one (doc_id,) row per cluster."""
-    return (
-        components.groupby("component")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-    )
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        components,
+        lambda df: df.groupby("component", as_index=False)["doc_id"].min(),
+        key="component",
+    ).select_columns(["doc_id"])

@@ -60,12 +60,19 @@ def dedup_exact(
     """Exact dedup: canonical row per distinct text = the MIN id.
     hash → map-side partial min → small groupby shuffle → global min.
     Returns columns (text_md5, doc_id)."""
+    from .exchange import hash_exchange_map_groups
+
     ds = ds.map_batches(
         lambda b: _batch_min_by_key(add_md5(b, text_col), "text_md5", id_col),
         batch_format="pyarrow",
     )
-    out = ds.groupby("text_md5").aggregate(Min(id_col, alias_name=id_col))
-    return out
+    # global min over the per-batch partials on the hash exchange (no
+    # sort floor; the shuffled rows are the thinned (key, min-id) set)
+    return hash_exchange_map_groups(
+        ds,
+        lambda df: df.groupby("text_md5", as_index=False, dropna=False)[id_col].min(),
+        key="text_md5",
+    )
 
 
 def dedup_keep_best(
@@ -87,6 +94,8 @@ def dedup_keep_best(
     Python once per distinct text). NULL text forms its own group
     (``md5(NULL)`` is NULL). Returns (text_md5, doc_id, score_col)."""
 
+    from .exchange import hash_exchange_map_groups
+
     def best_per_batch(b: pa.Table) -> pa.Table:
         df = add_md5(b, text_col, "text_md5").select(
             ["text_md5", id_col, score_col]
@@ -95,27 +104,18 @@ def dedup_keep_best(
             [score_col, id_col], ascending=[False, True], kind="mergesort"
         )
         df = df.groupby("text_md5", as_index=False, dropna=False).head(1)
-        # partition on the md5 hex prefix (uniform); NULL md5 → part 0
-        part = np.zeros(len(df), dtype=np.int32)
-        ok = df["text_md5"].notna().to_numpy()
-        if ok.any():
-            part[ok] = np.array(
-                [int(h[:12], 16) % n_partitions for h in df["text_md5"][ok]],
-                dtype=np.int32,
-            )
-        return from_pandas_clean(df.assign(part=part))
+        return from_pandas_clean(df)
 
     def best_per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
             [score_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        out = df.groupby("text_md5", as_index=False, dropna=False).head(1)
-        return out.drop(columns=["part"])
+        return df.groupby("text_md5", as_index=False, dropna=False).head(1)
 
-    return (
-        ds.map_batches(best_per_batch, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(best_per_part, batch_format="pandas")
+    return hash_exchange_map_groups(
+        ds.map_batches(best_per_batch, batch_format="pyarrow"),
+        best_per_part,
+        key="text_md5",
     )
 
 
@@ -291,17 +291,22 @@ class MinHasher:
 
 
 def minhash_signatures(
-    ds: ray.data.Dataset, *, k: int = 5, num_perm: int = 64, concurrency=(1, 8)
+    ds: ray.data.Dataset, *, k: int = 5, num_perm: int = 64, concurrency=None
 ) -> ray.data.Dataset:
-    # default is an AUTOSCALING pool so small/interactive inputs don't
-    # pay an 8-actor spin-up (and 4-CPU test sessions don't stall on an
-    # unsatisfiable fixed pool); bulk callers should pass a fixed int —
-    # fixed pools measured ~2x steady-state throughput on this box
+    # STATELESS TASKS, not an actor pool: MinHasher's per-actor state is
+    # two num_perm-element coefficient arrays (microseconds to build —
+    # unlike a model load there is nothing to amortize), while a pool
+    # pays actor spin-up and caps parallelism at its max size. Measured
+    # sf0.1: tasks 0.2 s warm vs 2.1 s for an autoscaling (1, 8) pool —
+    # the pool spent the whole job starting actors. Tasks scale to every
+    # free CPU on any cluster size with zero warm-up. ``concurrency``
+    # still bounds concurrent tasks when a caller co-schedules this
+    # against heavier stages.
+    def sig_batch(b: pa.Table) -> pa.Table:
+        return MinHasher(k=k, num_perm=num_perm)(b)
+
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"k": k, "num_perm": num_perm},
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        sig_batch, batch_format="pyarrow", concurrency=concurrency
     )
 
 
@@ -1001,14 +1006,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_partitions: int = 2048,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
     bucketing on each of ``max_hamming + 1`` bit chunks (pigeonhole —
     exact recall at any threshold, chunk count adapts)."""
     layout = _simhash_chunk_layout(max_hamming)
     n_chunks = len(layout)
-    hashed = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+    # stateless tasks (SimHasher holds no per-actor state at all): no
+    # pool spin-up, parallelism = free CPUs — see minhash_signatures
+    hashed = ds.map_batches(
+        lambda b: SimHasher()(b), batch_format="pyarrow", concurrency=concurrency
+    )
 
     def explode(b: pa.Table) -> pa.Table:
         """Vectorized: each doc emits one (bucket, id, simhash) row per
@@ -1067,20 +1076,31 @@ def simhash_pairs(
             }
         )
 
-    def add_part(b: pa.Table) -> pa.Table:
-        part = (b["bucket"].to_numpy(zero_copy_only=False) % n_partitions).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
+    # both wide steps on the raw hash exchange (see lsh_candidate_pairs):
+    # bucket co-location for pairing, then (doc_a, doc_b)-keyed min over
+    # hamming (the same pair can surface from several chunk buckets)
+    from .exchange import hash_exchange_map_groups
 
-    pairs = (
-        hashed.map_batches(explode, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: partition_pairs(g.drop_columns(["part"])), batch_format="pyarrow"
-        )
+    pair_schema = pa.schema(
+        [
+            pa.field("doc_a", pa.int64()),
+            pa.field("doc_b", pa.int64()),
+            pa.field("hamming", pa.int64()),
+        ]
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    pairs = hash_exchange_map_groups(
+        hashed.map_batches(explode, batch_format="pyarrow"),
+        partition_pairs,
+        key="bucket",
+        batch_format="pyarrow",
+        out_schema=pair_schema,
+    )
+
+    def min_hamming(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+
+    return hash_exchange_map_groups(
+        pairs, min_hamming, key=["doc_a", "doc_b"], out_schema=pair_schema
     )
 
 
@@ -1114,51 +1134,112 @@ def jaccard_pairs_by_group(
     verified with exact sorted-array intersection. Memory is
     O(tokens + candidates) — never |docs|²."""
 
+    import pyarrow.compute as pc
+
     t = threshold
 
+    _empty_pairs = pd.DataFrame(
+        {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            "jaccard": np.array([], dtype=np.float64),
+        }
+    )
+
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized AllPairs for one group — no Python loop touches a
+        token or a candidate pair (the dict/set candidate index was
+        this operator's hot spot at a 444k-pair group). The candidate
+        SET is the same as the loop version's (AllPairs is correct for
+        any global token order, so the df-rank tie-break need not match
+        bit-for-bit); the verified output is exact either way."""
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         n = len(ids)
-        token_lists = [(s or "").split(" ") for s in g["text"]]
-        # unique token ids per doc
-        vocab: dict[str, int] = {}
-        docs: list[np.ndarray] = []
-        for toks in token_lists:
-            tids = {vocab.setdefault(w, len(vocab)) for w in toks}
-            docs.append(np.fromiter(tids, dtype=np.int64, count=len(tids)))
-        # rank tokens by ascending document frequency (rarest first)
-        df_cnt = np.zeros(len(vocab), dtype=np.int64)
-        for d in docs:
-            df_cnt[d] += 1
-        rank_of = np.empty(len(vocab), dtype=np.int64)
-        rank_of[np.lexsort((np.arange(len(vocab)), df_cnt))] = np.arange(len(vocab))
-        docs = [np.sort(rank_of[d]) for d in docs]  # sorted by rarity
-        sizes = np.array([len(d) for d in docs], dtype=np.int64)
-        # inverted index over prefixes → candidate pairs
-        index: dict[int, list[int]] = {}
-        cand: set[tuple[int, int]] = set()
-        for i in np.argsort(sizes, kind="stable"):  # small docs first
-            p = int(sizes[i] - np.ceil(t * sizes[i])) + 1
-            for tok in docs[i][:p]:
-                for j in index.get(int(tok), ()):
-                    if sizes[j] >= t * sizes[i]:  # length filter
-                        cand.add((j, i) if j < i else (i, j))
-                index.setdefault(int(tok), []).append(int(i))
-        out_a, out_b, out_j = [], [], []
-        for i, j in sorted(cand):
-            inter = len(np.intersect1d(docs[i], docs[j], assume_unique=True))
-            union = int(sizes[i] + sizes[j] - inter)
-            jac = inter / union if union else 0.0
-            if jac >= t:
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                out_j.append(jac)
+        if n < 2:
+            return _empty_pairs.copy()
+        # tokenize + per-doc unique, all Arrow/numpy: split → dictionary
+        # encode → unique (doc, token-code) via one np.unique
+        texts = pa.array(
+            ["" if s is None else s for s in g["text"]], pa.string()
+        )
+        toks = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(denc.dictionary)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uk = np.unique(doc_idx * V + codes)
+        d_i, c_i = uk // V, uk % V
+        # rank tokens rarest-first (ties by code — any total order is a
+        # valid AllPairs order)
+        df_cnt = np.bincount(c_i, minlength=V)
+        rank_of = np.empty(V, dtype=np.int64)
+        rank_of[np.lexsort((np.arange(V), df_cnt))] = np.arange(V)
+        r_i = rank_of[c_i]
+        o = np.lexsort((r_i, d_i))
+        d_s, r_s = d_i[o], r_i[o]  # per doc: ranks ascending (rarest first)
+        sizes = np.bincount(d_s, minlength=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        # prefix = the floor((1-t)|set|)+1 rarest tokens of each doc
+        pos = np.arange(len(d_s), dtype=np.int64) - starts[d_s]
+        p = sizes - np.ceil(t * sizes).astype(np.int64) + 1
+        pref = pos < p[d_s]
+        pd_, pr = d_s[pref], r_s[pref]
+        # bucket prefix rows by token; all doc pairs within a bucket
+        o2 = np.lexsort((pd_, pr))
+        bd, br = pd_[o2], pr[o2]
+        bstarts = np.flatnonzero(np.concatenate([[True], br[1:] != br[:-1]]))
+        bends = np.concatenate([bstarts[1:], [len(br)]])
+        pair_keys = []
+        for s, e in zip(bstarts, bends):  # loop over multi-doc buckets only;
+            if e - s < 2:  # the pair generation inside is numpy
+                continue
+            ai, bi = np.triu_indices(e - s, k=1)
+            pair_keys.append(bd[s + ai] * n + bd[s + bi])  # bd ascending in bucket
+        if not pair_keys:
+            return _empty_pairs.copy()
+        pk = np.unique(np.concatenate(pair_keys))
+        pi, pj = pk // n, pk % n
+        keep = t * np.maximum(sizes[pi], sizes[pj]) <= np.minimum(sizes[pi], sizes[pj])
+        pi, pj = pi[keep], pj[keep]
+        if len(pi) == 0:
+            return _empty_pairs.copy()
+        # bulk exact verify: make token ranks pair-unique by offsetting
+        # with pair_idx·V, then ONE np.unique(return_counts) over both
+        # sides — a rank appearing twice is an intersection hit for its
+        # pair (each side holds unique ranks per doc)
+        la, lb = sizes[pi], sizes[pj]
+        P = len(pi)
+
+        def gather(docs_of_pair, seg_len):
+            off = np.zeros(P + 1, dtype=np.int64)
+            np.cumsum(seg_len, out=off[1:])
+            total = off[-1]
+            pair_of = np.repeat(np.arange(P, dtype=np.int64), seg_len)
+            local = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], seg_len)
+            vals = r_s[starts[docs_of_pair][pair_of] + local]
+            return vals + pair_of * V
+
+        both = np.concatenate([gather(pi, la), gather(pj, lb)])
+        uvals, counts = np.unique(both, return_counts=True)
+        # counts==2 rows are intersections; map back to pairs via the
+        # unique values' pair index
+        inter = np.bincount(
+            (uvals[counts == 2] // V).astype(np.int64), minlength=P
+        )
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ok = jac >= t
         return pd.DataFrame(
             {
-                "doc_a": np.array(out_a, dtype=np.int64),
-                "doc_b": np.array(out_b, dtype=np.int64),
-                "jaccard": np.array(out_j, dtype=np.float64),
+                "doc_a": ids[pi[ok]].astype(np.int64),
+                "doc_b": ids[pj[ok]].astype(np.int64),
+                "jaccard": jac[ok].astype(np.float64),
             }
         )
 

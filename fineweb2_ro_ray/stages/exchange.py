@@ -73,6 +73,11 @@ def _split_block(t, n_reducers: int, key: str | list[str]) -> tuple:
     metadata-stripped."""
     if isinstance(t, pd.DataFrame):
         t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
+    if t.num_rows == 0:
+        # Ray 2.49 map operators emit 0-row blocks with an EMPTY schema
+        # (no key column to hash); route an empty slice everywhere —
+        # the reduce side drops row-less chunks before concat
+        return tuple(t for _ in range(n_reducers))
     if isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
         from ..state.checkpoint import add_partition_column
 
@@ -108,7 +113,13 @@ def _reduce_partition(
     ``fn`` call → one Arrow block. ``out_schema`` pins the output type
     so an empty partition emits a schema-identical empty block (pandas
     would otherwise upcast empty columns to object/float64)."""
-    t = pa.concat_tables(chunks).combine_chunks()
+    live = [c for c in chunks if c.num_rows > 0]
+    if not live:
+        # every upstream slice was a 0-row (possibly empty-SCHEMA) block
+        if out_schema is not None:
+            return out_schema.empty_table()
+        return chunks[0]  # degenerate; pruned by the 0-row filter below
+    t = pa.concat_tables(live).combine_chunks()
     if batch_format == "pyarrow":
         out_t = fn(t)
         return out_t.cast(out_schema) if out_schema is not None else out_t

@@ -471,11 +471,11 @@ def knn_lsh(
     q_buckets = lsh.bucket_of(q)
     wanted = pa.array(np.unique(q_buckets), pa.int64())
 
+    # stateless tasks: the hyperplane matrix is seeded + tiny (dim ×
+    # n_planes floats), rebuilt per batch for free — no pool spin-up
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        lambda t: HyperplaneLSH(dim=dim, n_planes=n_planes)(t),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     import pyarrow.compute as pc
 

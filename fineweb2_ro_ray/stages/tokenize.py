@@ -56,11 +56,14 @@ class BPETokenCounter:
 
 
 def bpe_token_counts(
-    ds: ray.data.Dataset, *, text_col: str = "text", concurrency=(1, 8), batch_size: int = 4096
+    ds: ray.data.Dataset, *, text_col: str = "text", concurrency=None, batch_size: int = 4096
 ) -> ray.data.Dataset:
+    # stateless tasks: the vendored BPE table builds in ~0.4 ms, so
+    # per-batch construction is free and no pool spin-up caps
+    # parallelism (a real HF tokenizer load would justify the pool —
+    # swap BPETokenCounter back in as a class for that)
     return ds.map_batches(
-        BPETokenCounter,
-        fn_constructor_kwargs={"text_col": text_col},
+        lambda b: BPETokenCounter(text_col=text_col)(b),
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -53,14 +53,27 @@ def add_partition_column(
     """Vectorized-ish partition assignment: crc32 per *unique* key in the
     batch, broadcast back via dictionary encoding (cheap because unique
     keys per batch << rows for multi-turn conversations)."""
+    import pyarrow.compute as pc
+
     col = batch[key]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     dic = col.dictionary_encode()
     uniq = dic.dictionary.to_pylist()
-    lut = np.array([zlib.crc32(u.encode("utf-8")) % n_partitions for u in uniq], dtype=np.int32)
-    idx = dic.indices.to_numpy(zero_copy_only=False)
-    return batch.append_column("part", pa.array(lut[idx], pa.int32()))
+    lut = np.array(
+        [zlib.crc32(u.encode("utf-8")) % n_partitions for u in uniq], dtype=np.int32
+    )
+    # NULL keys form a real group (e.g. md5(NULL) in dedup) and land
+    # deterministically in partition 0; an ALL-null batch has an empty
+    # dictionary, so nothing may index lut at all
+    if len(lut) == 0:
+        part = np.zeros(batch.num_rows, dtype=np.int32)
+    else:
+        valid = pc.is_valid(dic.indices).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(dic.indices, 0).to_numpy(zero_copy_only=False)
+        part = lut[idx.astype(np.int64)]
+        part[~valid] = 0
+    return batch.append_column("part", pa.array(part, pa.int32()))
 
 
 @dataclass
