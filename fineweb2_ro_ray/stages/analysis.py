@@ -279,7 +279,15 @@ def grouped_percentiles(
             out[k] = df[k].iloc[0]
         return out[keys + ["q", "value"]]
 
-    return hist.groupby(keys).map_groups(per_key, batch_format="pandas")
+    from .exchange import hash_exchange_map_groups
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [per_key(g) for _, g in df.groupby(keys, dropna=False, sort=False)],
+            ignore_index=True,
+        )
+
+    return hash_exchange_map_groups(hist, per_partition, key=list(keys))
 
 
 def grouped_top_k(
@@ -304,12 +312,13 @@ def grouped_top_k(
         return from_pandas_clean(df.groupby(keys, dropna=False).head(k))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values([col, tiebreak], ascending=asc, kind="mergesort").head(k)
+        df = df.sort_values([col, tiebreak], ascending=asc, kind="mergesort")
+        return df.groupby(keys, dropna=False, sort=False).head(k)
 
-    return (
-        ds.map_batches(local, batch_format="pyarrow")
-        .groupby(keys)
-        .map_groups(merge, batch_format="pandas")
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        ds.map_batches(local, batch_format="pyarrow"), merge, key=list(keys)
     )
 
 
@@ -332,15 +341,10 @@ def rolling_sum_cents(
     bit-exact vs a SQL window ``SUM OVER (... ROWS window-1
     PRECEDING)``. Output: (key, id, ts, cents, roll_cents)."""
 
-    def part_col(b: pa.Table) -> pa.Table:
-        ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    def to_cents(b: pa.Table) -> pa.Table:
         cents = round_half_away(b[val_col].to_numpy(zero_copy_only=False) * 100)
-        return (
-            b.select([key, id_col, ts_col])
-            .append_column("cents", pa.array(cents, pa.int64()))
-            .append_column(
-                "part", pa.array((ks % n_partitions).astype(np.int32), pa.int32())
-            )
+        return b.select([key, id_col, ts_col]).append_column(
+            "cents", pa.array(cents, pa.int64())
         )
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
@@ -356,11 +360,14 @@ def rolling_sum_cents(
         df[ts_col] = df[ts_col].dt.strftime("%Y-%m-%d %H:%M:%S")
         return df[[key, id_col, ts_col, "cents", "roll_cents"]]
 
-    return (
-        ds.select_columns([key, id_col, ts_col, val_col])
-        .map_batches(part_col, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda g: roll(g.drop(columns=["part"])), batch_format="pandas")
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        ds.select_columns([key, id_col, ts_col, val_col]).map_batches(
+            to_cents, batch_format="pyarrow"
+        ),
+        roll,
+        key=key,
     )
 
 
@@ -398,11 +405,14 @@ def word_counts(
             {"word": dic.dictionary, "partial_n": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
-    merged = (
-        ds.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("partial_n", alias_name="n"))
+    from .exchange import hash_exchange_map_groups
+
+    merged = hash_exchange_map_groups(
+        ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow"),
+        lambda df: df.groupby("word", as_index=False, dropna=False)["partial_n"]
+        .sum()
+        .rename(columns={"partial_n": "n"}),
+        key="word",
     )
     if top is None:
         return merged

@@ -86,10 +86,6 @@ def session_windows(
     amortization as conversation reassembly)."""
     gap = pd.Timedelta(minutes=gap_min)
 
-    def part_col(b: pa.Table) -> pa.Table:
-        ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("part", pa.array((ks % n_partitions).astype(np.int32), pa.int32()))
-
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, ts_col], kind="mergesort")
         prev_ts = df.groupby(key, sort=False)[ts_col].shift(1)
@@ -101,9 +97,8 @@ def session_windows(
         out["end"] = out["end"].dt.strftime("%Y-%m-%d %H:%M:%S")
         return out
 
-    return (
-        ds.select_columns([key, ts_col])
-        .map_batches(part_col, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda g: sessions(g.drop(columns=["part"])), batch_format="pandas")
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        ds.select_columns([key, ts_col]), sessions, key=key
     )
