@@ -56,6 +56,21 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     )
 
 
+def _exchange_sum(
+    partials: ray.data.Dataset, keys: list[str], renames: dict[str, str]
+) -> ray.data.Dataset:
+    """Merge map-side partial-sum rows on the raw hash exchange (no
+    sort): one vectorized groupby-sum per reduce partition. ``renames``
+    maps partial column → output alias, in output order."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    def reduce_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, as_index=False, dropna=False)[list(renames)].sum()
+        return out.rename(columns=renames)
+
+    return hash_exchange_map_groups(partials, reduce_sum, key=list(keys))
+
+
 # ---------------------------------------------------------------------------
 # documents: per-doc stats / filters / aggregates
 # ---------------------------------------------------------------------------
@@ -201,12 +216,10 @@ def q_events_type_counts(sf_dir: str):
         )
         return from_pandas_clean(out)
 
-    from ray.data.aggregate import Sum
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("partial_n", alias_name="n"), Sum("partial_cents", alias_name="value_cents"))
+    return _exchange_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"partial_n": "n", "partial_cents": "value_cents"},
     )
 
 
@@ -250,17 +263,15 @@ def q_lineitem_pricing(sf_dir: str):
         )
         return from_pandas_clean(out)
 
-    from ray.data.aggregate import Sum
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("partial_qty", alias_name="sum_qty"),
-            Sum("partial_cents", alias_name="sum_price_cents"),
-            Sum("partial_disc", alias_name="sum_disc_bp"),
-            Sum("partial_n", alias_name="count_order"),
-        )
+    return _exchange_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "partial_qty": "sum_qty",
+            "partial_cents": "sum_price_cents",
+            "partial_disc": "sum_disc_bp",
+            "partial_n": "count_order",
+        },
     )
 
 
@@ -284,12 +295,10 @@ def q_orders_by_segment(sf_dir: str):
         )
         return from_pandas_clean(out)
 
-    from ray.data.aggregate import Sum
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("partial_n", alias_name="n_orders"), Sum("partial_cents", alias_name="total_cents"))
+    return _exchange_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        {"partial_n": "n_orders", "partial_cents": "total_cents"},
     )
 
 
@@ -594,12 +603,10 @@ def q_orders_join_native(sf_dir: str):
         )
         return from_pandas_clean(out)
 
-    from ray.data.aggregate import Sum
-
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("partial_n", alias_name="n_orders"), Sum("partial_cents", alias_name="total_cents"))
+    return _exchange_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        {"partial_n": "n_orders", "partial_cents": "total_cents"},
     )
 
 

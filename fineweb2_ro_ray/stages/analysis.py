@@ -330,7 +330,6 @@ def rolling_sum_cents(
     ts_col: str,
     val_col: str,
     window: int = 3,
-    n_partitions: int = 1024,
 ) -> ray.data.Dataset:
     """Streaming-construct restatement (§2.9): per-key rolling sum over
     the last ``window`` events ordered by (time, id) — the
@@ -428,13 +427,13 @@ def grouped_distinct_counts(
     is the thinned shuffle (G1 shape); distinct count = rows per key of
     that histogram — a second tiny groupby."""
     pairs = grouped_counts(ds.select_columns([key, col]), [key, col])
-    from ray.data.aggregate import Count
+    from .exchange import hash_exchange_map_groups
 
-    return (
-        pairs.select_columns([key])
-        .groupby(key)
-        .aggregate(Count(alias_name="n_distinct"))
-    )
+    def count_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, as_index=False, dropna=False).size()
+        return out.rename(columns={"size": "n_distinct"})
+
+    return hash_exchange_map_groups(pairs.select_columns([key]), count_rows, key=key)
 
 
 def pivot_counts(
@@ -453,7 +452,15 @@ def pivot_counts(
             out[f"n_{v}"] = int(counts.get(v, 0))
         return pd.DataFrame([out])
 
-    return hist.groupby(row_key).map_groups(widen, batch_format="pandas")
+    from .exchange import hash_exchange_map_groups
+
+    def widen_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [widen(g) for _, g in df.groupby(row_key, dropna=False, sort=False)],
+            ignore_index=True,
+        )
+
+    return hash_exchange_map_groups(hist, widen_part, key=row_key)
 
 
 def per_key_rank(
@@ -462,7 +469,6 @@ def per_key_rank(
     key: str,
     order_col: str,
     id_col: str,
-    n_partitions: int = 1024,
 ) -> ray.data.Dataset:
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_col, id) —
     the per-key sequence number a training-data pipeline uses for
@@ -470,22 +476,15 @@ def per_key_rank(
     session-windows shape); (order, id) total order keeps ranks
     engine-independent under ties."""
 
-    def part_col(b: pa.Table) -> pa.Table:
-        ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column(
-            "part", pa.array((ks % n_partitions).astype(np.int32), pa.int32())
-        )
-
     def rank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, order_col, id_col], kind="mergesort")
         df["rn"] = df.groupby(key, sort=False).cumcount() + 1
         return df
 
-    return (
-        ds.select_columns([key, order_col, id_col])
-        .map_batches(part_col, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda g: rank(g.drop(columns=["part"])), batch_format="pandas")
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        ds.select_columns([key, order_col, id_col]), rank, key=key
     )
 
 
@@ -495,7 +494,6 @@ def per_key_interarrival(
     key: str,
     id_col: str,
     ts_col: str,
-    n_partitions: int = 1024,
 ) -> ray.data.Dataset:
     """LAG-diff per key: INTEGER MICROSECONDS since the key's previous
     event in (ts, id) order, -1 for the first event (null-free for
@@ -506,21 +504,14 @@ def per_key_interarrival(
     hash-partitioned sorted diff, same shape as ``session_windows``.
     Output: (key, id, gap_us)."""
 
-    def part_col(b: pa.Table) -> pa.Table:
-        ks = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    def to_us(b: pa.Table) -> pa.Table:
         us = (
             b[ts_col]
             .to_numpy(zero_copy_only=False)
             .astype("datetime64[us]")
             .astype(np.int64)
         )
-        return (
-            b.select([key, id_col])
-            .append_column("_ts_us", pa.array(us, pa.int64()))
-            .append_column(
-                "part", pa.array((ks % n_partitions).astype(np.int32), pa.int32())
-            )
-        )
+        return b.select([key, id_col]).append_column("_ts_us", pa.array(us, pa.int64()))
 
     def gaps(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, "_ts_us", id_col], kind="mergesort")
@@ -529,11 +520,14 @@ def per_key_interarrival(
         df["gap_us"] = gap.fillna(-1).astype(np.int64)
         return df[[key, id_col, "gap_us"]]
 
-    return (
-        ds.select_columns([key, id_col, ts_col])
-        .map_batches(part_col, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda g: gaps(g.drop(columns=["part"])), batch_format="pandas")
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        ds.select_columns([key, id_col, ts_col]).map_batches(
+            to_us, batch_format="pyarrow"
+        ),
+        gaps,
+        key=key,
     )
 
 

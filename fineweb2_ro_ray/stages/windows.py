@@ -77,7 +77,6 @@ def session_windows(
     key: str = "user_id",
     ts_col: str = "ts",
     gap_min: int = 30,
-    n_partitions: int = 1024,
 ) -> ray.data.Dataset:
     """Gap-based sessions per key: a new session starts when the time
     since the previous event of the same key exceeds ``gap``.
