@@ -576,7 +576,14 @@ def attach_payload_exchange(
         out = sel.select(pair_cols).append_column(out_col, attached)
         return out.cast(out_schema)
 
-    return pt.union(tt).groupby("part").map_groups(per_part, batch_format="pyarrow")
+    # per_part resolves matches via searchsorted over the whole
+    # partition (key-generic), so it runs once per raw-hash-exchange
+    # partition instead of paying the sort-based groupby
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        pt.union(tt), per_part, key="part", batch_format="pyarrow", out_schema=out_schema
+    )
 
 
 def involved_signatures_ds(

@@ -81,16 +81,19 @@ def _split_block(t, n_reducers: int, key: str | list[str]) -> tuple:
     if isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
         from ..state.checkpoint import add_partition_column
 
+        # the routing column is appended LAST; remove it by index so a
+        # user column that happens to be named "part" is untouched
+        # (pyarrow drop_columns raises on duplicate names)
         t2 = add_partition_column(t, n_reducers, key=key)
-        part = t2["part"].to_numpy(zero_copy_only=False)
-        tt = t2
+        part = t2.column(t2.num_columns - 1).to_numpy(zero_copy_only=False)
+        tt = t2.remove_column(t2.num_columns - 1)
     else:
         keys = [key] if isinstance(key, str) else list(key)
         part = _part_codes(t, keys, n_reducers)
-        tt = t.append_column("part", pa.array(part, pa.int32()))
+        tt = t
     order = np.argsort(part, kind="stable")
     sorted_part = part[order]
-    tt = tt.take(pa.array(order, pa.int64())).drop_columns(["part"])
+    tt = tt.take(pa.array(order, pa.int64()))
     bounds = np.searchsorted(sorted_part, np.arange(n_reducers + 1))
     return tuple(
         tt.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_reducers)

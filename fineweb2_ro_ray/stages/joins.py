@@ -140,7 +140,14 @@ def asof_join(
         t = from_pandas_clean(out).select(out_schema.names)
         return t.cast(out_schema)
 
-    return both.groupby("part").map_groups(per_part, batch_format="pyarrow")
+    # per_part is key-generic (merge_asof ``by=`` resolves every key in
+    # the partition), so it runs once per raw-hash-exchange partition —
+    # no sort-based groupby, no per-part-value task granularity
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        both, per_part, key="part", batch_format="pyarrow", out_schema=out_schema
+    )
 
 
 def range_join(
@@ -226,4 +233,9 @@ def range_join(
         t = from_pandas_clean(merged).select(out_schema.names)
         return t.cast(out_schema)
 
-    return both.groupby("part").map_groups(per_part, batch_format="pyarrow")
+    # vectorized across keys → partition-agnostic; run on the exchange
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        both, per_part, key="part", batch_format="pyarrow", out_schema=out_schema
+    )

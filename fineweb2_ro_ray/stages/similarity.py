@@ -208,10 +208,6 @@ def embedding_neardup_lsh(
             }
         )
 
-    def add_part(b: pa.Table) -> pa.Table:
-        part = (b["bucket"].to_numpy(zero_copy_only=False) % n_partitions).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
-
     def bucket_pairs(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
@@ -247,26 +243,38 @@ def embedding_neardup_lsh(
     # the MinHash verify gate; cosine computed inside the partitions.
     # Only the distinct involved-id list touches the driver (8 B/doc,
     # linear in duplicated docs), to broadcast-filter the corpus.
-    from ray.data.aggregate import Count
-
     from .dedup import attach_payload_exchange, distinct_pair_ids
+    from .exchange import hash_exchange_map_groups
 
     empty = pa.table(
         {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
     )
-    cand = (
-        ds.select_columns([id_col, emb_col])
-        .map_batches(bucketize, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: bucket_pairs(g.drop_columns(["part"])), batch_format="pyarrow"
-        )
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()  # consumed twice (involved-id scan + attach)
+    cand_schema = pa.schema(
+        [pa.field("vec_a", pa.int64()), pa.field("vec_b", pa.int64())]
     )
+    # both wide steps on the raw hash exchange (same shape as
+    # minhash_lsh's _lsh_candidate_pairs): pair within co-located
+    # buckets, then globally distinct by keying equal pairs together
+    raw = hash_exchange_map_groups(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            bucketize, batch_format="pyarrow"
+        ),
+        bucket_pairs,
+        key="bucket",
+        batch_format="pyarrow",
+        out_schema=cand_schema,
+    ).map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.to_pandas().drop_duplicates(), preserve_index=False
+        ).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+    cand = hash_exchange_map_groups(
+        raw,
+        lambda df: df.drop_duplicates(),
+        key=["vec_a", "vec_b"],
+        out_schema=cand_schema,
+    ).materialize()  # consumed twice (involved-id scan + attach)
     involved = distinct_pair_ids(
         cand, "vec_a", "vec_b", limit=broadcast_involved_limit
     )

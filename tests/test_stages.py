@@ -1291,3 +1291,48 @@ def test_hash_exchange_single_int_key_routes_complete_groups():
         .sort_values("k", ignore_index=True)
     )
     assert (out["n"] == 25).all() and len(out) == 40
+
+
+def test_hash_exchange_key_named_part_and_part_payload_column():
+    """The exchange must not collide with user columns named "part" —
+    the bucketed joins key their exchange on a column literally named
+    "part" (pyarrow drop_columns raises on duplicate names; regression:
+    r3 asof/range joins failed with KeyError('part'))."""
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    t = pa.table(
+        {
+            "part": pa.array(np.repeat(np.arange(10, dtype=np.int32), 8)),
+            "v": pa.array(np.arange(80, dtype=np.int64)),
+        }
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("part", as_index=False)["v"].sum().rename(columns={"v": "s"})
+
+    out = (
+        hash_exchange_map_groups(rd.from_arrow(t), per_part, key="part", n_reducers=5)
+        .to_pandas()
+        .sort_values("part", ignore_index=True)
+    )
+    exp = t.to_pandas().groupby("part", as_index=False)["v"].sum()
+    assert (out["s"].to_numpy() == exp["v"].to_numpy()).all() and len(out) == 10
+
+    # string key + unrelated existing "part" payload column (crc32 route)
+    t2 = pa.table(
+        {
+            "k": pa.array([f"u{i % 6}" for i in range(60)]),
+            "part": pa.array(np.arange(60, dtype=np.int32)),
+        }
+    )
+
+    def per_part2(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False)["part"].sum().rename(columns={"part": "s"})
+
+    out2 = (
+        hash_exchange_map_groups(rd.from_arrow(t2), per_part2, key="k", n_reducers=5)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    exp2 = t2.to_pandas().groupby("k", as_index=False)["part"].sum()
+    assert (out2["s"].to_numpy() == exp2["part"].to_numpy()).all() and len(out2) == 6
