@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .textstats import PUNCT, _segment_sums
+from .textstats import PUNCT, _segment_sums, byte_stats
 
 RO_LEXICON = frozenset(
     "și de la cu pentru este sunt care nu se în pe un o ce mai din ale "
@@ -54,10 +54,15 @@ def _lexicons() -> tuple[pa.Array, pa.Array]:
     return _RO_ARR, _EN_ARR
 
 
-def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def lang_id_batch(
+    batch: pa.Table, text_col: str = "text", shared: dict | None = None
+) -> pa.Table:
     """Append ``lang`` (ro/en/und) and ``lang_score`` columns.
 
-    Fast path: when the upstream stats stage ran with
+    Fast paths: ``shared`` (the fused-actor route) carries the stats
+    stage's dictionary-encoded tokenization — the lexicon lookups then
+    run straight on the unique-token array, with no re-split and no
+    re-encode. Otherwise, when the upstream stats stage ran with
     ``share_tokens=True``, the transient ``_toks`` column carries the
     canonical tokenization and ``n_words`` the token count — both are
     reused (and ``_toks`` dropped) instead of re-splitting the text."""
@@ -65,6 +70,16 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = pc.fill_null(text, "")  # null text == empty turn
+
+    ro_arr, en_arr = _lexicons()
+    if shared is not None:
+        ro_u = pc.is_in(shared["tok_dict"], value_set=ro_arr).to_numpy(zero_copy_only=False)
+        en_u = pc.is_in(shared["tok_dict"], value_set=en_arr).to_numpy(zero_copy_only=False)
+        tok_idx = shared["tok_idx"]
+        raw_lens = shared["raw_lens"]
+        ro_hits = _segment_sums(ro_u[tok_idx].astype(np.int64), raw_lens, "sum")
+        en_hits = _segment_sums(en_u[tok_idx].astype(np.int64), raw_lens, "sum")
+        return _lang_from_hits(batch, ro_hits, en_hits, shared["n_dia"], shared["n_words"])
 
     if "_toks" in batch.schema.names and "n_words" in batch.schema.names:
         toks_list = batch["_toks"]
@@ -82,7 +97,6 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         toks = pc.utf8_trim(pc.utf8_lower(flat), PUNCT)
         n_words = _segment_sums((flat_len > 0).astype(np.int64), raw_lens, "sum")
 
-    ro_arr, en_arr = _lexicons()
     # both lexicon lookups run on UNIQUE tokens (dictionary encode),
     # results gathered back per instance — one hash pass replaces two
     # full is_in scans over every token instance
@@ -94,10 +108,19 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     en_mask = en_u[tok_idx]
     ro_hits = _segment_sums(ro_mask.astype(np.int64), raw_lens, "sum")
     en_hits = _segment_sums(en_mask.astype(np.int64), raw_lens, "sum")
-    n_dia = pc.count_substring_regex(text, DIACRITICS_PATTERN).to_numpy(
-        zero_copy_only=False
-    )
+    # diacritic count from the single-pass byte kernel (== the
+    # DIACRITICS_PATTERN regex count; property-tested)
+    n_dia = byte_stats(text)["n_dia"]
+    return _lang_from_hits(batch, ro_hits, en_hits, n_dia, n_words)
 
+
+def _lang_from_hits(
+    batch: pa.Table,
+    ro_hits: np.ndarray,
+    en_hits: np.ndarray,
+    n_dia: np.ndarray,
+    n_words: np.ndarray,
+) -> pa.Table:
     best = np.maximum(ro_hits, en_hits)
     lang = np.where(
         best == 0,
@@ -125,5 +148,5 @@ class LangIdScorer:
         self._ro_set = pa.array(sorted(RO_LEXICON))
         self._en_set = pa.array(sorted(EN_LEXICON))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return lang_id_batch(batch)
+    def __call__(self, batch: pa.Table, shared: dict | None = None) -> pa.Table:
+        return lang_id_batch(batch, shared=shared)

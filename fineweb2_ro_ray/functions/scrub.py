@@ -29,10 +29,26 @@ TOX_RE = re.compile(
 )
 
 
-def scrub_text(text: str) -> tuple[str, int, int]:
+def scrub_text(
+    text: str,
+    *,
+    iban: bool = True,
+    cnp: bool = True,
+    email: bool = True,
+    phone: bool = True,
+    tox: bool = True,
+) -> tuple[str, int, int]:
     """Scrub one turn. Returns (scrubbed_text, pii_hits, tox_hits).
     Pure function — shared semantics are re-derived independently by the
-    oracle; this is the engine implementation."""
+    oracle; this is the engine implementation.
+
+    The keyword flags let the batched Scrubber skip regex families whose
+    vectorized trigger did not fire on the row — a skipped family's
+    ``re.sub`` would be a guaranteed no-op (each family's trigger is a
+    substring superset of any possible match, including matches arising
+    after earlier replacements: replacement tokens contain no digits or
+    '@' and break character contiguity, so a later-pass match is always
+    a contiguous substring of the ORIGINAL text)."""
     pii = 0
 
     def _iban(m: re.Match) -> str:
@@ -49,24 +65,32 @@ def scrub_text(text: str) -> tuple[str, int, int]:
             return "<CNP>"
         return m.group(0)
 
-    text = IBAN_RE.sub(_iban, text)
-    text = CNP_RE.sub(_cnp, text)
-    text, n = EMAIL_RE.subn("<EMAIL>", text)
-    pii += n
-    text, n = PHONE_RE.subn("<PHONE>", text)
-    pii += n
-    text, tox = TOX_RE.subn("<TOX>", text)
-    return text, pii, tox
+    if iban:
+        text = IBAN_RE.sub(_iban, text)
+    if cnp:
+        text = CNP_RE.sub(_cnp, text)
+    if email:
+        text, n = EMAIL_RE.subn("<EMAIL>", text)
+        pii += n
+    if phone:
+        text, n = PHONE_RE.subn("<PHONE>", text)
+        pii += n
+    ntox = 0
+    if tox:
+        text, ntox = TOX_RE.subn("<TOX>", text)
+    return text, pii, ntox
 
 
 # RE2-safe (no lookarounds) over-matching trigger: a row that can
 # possibly contain PII or a toxicity term matches; only those rows pay
 # the Python-regex scrub. Evaluated as ONE vectorized Arrow kernel.
+# PHONE_RE's bare-0 form is 07\d{2}..., so 07[0-9]{2} is still a
+# guaranteed substring of every match (the +40/0040 forms carry their
+# own literal) — the extra digit roughly halves false trigger rows.
+_PHONE_TRIGGER = r"\+40|0040|07[0-9]{2}"
+_TOX_TRIGGER = r"(?i:" + "|".join(TOX_TERMS) + r")"
 _TRIGGER_RE2 = (
-    r"@|RO[0-9]{2}[A-Z]{4}|[0-9]{13}|\+40|0040|07[0-9]"
-    + r"|(?i:"
-    + "|".join(TOX_TERMS)
-    + r")"
+    r"@|RO[0-9]{2}[A-Z]{4}|[0-9]{13}|" + _PHONE_TRIGGER + r"|" + _TOX_TRIGGER
 )
 
 
@@ -97,10 +121,32 @@ class Scrubber:
                 .append_column("pii_hits", pa.array(pii, pa.int32()))
                 .append_column("tox_hits", pa.array(tox, pa.int32()))
             )
-        subset = text.take(pa.array(idx)).to_pylist()
+        sub_arr = text.take(pa.array(idx))
+        # per-family triggers on the (small) triggered subset: each row
+        # then runs ONLY the regex families that can possibly match it —
+        # typically one of five, cutting the Python re loop ~3-4x.
+        f_iban = pc.match_substring(sub_arr, "RO").to_numpy(zero_copy_only=False)
+        f_cnp = pc.match_substring_regex(sub_arr, r"[0-9]{13}").to_numpy(
+            zero_copy_only=False
+        )
+        f_email = pc.match_substring(sub_arr, "@").to_numpy(zero_copy_only=False)
+        f_phone = pc.match_substring_regex(sub_arr, _PHONE_TRIGGER).to_numpy(
+            zero_copy_only=False
+        )
+        f_tox = pc.match_substring_regex(sub_arr, _TOX_TRIGGER).to_numpy(
+            zero_copy_only=False
+        )
+        subset = sub_arr.to_pylist()
         repl = []
-        for j, t in zip(idx, subset):
-            s, p, x = scrub_text(t)
+        for k, (j, t) in enumerate(zip(idx, subset)):
+            s, p, x = scrub_text(
+                t,
+                iban=bool(f_iban[k]),
+                cnp=bool(f_cnp[k]),
+                email=bool(f_email[k]),
+                phone=bool(f_phone[k]),
+                tox=bool(f_tox[k]),
+            )
             repl.append(s)
             pii[j] = p
             tox[j] = x

@@ -74,6 +74,114 @@ def _segment_sums(values: np.ndarray, lens: np.ndarray, how: str) -> np.ndarray:
     return out
 
 
+# --- single-pass UTF-8 byte kernel ------------------------------------------
+# SYMBOL_PATTERN's complement (the "allowed" characters) is 1-byte ASCII
+# plus ten 2-byte Romanian diacritics, so the symbol / newline /
+# diacritic counts can all be derived from ONE classification pass over
+# the batch's zero-copy Arrow string buffer, replacing three full RE2
+# scans. ``bytes.translate`` (a C-speed 256-entry LUT) classifies every
+# byte; the interesting classes are sparse in natural text, so per-row
+# counts come from flatnonzero + searchsorted + bincount instead of
+# dense reduceat arrays (this box is DRAM-bound — numpy fancy-index
+# gathers over the full buffer measured 10x slower than translate).
+#
+# Byte classes: 0 = irrelevant (allowed ASCII, UTF-8 continuation
+# bytes), 1 = newline, 2 = dia-lead candidate (0xC3/0xC4/0xC8 — the
+# pair's trail byte decides diacritic vs symbol), 3 = symbol codepoint
+# start (disallowed ASCII, or a non-ASCII lead byte that can't start a
+# Romanian diacritic).
+_CLS = np.full(256, 3, dtype=np.uint8)
+_CLS[0x80:0xC0] = 0  # UTF-8 continuation bytes: not codepoint starts
+for _c in b"0123456789 \t\f\r":
+    _CLS[_c] = 0
+_CLS[ord("A") : ord("Z") + 1] = 0
+_CLS[ord("a") : ord("z") + 1] = 0
+_CLS[0x0A] = 1  # newline (an allowed character, counted for n_lines)
+for _c in (0xC3, 0xC4, 0xC8):
+    _CLS[_c] = 2
+_CLS_TABLE = _CLS.tobytes()
+
+# 2-byte UTF-8 sequences of ăâîșțĂÂÎȘȚ, packed (lead<<8)|trail into a
+# 64 KiB boolean LUT — gathered only at the sparse candidate positions.
+_DIA_PAIR_LUT = np.zeros(1 << 16, dtype=bool)
+for _ch in "ăâîșțĂÂÎȘȚ":
+    _b = _ch.encode("utf-8")
+    assert len(_b) == 2
+    _DIA_PAIR_LUT[(_b[0] << 8) | _b[1]] = True
+
+
+def utf8_flat_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (bytes, per-row byte lengths) view of a string array:
+    an Arrow StringArray's data buffer IS the concatenated UTF-8
+    payload, so no to_pylist/encode round-trip is needed. Nulls are
+    filled with "" first (null text == empty turn)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = (
+        np.frombuffer(buffers[2], dtype=np.uint8)
+        if buffers[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    flat = data[offsets[0] : offsets[-1]]
+    lens = np.diff(offsets)
+    return flat, lens
+
+
+def byte_stats(text: pa.Array) -> dict[str, np.ndarray]:
+    """Per-row ``n_newlines``, ``n_sym`` (codepoints matching
+    SYMBOL_PATTERN) and ``n_dia`` (Romanian diacritics) from one
+    classification pass over the UTF-8 bytes. Exactly equals the RE2
+    count_substring/count_substring_regex results (property-tested
+    against them)."""
+    flat, lens = utf8_flat_view(text)
+    n = len(lens)
+    m = len(flat)
+    zeros = lambda: np.zeros(n, dtype=np.int64)  # noqa: E731
+    if m == 0:
+        return {"n_newlines": zeros(), "n_sym": zeros(), "n_dia": zeros()}
+    cls = np.frombuffer(flat.tobytes().translate(_CLS_TABLE), np.uint8)
+    nz = np.flatnonzero(cls)  # sparse: newlines + dia candidates + symbols
+    if len(nz) == 0:
+        return {"n_newlines": zeros(), "n_sym": zeros(), "n_dia": zeros()}
+    ends = np.cumsum(lens)
+
+    def per_row(*position_arrays: np.ndarray) -> np.ndarray:
+        # each array is SORTED byte positions; count per row = diff of
+        # "how many positions fall before each row end" — searching the
+        # few row ends into the big arrays, not vice versa
+        out = np.zeros(n, dtype=np.int64)
+        for pos in position_arrays:
+            cum = np.searchsorted(pos, ends, side="left")
+            out += np.diff(cum, prepend=0)
+        return out
+
+    c = cls[nz]
+    nl_pos = nz[c == 1]
+    cand = nz[c == 2]
+    sym_pos = nz[c == 3]
+    if len(cand):
+        # pair check only at the sparse candidate positions
+        trail = flat[np.minimum(cand + 1, m - 1)]
+        ok = _DIA_PAIR_LUT[(flat[cand].astype(np.uint16) << 8) | trail]
+        # a lead byte at its row's last byte (invalid UTF-8) can't pair
+        # across rows: drop candidates whose trail position is a row end
+        nxt = cand + 1
+        b = np.searchsorted(ends, nxt, side="left")
+        ok &= ~(ends[np.minimum(b, n - 1)] == nxt)
+        n_dia = per_row(cand[ok])
+        # a C3/C4/C8 lead that is NOT a Romanian diacritic is a symbol
+        n_sym = per_row(sym_pos, cand[~ok])
+    else:
+        n_dia = zeros()
+        n_sym = per_row(sym_pos)
+    return {"n_newlines": per_row(nl_pos), "n_sym": n_sym, "n_dia": n_dia}
+
+
 _STOPWORDS_ARR = None  # built lazily (module import order safety)
 
 
@@ -100,8 +208,11 @@ def _dup_line_fracs(text: pa.Array, n_lines_np: np.ndarray) -> np.ndarray:
 
 
 def compute_text_stats(
-    batch: pa.Table, text_col: str = "text", share_tokens: bool = False
-) -> pa.Table:
+    batch: pa.Table,
+    text_col: str = "text",
+    share_tokens: bool = False,
+    return_shared: bool = False,
+) -> pa.Table | tuple[pa.Table, dict]:
     """Append the rule-input columns to ``batch`` (zero-copy for the
     untouched columns — the reference's column-accretion model,
     SURVEY.md §1.2).
@@ -110,15 +221,23 @@ def compute_text_stats(
     column (trimmed, lowercased token list) so the downstream LID stage
     reuses this stage's tokenization instead of re-splitting — the
     stages stay logically separate but share the expensive kernel work;
-    LID drops the column."""
+    LID drops the column.
+
+    ``return_shared=True`` (the fused-actor path) instead returns
+    ``(table, shared)`` where ``shared`` carries the tokenization
+    intermediates in dictionary-encoded form — the downstream LID call
+    reuses the unique-token array + indices directly, skipping both the
+    per-instance token gather here and LID's re-dictionary-encode."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = pc.fill_null(text, "")  # null text == empty turn
 
     n_chars = pc.utf8_length(text).cast(pa.int64())
-    n_lines = pc.add(pc.count_substring(text, "\n"), 1).cast(pa.int64())
-    n_sym = pc.count_substring_regex(text, SYMBOL_PATTERN).to_numpy(zero_copy_only=False)
+    bs = byte_stats(text)
+    n_lines = pa.array(bs["n_newlines"] + 1, pa.int64())
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    n_sym = bs["n_sym"]
 
     words = pc.utf8_split_whitespace(text)
     raw_lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -141,14 +260,12 @@ def compute_text_stats(
     stop_mask = stop_u[tok_idx]
     n_stop = _segment_sums(stop_mask.astype(np.int64), raw_lens, "sum")
 
-    nc = n_chars.to_numpy(zero_copy_only=False)
     with np.errstate(divide="ignore", invalid="ignore"):
         mean_word_len = np.where(n_words > 0, sum_word_len / np.maximum(n_words, 1), 0.0)
         stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
         sym_ratio = np.where(nc > 0, n_sym / np.maximum(nc, 1), 0.0)
 
-    n_lines_np = n_lines.to_numpy(zero_copy_only=False)
-    dup = _dup_line_fracs(text, n_lines_np)
+    dup = _dup_line_fracs(text, bs["n_newlines"] + 1)
 
     out = (
         batch.append_column("n_chars", n_chars)
@@ -160,6 +277,15 @@ def compute_text_stats(
         .append_column("symbol_ratio", pa.array(sym_ratio, pa.float64()))
         .append_column("dup_line_frac", pa.array(dup, pa.float64()))
     )
+    if return_shared:
+        shared = {
+            "tok_dict": toks_u,  # trimmed/lowered UNIQUE raw tokens
+            "tok_idx": tok_idx,  # per-instance index into tok_dict
+            "raw_lens": raw_lens,  # tokens per row (incl. empty tokens)
+            "n_words": n_words,
+            "n_dia": bs["n_dia"],
+        }
+        return out, shared
     if share_tokens:
         toks = toks_u.take(dic.indices)
         toks_list = pa.ListArray.from_arrays(words.offsets, toks)

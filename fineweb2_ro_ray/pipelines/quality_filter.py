@@ -89,8 +89,11 @@ class Annotator:
         self.scrub = Scrubber()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        b = compute_text_stats(batch, share_tokens=True)
-        b = self.lid(b)
+        # fused route: stats hands its dictionary-encoded tokenization
+        # (and byte-kernel diacritic counts) straight to LID in-process —
+        # no transient _toks column, no re-encode
+        b, shared = compute_text_stats(batch, return_shared=True)
+        b = self.lid(b, shared=shared)
         b = self.ppl(b)
         b = self.scrub(b)
         b = decide_batch(b, self.cfg)

@@ -95,6 +95,52 @@ def test_engine_matches_oracle_on_full_unicode(texts):
 
 
 @settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=150), min_size=1, max_size=10))
+def test_byte_stats_matches_re2(texts):
+    """The single-pass UTF-8 byte kernel must equal the three RE2 scans
+    it replaced (newline count, SYMBOL_PATTERN count, diacritic count)
+    on arbitrary Unicode."""
+    import pyarrow.compute as pc
+
+    from fineweb2_ro_ray.functions.lid import DIACRITICS_PATTERN
+    from fineweb2_ro_ray.functions.textstats import SYMBOL_PATTERN, byte_stats
+
+    arr = pa.array(texts, pa.string())
+    bs = byte_stats(arr)
+    nl = pc.count_substring(arr, "\n").to_numpy(zero_copy_only=False)
+    sym = pc.count_substring_regex(arr, SYMBOL_PATTERN).to_numpy(zero_copy_only=False)
+    dia = pc.count_substring_regex(arr, DIACRITICS_PATTERN).to_numpy(zero_copy_only=False)
+    assert (bs["n_newlines"] == nl).all()
+    assert (bs["n_sym"] == sym).all()
+    assert (bs["n_dia"] == dia).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="0123456789RO7 ABCdef@.ro+-,prostuleidâ\n", min_size=0, max_size=150
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scrubber_batched_matches_scalar(texts):
+    """The batched Scrubber (trigger fast-path + per-family regex
+    dispatch) must agree byte-for-byte with the scalar scrub_text on
+    PII-dense strings — guards the superset property of every family
+    trigger."""
+    from fineweb2_ro_ray.functions.scrub import Scrubber, scrub_text
+
+    out = Scrubber()(pa.table({"text": pa.array(texts, pa.string())}))
+    for i, t in enumerate(texts):
+        s, p, x = scrub_text(t)
+        assert out["scrubbed_text"][i].as_py() == s, repr(t)
+        assert out["pii_hits"][i].as_py() == p, repr(t)
+        assert out["tox_hits"][i].as_py() == x, repr(t)
+
+
+@settings(max_examples=40, deadline=None)
 @given(texts_strategy)
 def test_ppl_batch_boundary_invariance(texts):
     whole = perplexity_batch(_mini(texts))["ppl"].to_pylist()
