@@ -46,7 +46,29 @@ def _ensure_bench_transcripts() -> int:
     return n
 
 
+def _probe_page_supply_ms() -> float:
+    """Host-health telemetry: wall ms to mmap + first-touch 64 MB of
+    fresh anonymous memory. Sub-10 ms is a healthy host; hundreds-to-
+    thousands means the hypervisor is supplying pages slowly (memory
+    overcommit) and EVERY fresh allocation in every worker pays it —
+    (allocator page-retention was tried as a defense and measured
+    2x WORSE under the string-heavy churn — heap fragmentation faults
+    new pages while holding old ones; see BASELINE.md "host
+    page-supply stalls"). Recorded in the bench JSON so a slow run
+    carries its own host evidence."""
+    import mmap
+
+    t0 = time.perf_counter()
+    m = mmap.mmap(-1, 1 << 26)
+    m[:: 1 << 12] = b"\1" * (len(m) >> 12)
+    dt = (time.perf_counter() - t0) * 1e3
+    m.close()
+    return round(dt, 1)
+
+
 def run_bench() -> dict:
+    host_page_ms = _probe_page_supply_ms()
+
     import ray
 
     ray.init(
@@ -141,6 +163,11 @@ def run_bench() -> dict:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / timings["flagship_filter"], 1),
         "total_sec": round(total, 3),
+        # host-health evidence: ms to fault-in 64 MB fresh anon memory
+        # at bench start / end (healthy < 10; degraded windows measured
+        # 1000+ on this VM — see BASELINE.md "host page-supply stalls")
+        "host_page_ms_start": host_page_ms,
+        "host_page_ms_end": _probe_page_supply_ms(),
     }
     ray.shutdown()
     return result

@@ -155,16 +155,28 @@ def hash_exchange_map_groups(
     Arrow table with ``batch_format="pyarrow"``) and groups
     internally. Unlike ``map_groups`` it is called once per PARTITION,
     not per key — no bucket pre-binning column needed."""
-    mat = ds.materialize()
-    refs: list = []
-    for bundle in mat.iter_internal_ref_bundles():
-        refs.extend(bundle.block_refs)
-    if not refs:
-        return mat
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     p = n_reducers or max(8, 2 * cpus)
     p = max(2, p)  # num_returns>=2 so _split_block returns a tuple of refs
-    splits = [_split_block.options(num_returns=p).remote(r, p, key) for r in refs]
+    # Map side consumes the upstream STREAM: split tasks launch as the
+    # executor yields each block, overlapping the exchange's map phase
+    # with upstream compute, and — because the driver drops each block
+    # ref once its split task holds it — letting Ray free upstream
+    # blocks incrementally instead of pinning the whole input in a
+    # materialize() until every split ran (peak object-store residency
+    # ~1x the exchanged bytes, not 2x). The reduce barrier below is
+    # unchanged: it is inherent to any hash exchange.
+    splits = [
+        _split_block.options(num_returns=p).remote(r, p, key)
+        for bundle in ds.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    if not splits:
+        # zero bundles yielded: empty input. Preserve the output schema
+        # when pinned; else fall back to the (empty, cheap) plan.
+        if out_schema is not None:
+            return ray.data.from_arrow(out_schema.empty_table())
+        return ds.materialize()
     outs = [
         _reduce_partition.remote(fn, out_schema, batch_format, *[s[i] for s in splits])
         for i in range(p)

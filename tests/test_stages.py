@@ -1336,3 +1336,60 @@ def test_hash_exchange_key_named_part_and_part_payload_column():
     )
     exp2 = t2.to_pandas().groupby("k", as_index=False)["part"].sum()
     assert (out2["s"].to_numpy() == exp2["part"].to_numpy()).all() and len(out2) == 6
+
+
+def test_hash_exchange_streams_lazy_upstream_and_empty_input():
+    """The exchange's map side consumes the upstream STREAM (no
+    materialize-the-input barrier): a lazy map_batches chain feeds the
+    split tasks directly and the grouped result is still exact. An
+    empty input with a pinned out_schema yields a schema-identical
+    empty dataset (the reduce fn never runs)."""
+    import pyarrow.compute as pc
+
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array((np.arange(n) % 31).astype(np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    lazy = rd.from_arrow(t).map_batches(
+        lambda b: b.append_column("v2", pc.multiply(b["v"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    def per_part(tt: pa.Table) -> pa.Table:
+        df = tt.to_pandas().groupby("k", as_index=False)["v2"].sum()
+        return pa.table(
+            {
+                "k": pa.array(df["k"].to_numpy(np.int64)),
+                "v2_sum": pa.array(df["v2"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        hash_exchange_map_groups(
+            lazy, per_part, key="k", n_reducers=9, batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    exp = (
+        t.to_pandas()
+        .assign(v2=lambda d: d["v"] * 2)
+        .groupby("k", as_index=False)["v2"]
+        .sum()
+        .rename(columns={"v2": "v2_sum"})
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+    out_schema = pa.schema([("k", pa.int64()), ("v2_sum", pa.int64())])
+    empty = rd.from_arrow(t.slice(0, 0)).filter(lambda r: False)
+    got = hash_exchange_map_groups(
+        empty, per_part, key="k", n_reducers=9,
+        batch_format="pyarrow", out_schema=out_schema,
+    )
+    assert got.count() == 0
+    assert set(got.schema().names) == {"k", "v2_sum"}
