@@ -66,8 +66,32 @@ def _probe_page_supply_ms() -> float:
     return round(dt, 1)
 
 
+def _wait_for_quiet_window(
+    max_wait_s: float = float(os.environ.get("BENCH_MAX_WAIT_S", "240")),
+    degraded_ms: float = float(os.environ.get("BENCH_DEGRADED_MS", "25")),
+):
+    """Bounded wait for the host to stop paging slowly before the timed
+    section. Round 2's driver bench caught a degraded window with every
+    repeat (81.8 s vs the 44.6 s canonical); round 3's first driver pass
+    measured 79 s vs the 22.1 s canonical with the page probe at 57-60 ms
+    for the whole run. Waiting out a short contention burst is cheaper
+    than mis-measuring the engine by 3.6x; the wait is bounded so a
+    long-degraded host still produces a (probe-annotated) number."""
+    waited = 0.0
+    probe = _probe_page_supply_ms()
+    quiet_streak = 1 if probe <= degraded_ms else 0
+    # require 2 consecutive quiet probes: a single lucky probe inside a
+    # degraded window would green-light a doomed multi-minute run
+    while quiet_streak < 2 and waited < max_wait_s:
+        time.sleep(15.0)
+        waited += 15.0
+        probe = _probe_page_supply_ms()
+        quiet_streak = quiet_streak + 1 if probe <= degraded_ms else 0
+    return probe, waited
+
+
 def run_bench() -> dict:
-    host_page_ms = _probe_page_supply_ms()
+    host_page_ms, host_wait_s = _wait_for_quiet_window()
 
     import ray
 
@@ -111,7 +135,9 @@ def run_bench() -> dict:
     # Default 3 passes: round 2's driver run caught a noisy window with
     # BOTH of its 2 passes (81.8 s min vs the 44.6 s canonical).
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    max_repeats = int(os.environ.get("BENCH_REPEATS_MAX", "6"))
     timings: dict[str, float] = {}
+    flagship_runs: list[float] = []
 
     # representative operator benches over the sf tables (skipped in
     # scaling mode — the scaling criterion is about the flagship job)
@@ -130,7 +156,7 @@ def run_bench() -> dict:
         ("sample_stratified", P.q_sample_stratified),
         ("dedup_clusters", P.q_dedup_clusters),
     ]
-    for rep in range(repeats):
+    def _flagship_once() -> None:
         # headline: full quality-filter DAG + conversation reassembly → sink
         out_dir = f"/tmp/fineweb2_ro_bench/out_{NUM_CPUS}"
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -143,7 +169,11 @@ def run_bench() -> dict:
         t0 = time.time()
         run_flagship(BENCH_DIR).write_parquet(out_dir)
         el = time.time() - t0
+        flagship_runs.append(round(el, 3))
         timings["flagship_filter"] = min(el, timings.get("flagship_filter", el))
+
+    for rep in range(repeats):
+        _flagship_once()
         for name, fn in op_benches:
             t0 = time.time()
             res = fn(SF_DIR)
@@ -151,6 +181,20 @@ def run_bench() -> dict:
                 res.to_pandas()
             el = time.time() - t0
             timings[name] = min(el, timings.get(name, el))
+
+    # Adaptive extension: if the host probe still shows a degraded
+    # window, or the flagship repeats disagree with each other by >1.5x
+    # (both are noise signatures, not engine behavior), take extra
+    # flagship-only passes — each preceded by a short sleep so a burst
+    # of neighbor load can pass — keeping the min. Bounded by
+    # BENCH_REPEATS_MAX so a permanently-degraded host still finishes.
+    degraded_ms = float(os.environ.get("BENCH_DEGRADED_MS", "25"))
+    while len(flagship_runs) < max_repeats and (
+        _probe_page_supply_ms() > degraded_ms
+        or max(flagship_runs) > 1.5 * min(flagship_runs)
+    ):
+        time.sleep(15.0)
+        _flagship_once()
 
     total = sum(timings.values())
     result = {
@@ -168,6 +212,11 @@ def run_bench() -> dict:
         # 1000+ on this VM — see BASELINE.md "host page-supply stalls")
         "host_page_ms_start": host_page_ms,
         "host_page_ms_end": _probe_page_supply_ms(),
+        # seconds spent waiting (pre-bench) for the page probe to drop
+        # below the degraded threshold, and every flagship repeat's wall
+        # time — a wide spread here is host noise, not engine variance
+        "host_wait_s": host_wait_s,
+        "flagship_runs": flagship_runs,
     }
     ray.shutdown()
     return result
