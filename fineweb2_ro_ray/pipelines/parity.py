@@ -876,3 +876,109 @@ def q_dedup_clusters(sf_dir: str):
         return t.append_column("cluster_size", pa.array(cs, pa.int64()))
 
     return comp.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# round-3 widening: reshape (explode/unpivot), set ops, ntile, grouped mode
+# ---------------------------------------------------------------------------
+
+
+def _events_user_days(sf_dir: str, event_type: str) -> ray.data.Dataset:
+    """(user_id, day) projection of one event type — the set-op sides.
+    Day as a strftime string (the events_hourly convention)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], event_type))
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_userdays_intersect(sf_dir: str):
+    """Distinct set op INTERSECT: user-days with a click AND a purchase.
+    Tag + union + one hash exchange on the composite key (stages.setops)."""
+    from ..stages.setops import intersect_distinct
+
+    return intersect_distinct(
+        _events_user_days(sf_dir, "click"),
+        _events_user_days(sf_dir, "purchase"),
+        ["user_id", "day"],
+    )
+
+
+def q_userdays_except(sf_dir: str):
+    """Distinct set op EXCEPT: user-days with a click but no purchase."""
+    from ..stages.setops import except_distinct
+
+    return except_distinct(
+        _events_user_days(sf_dir, "click"),
+        _events_user_days(sf_dir, "purchase"),
+        ["user_id", "day"],
+    )
+
+
+def q_embedding_unnest(sf_dir: str):
+    """UNNEST a list<float> column: (vec_id, 1-based pos, element) rows,
+    bounded to every 20th vector. Pure per-batch Arrow list_flatten —
+    no shuffle (stages.reshape.explode_list)."""
+    from ..stages.reshape import explode_list
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(vid % 20 == 0))
+
+    return explode_list(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        list_col="embedding",
+        id_cols=["vec_id"],
+        pos_col="pos",
+        val_col="val",
+    )
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """SQL UNPIVOT (wide -> long melt): each lineitem row (every 50th
+    order) emits one row per charge component. Per-batch concat of 3
+    projections — no shuffle (stages.reshape.unpivot)."""
+    from ..stages.reshape import unpivot
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(k % 50 == 0))
+
+    return unpivot(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_extendedprice", "l_discount", "l_tax"],
+        name_col="measure",
+        value_col="value",
+    )
+
+
+def q_events_ntile(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY user ORDER BY ts, event_id) — per-user
+    quartile buckets (stages.analysis.per_key_ntile on the exchange)."""
+    from ..stages.analysis import per_key_ntile
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return per_key_ntile(ds, key="user_id", order_col="ts", id_col="event_id", n=4)
+
+
+def q_source_mode_lang(sf_dir: str):
+    """MODE() per group with deterministic min-value tie-break: the most
+    frequent lang per source (stages.analysis.grouped_mode — map-side
+    count partials, one thin exchange of (key, value, n) rows)."""
+    from ..stages.analysis import grouped_mode
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return grouped_mode(ds, key="source", value_col="lang", out_col="mode_lang")

@@ -488,6 +488,84 @@ def per_key_rank(
     )
 
 
+def per_key_ntile(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    id_col: str,
+    n: int,
+    out_col: str = "tile",
+) -> ray.data.Dataset:
+    """NTILE(n) OVER (PARTITION BY key ORDER BY order_col, id) — equal
+    buckets per key, first ``rows % n`` buckets one row larger (the SQL
+    definition). Same hash-partitioned sorted-cumcount shape as
+    ``per_key_rank``; the tile is closed-form from the 0-based rank and
+    the key's row count, all vectorized."""
+
+    def ntile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col, id_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        r = g.cumcount().to_numpy()
+        cnt = g[id_col].transform("size").to_numpy()
+        base, rem = cnt // n, cnt % n
+        cut = (base + 1) * rem  # rows occupied by the larger buckets
+        big = r < cut
+        tile = np.where(
+            big,
+            r // np.maximum(base + 1, 1),
+            np.where(base > 0, rem + (r - cut) // np.maximum(base, 1), r),
+        )
+        df[out_col] = (tile + 1).astype(np.int64)
+        return df[[key, id_col, out_col]]
+
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        ds.select_columns([key, order_col, id_col]), ntile, key=key
+    )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "mode_v",
+) -> ray.data.Dataset:
+    """Most frequent ``value_col`` per key, ties broken by MIN value so
+    the result is deterministic and oracle-comparable (SQL: row_number
+    over count DESC, value ASC). Map-side (key, value) count partials
+    per batch, then ONE thin exchange keyed on ``key`` merges partials
+    and argmaxes — the shuffle moves (key, value, partial_n) rows,
+    never documents."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([key, value_col]).to_pandas()
+        out = (
+            df.groupby([key, value_col], as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return from_pandas_clean(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby([key, value_col], as_index=False, dropna=False)["n"].sum()
+        tot = tot.sort_values(
+            ["n", value_col], ascending=[False, True], kind="mergesort"
+        )
+        # drop_duplicates keeps the literal first row per key (a .first()
+        # groupby would skip NULL cells column-wise)
+        out = tot.drop_duplicates(subset=[key], keep="first")
+        return out[[key, value_col]].rename(columns={value_col: out_col})
+
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(partials, argmax, key=key)
+
+
 def per_key_interarrival(
     ds: ray.data.Dataset,
     *,

@@ -1393,3 +1393,132 @@ def test_hash_exchange_streams_lazy_upstream_and_empty_input():
     )
     assert got.count() == 0
     assert set(got.schema().names) == {"k", "v2_sum"}
+
+
+# ---------------------------------------------------------------------------
+# round-3 widening: reshape (explode/unpivot), set ops, ntile, grouped mode
+# ---------------------------------------------------------------------------
+
+
+def test_explode_list_positions_and_null_lists():
+    from fineweb2_ro_ray.stages.reshape import explode_list
+
+    tbl = pa.table(
+        {
+            "id": pa.array([10, 11, 12, 13], pa.int64()),
+            "xs": pa.array([[1.0, 2.0], None, [], [5.0]], pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        explode_list(rd.from_arrow(tbl), list_col="xs", id_cols=["id"])
+        .to_pandas()
+        .sort_values(["id", "pos"])
+    )
+    # NULL and empty lists emit no rows (SQL UNNEST); positions 1-based
+    assert out["id"].tolist() == [10, 10, 13]
+    assert out["pos"].tolist() == [1, 2, 1]
+    assert out["val"].tolist() == [1.0, 2.0, 5.0]
+
+
+def test_unpivot_melts_wide_to_long():
+    from fineweb2_ro_ray.stages.reshape import unpivot
+
+    df = pd.DataFrame({"k": [1, 2], "a": [10.0, 20.0], "b": [0.5, 0.25]})
+    out = (
+        unpivot(rd.from_pandas(df), id_cols=["k"], value_cols=["a", "b"])
+        .to_pandas()
+        .sort_values(["k", "measure"])
+    )
+    assert out["measure"].tolist() == ["a", "b", "a", "b"]
+    assert out["value"].tolist() == [10.0, 0.5, 20.0, 0.25]
+    ref = df.melt(id_vars=["k"], var_name="measure", value_name="value")
+    assert (
+        out.reset_index(drop=True).sort_values(["k", "measure"]).values.tolist()
+        == ref.sort_values(["k", "measure"])[["k", "measure", "value"]].values.tolist()
+    )
+
+
+def test_setops_match_python_sets():
+    from fineweb2_ro_ray.stages.setops import except_distinct, intersect_distinct
+
+    a = pd.DataFrame({"k": [1, 1, 2, 3, 4], "g": list("xxyzz")})
+    b = pd.DataFrame({"k": [2, 4, 5], "g": list("yzq")})
+    inter = (
+        intersect_distinct(rd.from_pandas(a), rd.from_pandas(b), ["k", "g"])
+        .to_pandas()
+        .sort_values(["k", "g"])
+    )
+    exc = (
+        except_distinct(rd.from_pandas(a), rd.from_pandas(b), ["k", "g"])
+        .to_pandas()
+        .sort_values(["k", "g"])
+    )
+    sa = {(1, "x"), (2, "y"), (3, "z"), (4, "z")}
+    sb = {(2, "y"), (4, "z"), (5, "q")}
+    assert set(map(tuple, inter.values.tolist())) == sa & sb
+    assert set(map(tuple, exc.values.tolist())) == sa - sb
+
+
+def test_ntile_matches_sql_definition():
+    from fineweb2_ro_ray.stages.analysis import per_key_ntile
+
+    # key u: 7 rows -> ntile(3) buckets sized 3,2,2; key v: 2 rows -> 1,2
+    df = pd.DataFrame(
+        {
+            "u": ["u"] * 7 + ["v"] * 2,
+            "id": list(range(7)) + [0, 1],
+            "o": [0] * 9,  # all ties: order falls back to id
+        }
+    )
+    out = (
+        per_key_ntile(rd.from_pandas(df), key="u", order_col="o", id_col="id", n=3)
+        .to_pandas()
+        .sort_values(["u", "id"])
+    )
+    assert out[out["u"] == "u"]["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    assert out[out["u"] == "v"]["tile"].tolist() == [1, 2]
+    # cross-check vs duckdb on a random layout
+    rng = np.random.default_rng(11)
+    df2 = pd.DataFrame(
+        {
+            "u": rng.integers(0, 5, 137),
+            "id": np.arange(137),
+            "o": rng.integers(0, 10, 137),
+        }
+    )
+    out2 = (
+        per_key_ntile(rd.from_pandas(df2), key="u", order_col="o", id_col="id", n=4)
+        .to_pandas()
+        .sort_values(["u", "id"])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    ref = (
+        duckdb.query(
+            "SELECT u, id, CAST(ntile(4) OVER (PARTITION BY u ORDER BY o, id) AS BIGINT)"
+            " AS tile FROM df2"
+        )
+        .to_df()
+        .sort_values(["u", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out2, ref, check_dtype=False)
+
+
+def test_grouped_mode_deterministic_tiebreak():
+    from fineweb2_ro_ray.stages.analysis import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 3,
+            "v": ["x", "y", "y", "x", "q", "p", "q"],
+        }
+    )
+    out = (
+        grouped_mode(rd.from_pandas(df), key="g", value_col="v")
+        .to_pandas()
+        .sort_values("g")
+    )
+    # group a: x and y tie at 2 -> min value x; group b: q wins outright
+    assert out.values.tolist() == [["a", "x"], ["b", "q"]]
