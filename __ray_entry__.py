@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": P.q_lineitem_unpivot,
         "events_ntile": P.q_events_ntile,
         "source_mode_lang": P.q_source_mode_lang,
+        "orders_top_revenue": P.q_orders_top_revenue,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -260,6 +261,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
                        AS cluster_size
             FROM comp c
+        """,
+        "orders_top_revenue": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_cbp
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+            ORDER BY revenue_cbp DESC, l_orderkey
+            LIMIT 10
         """,
         "userdays_intersect": """
             SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day

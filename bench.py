@@ -155,6 +155,7 @@ def run_bench() -> dict:
         ("contamination", P.q_contamination),
         ("sample_stratified", P.q_sample_stratified),
         ("dedup_clusters", P.q_dedup_clusters),
+        ("orders_top_revenue", P.q_orders_top_revenue),
     ]
     def _flagship_once() -> None:
         # headline: full quality-filter DAG + conversation reassembly → sink

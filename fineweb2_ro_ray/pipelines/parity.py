@@ -982,3 +982,86 @@ def q_source_mode_lang(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["source", "lang"])
     return grouped_mode(ds, key="source", value_col="lang", out_col="mode_lang")
+
+
+def q_orders_top_revenue(sf_dir: str):
+    """TPC-H Q3 analog — the 3-table analytical join composition a
+    warehouse user runs daily: broadcast semi-filter (small dimension)
+    -> native hash join (two large facts) -> exchange aggregate ->
+    deterministic top-k. Revenue in exact integer cents x percent
+    (cents * (100 - discount%)), so the value hash is engine- and
+    order-independent. Segment/date constants mirror Q3's shape."""
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1998, 1, 1)
+
+    # dimension side: BUILDING customers -> broadcast key set (J2 shape)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        return t.select(["c_custkey"])
+
+    keys = ray.put(
+        np.unique(
+            cust.map_batches(cust_keys, batch_format="pyarrow")
+            .to_pandas()["c_custkey"]
+            .to_numpy()
+        )
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def keep_orders(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+        ks = ray.get(keys)  # sorted unique key array, fetched zero-copy
+        mask = pa.array(
+            np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), ks)
+        )
+        t = t.filter(mask)
+        day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": day,
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    o = orders.map_batches(keep_orders, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def li_revenue(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        df = t.select(["l_orderkey", "l_extendedprice", "l_discount"]).to_pandas()
+        cents = round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        disc = round_half_away(df["l_discount"].to_numpy() * 100)
+        df["rev_cbp"] = cents * (100 - disc)
+        # map-side combiner: one partial row per orderkey in the batch
+        out = df.groupby("l_orderkey", as_index=False)["rev_cbp"].sum()
+        return from_pandas_clean(out)
+
+    rev = li.map_batches(li_revenue, batch_format="pyarrow")
+
+    joined = rev.join(
+        o,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    # merge partials per (orderkey, date, priority), then global top-10
+    merged = _exchange_sum(
+        joined.map_batches(
+            lambda t: t.select(
+                ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_cbp"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {"rev_cbp": "revenue_cbp"},
+    )
+    out = top_k(merged, "revenue_cbp", 10, tiebreak="l_orderkey")
+    return out[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_cbp"]]
