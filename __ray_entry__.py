@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": P.q_events_ntile,
         "source_mode_lang": P.q_source_mode_lang,
         "orders_top_revenue": P.q_orders_top_revenue,
+        "word_heavy_hitters": P.q_word_heavy_hitters,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -261,6 +262,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
                        AS cluster_size
             FROM comp c
+        """,
+        "word_heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE text IS NOT NULL
+            ), t AS (SELECT count(*) AS total FROM w)
+            SELECT word, count(*) AS n FROM w GROUP BY word
+            HAVING count(*) * 31 > (SELECT total FROM t)
         """,
         "orders_top_revenue": """
             SELECT l_orderkey,

@@ -1065,3 +1065,15 @@ def q_orders_top_revenue(sf_dir: str):
     )
     out = top_k(merged, "revenue_cbp", 10, tiebreak="l_orderkey")
     return out[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_cbp"]]
+
+
+def q_word_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters (token frequency > total/31 — the corpus
+    vocabulary is ~31 near-uniform words, so the threshold splits it
+    non-trivially) via mergeable per-batch candidate summaries +
+    broadcast exact recount — the sketch bounds the candidate set,
+    never the answer (stages.sketches.heavy_hitters_exact)."""
+    from ..stages.sketches import heavy_hitters_exact
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters_exact(ds, "text", k=31)

@@ -22,6 +22,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ..schema import from_pandas_clean
@@ -160,3 +161,117 @@ def approx_distinct(
         flat = b["regs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         merged = np.maximum(merged, flat.reshape(-1, m).max(axis=0))
     return pd.DataFrame([{"approx_distinct": hll_estimate(merged)}])
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: mergeable candidate summaries + exact recount
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters_exact(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    k: int = 20,
+) -> ray.data.Dataset:
+    """EXACT heavy hitters — every token with frequency > total/k — in
+    two streaming passes, no full-vocabulary shuffle:
+
+    Pass 1 (candidates): each batch counts its tokens with one
+    dictionary-encode + bincount and keeps only LOCAL heavy hitters
+    (count * k > batch tokens). The Misra-Gries / SpaceSaving averaging
+    argument makes this a sound candidate set: if sum(f_i) > sum(n_i)/k
+    then f_i > n_i/k in at least one batch, so no global heavy hitter
+    can be missed. Each batch also emits one NULL-word row carrying its
+    token total; null-free tokens (split never yields null) make the
+    sentinel collision-free. One thin exchange merges candidates and
+    the total — the shuffle moves per-batch local-HH rows only (at most
+    k-1 per batch), never the vocabulary.
+
+    Pass 2 (exact recount): the distinct candidate words (driver-sized:
+    bounded by k * batches, typically << k^2) are broadcast via
+    ``ray.put``; a second scan recounts ONLY candidates exactly, one
+    more thin exchange sums, and the integer predicate
+    ``n * k > total`` filters. Output (word, n) is exact — the sketch
+    bounds candidates, never the answer. Guidance: HH survey (Cormode &
+    Hadjieleftheriou, VLDB'08, public); reference has no analog.
+    """
+    import ray as _ray
+
+    from .exchange import hash_exchange_map_groups
+
+    def _flat_tokens(b: pa.Table) -> pa.Array:
+        text = b[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pc.list_flatten(pc.split_pattern(text.drop_null(), " "))
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        flat = _flat_tokens(b)
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "partial_n": pa.array([], pa.int64())}
+            )
+        dic = flat.dictionary_encode()
+        cnt = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False), minlength=len(dic.dictionary)
+        ).astype(np.int64)
+        keep = cnt * k > n
+        words = dic.dictionary.filter(pa.array(keep))
+        out = pa.table(
+            {"word": words, "partial_n": pa.array(cnt[keep], pa.int64())}
+        )
+        total_row = pa.table(
+            {
+                "word": pa.array([None], pa.string()),
+                "partial_n": pa.array([n], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, total_row])
+
+    partials = ds.select_columns([text_col]).map_batches(
+        cand_partial, batch_format="pyarrow"
+    )
+    merged = hash_exchange_map_groups(
+        partials,
+        lambda df: df.groupby("word", as_index=False, dropna=False)["partial_n"].sum(),
+        key="word",
+    ).to_pandas()
+    total = int(merged.loc[merged["word"].isna(), "partial_n"].sum())
+    cand_words = merged.loc[merged["word"].notna(), "word"].to_numpy()
+    cand_ref = _ray.put(np.sort(cand_words))
+
+    def recount(b: pa.Table) -> pa.Table:
+        flat = _flat_tokens(b)
+        cand = _ray.get(cand_ref)
+        if len(flat) == 0 or len(cand) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "partial_n": pa.array([], pa.int64())}
+            )
+        dic = flat.dictionary_encode()
+        cnt = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False), minlength=len(dic.dictionary)
+        ).astype(np.int64)
+        words = dic.dictionary.to_numpy(zero_copy_only=False)
+        keep = np.isin(words, cand) & (cnt > 0)
+        return pa.table(
+            {
+                "word": pa.array(words[keep], pa.string()),
+                "partial_n": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    exact = hash_exchange_map_groups(
+        ds.select_columns([text_col]).map_batches(recount, batch_format="pyarrow"),
+        lambda df: df.groupby("word", as_index=False)["partial_n"].sum(),
+        key="word",
+    )
+
+    def hh_filter(b: pa.Table) -> pa.Table:
+        n = b["partial_n"]
+        keep = pc.greater(pc.multiply(n, pa.scalar(k, pa.int64())), pa.scalar(total, pa.int64()))
+        t = b.filter(keep)
+        return pa.table({"word": t["word"], "n": t["partial_n"]})
+
+    return exact.map_batches(hh_filter, batch_format="pyarrow")

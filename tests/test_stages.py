@@ -1522,3 +1522,32 @@ def test_grouped_mode_deterministic_tiebreak():
     )
     # group a: x and y tie at 2 -> min value x; group b: q wins outright
     assert out.values.tolist() == [["a", "x"], ["b", "q"]]
+
+
+def test_heavy_hitters_exact_skewed_corpus():
+    from fineweb2_ro_ray.stages.sketches import heavy_hitters_exact
+
+    # zipf-ish corpus: 'hot' is 30% of tokens, 'warm' ~8%, 200 rare words
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = []
+    for _ in range(300):
+        words = ["hot"] * 30 + ["warm"] * 8 + list(rng.choice(vocab, 62))
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    docs.append(None)  # null text must be ignored, not counted as ""
+    ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+    out = (
+        heavy_hitters_exact(ds, "text", k=10)
+        .to_pandas()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    # exact reference
+    from collections import Counter
+
+    c = Counter(w for d in docs if d for w in d.split(" "))
+    total = sum(c.values())
+    ref = sorted((w, n) for w, n in c.items() if n * 10 > total)
+    assert list(map(tuple, out.values.tolist())) == ref
+    assert [w for w, _ in ref] == ["hot"]  # only the 30% word beats 10%
