@@ -1077,3 +1077,14 @@ def q_word_heavy_hitters(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return heavy_hitters_exact(ds, "text", k=31)
+
+
+def q_nchars_quantiles_sketch(sf_dir: str):
+    """Approximate decile grid via the deterministic mergeable quantile
+    summary (stages.sketches.quantile_sketch) — the 100 TB scale path
+    beside exact_percentiles; rank error ≲ 3/m (m=256). Rows-only:
+    approximate by design, tolerance-gated in pytest."""
+    from ..stages.sketches import quantile_sketch
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return quantile_sketch(ds, "n_chars", [10.0, 25.0, 50.0, 75.0, 90.0, 99.0])

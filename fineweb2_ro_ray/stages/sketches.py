@@ -275,3 +275,88 @@ def heavy_hitters_exact(
         return pa.table({"word": t["word"], "n": t["partial_n"]})
 
     return exact.map_batches(hh_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles: deterministic mergeable summaries
+# ---------------------------------------------------------------------------
+
+
+def _prune_summary(vals: np.ndarray, wts: np.ndarray, m: int):
+    """Prune a weighted sorted summary to ≤ m points: keep the values
+    whose cumulative weights are nearest to m evenly spaced targets
+    (always keeping min and max). Deterministic; adds ≤ total/(m-1)
+    rank error (classic ε-summary compression, Greenwald-Khanna /
+    Manku-Rajagopalan-Lindsay lineage, public)."""
+    # ALWAYS sort — callers cumsum the returned weights, so an unsorted
+    # early return would corrupt every downstream rank estimate
+    order = np.argsort(vals, kind="mergesort")
+    vals, wts = vals[order], wts[order]
+    if len(vals) <= m:
+        return vals, wts
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    targets = np.linspace(0, total, m)
+    idx = np.unique(np.searchsorted(cum, targets, side="left").clip(0, len(vals) - 1))
+    # collapse weights between kept points onto the kept point so total
+    # weight (and therefore every downstream rank estimate) is preserved
+    seg_end = cum[idx]
+    seg_start = np.concatenate(([0], seg_end[:-1]))
+    return vals[idx], (seg_end - seg_start)
+
+
+def quantile_sketch(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    m: int = 256,
+) -> pd.DataFrame:
+    """Approximate percentiles with a DETERMINISTIC mergeable summary —
+    the 100 TB scale path beside ``analysis.exact_percentiles`` (which
+    shuffles a full value histogram). Each batch compresses its sorted
+    values to ≤ m weighted points (ε ≈ 1/m rank error); one exchange
+    round merges partials into P partition summaries (+1/m); the driver
+    merges P·m points and reads quantiles off cumulative weights
+    (+1/m). Total rank error ≲ 3/m regardless of data size; bytes
+    shuffled: m per batch, never the column. No RNG anywhere — the
+    summary is bit-stable across batch sizes and cluster layouts.
+    Output: one row per q with columns (q, value)."""
+    from .exchange import hash_exchange_map_groups
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v.sort(kind="mergesort")
+        vals, wts = _prune_summary(v, np.ones(len(v), dtype=np.int64), m)
+        # constant salt per batch keeps each batch-summary whole on one
+        # reducer; batches spread across 64 salt values for the tree merge
+        salt = np.full(len(vals), len(v) % 64, dtype=np.int64)
+        return pa.table(
+            {
+                "salt": pa.array(salt, pa.int64()),
+                "v": pa.array(vals, pa.float64()),
+                "w": pa.array(wts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        vals, wts = _prune_summary(
+            df["v"].to_numpy(), df["w"].to_numpy().astype(np.int64), m
+        )
+        return pd.DataFrame({"v": vals, "w": wts.astype(np.int64)})
+
+    merged = hash_exchange_map_groups(partials, merge, key="salt").to_pandas()
+    vals, wts = _prune_summary(
+        merged["v"].to_numpy(), merged["w"].to_numpy().astype(np.int64), 4 * m
+    )
+    cum = np.cumsum(wts).astype(np.float64)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = q / 100.0 * total
+        i = int(np.searchsorted(cum, target, side="left").clip(0, len(vals) - 1))
+        out.append({"q": float(q), "value": float(vals[i])})
+    return pd.DataFrame(out)

@@ -1551,3 +1551,31 @@ def test_heavy_hitters_exact_skewed_corpus():
     ref = sorted((w, n) for w, n in c.items() if n * 10 > total)
     assert list(map(tuple, out.values.tolist())) == ref
     assert [w for w, _ in ref] == ["hot"]  # only the 30% word beats 10%
+
+
+def test_quantile_sketch_rank_error_bound():
+    from fineweb2_ro_ray.stages.sketches import quantile_sketch
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.lognormal(3, 1, 20000), rng.integers(0, 50, 5000).astype(float)]
+    )
+    df = pd.DataFrame({"x": vals})
+    qs = [10.0, 50.0, 90.0, 99.0]
+    out = quantile_sketch(rd.from_pandas(df), "x", qs, m=256)
+    s = np.sort(vals)
+    for _, row in out.iterrows():
+        # verify by RANK (the sketch's actual guarantee): the returned
+        # value's position in the sorted data must be within ~3/m of q
+        pos = np.searchsorted(s, row["value"]) / len(s)
+        assert abs(pos - row["q"] / 100.0) <= 3.0 / 256 + 0.005, (row["q"], pos)
+
+    # determinism across block layouts
+    out2 = quantile_sketch(rd.from_pandas(df).repartition(7), "x", qs, m=256)
+    # same summary algebra, different batching -> values may differ but
+    # both must satisfy the rank gate; and identical layout is bit-equal
+    out3 = quantile_sketch(rd.from_pandas(df), "x", qs, m=256)
+    assert out["value"].tolist() == out3["value"].tolist()
+    for _, row in out2.iterrows():
+        pos = np.searchsorted(s, row["value"]) / len(s)
+        assert abs(pos - row["q"] / 100.0) <= 3.0 / 256 + 0.005, (row["q"], pos)
