@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mode_lang": P.q_source_mode_lang,
         "orders_top_revenue": P.q_orders_top_revenue,
         "word_heavy_hitters": P.q_word_heavy_hitters,
+        "events_cumsum": P.q_events_cumsum,
+        "lang_source_rollup": P.q_lang_source_rollup,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -263,6 +265,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
                        AS cluster_size
             FROM comp c
+        """,
+        "events_cumsum": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_cents
+            FROM events
+        """,
+        "lang_source_rollup": """
+            SELECT lang, source, count(*) AS n
+            FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "word_heavy_hitters": """
             WITH w AS (

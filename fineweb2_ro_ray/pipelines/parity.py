@@ -1088,3 +1088,69 @@ def q_nchars_quantiles_sketch(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["n_chars"])
     return quantile_sketch(ds, "n_chars", [10.0, 25.0, 50.0, 75.0, 90.0, 99.0])
+
+
+def q_events_cumsum(sf_dir: str):
+    """Running total per key — SUM OVER (PARTITION BY user ORDER BY ts,
+    id ROWS UNBOUNDED PRECEDING) in exact integer cents. Same
+    hash-partitioned sorted-scan shape as per_key_rank; one exchange."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_away(b["value"].to_numpy(zero_copy_only=False) * 100)
+        return b.select(["user_id", "event_id", "ts"]).append_column(
+            "cents", pa.array(cents, pa.int64())
+        )
+
+    def cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["cum_cents"] = df.groupby("user_id", sort=False)["cents"].cumsum()
+        return df[["user_id", "event_id", "cum_cents"]]
+
+    return hash_exchange_map_groups(
+        ds.map_batches(to_cents, batch_format="pyarrow"), cumsum, key="user_id"
+    )
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): detail counts + per-lang subtotals
+    + grand total, NULL-filled at coarser levels (the OLAP cube edge).
+    Engine: three grouped_counts plans (each its own thin exchange of
+    partial-count rows) unioned — subtotals are re-aggregated partials,
+    never a second scan of the detail output."""
+    detail = grouped_counts(_read(sf_dir, "documents", ["lang", "source"]), ["lang", "source"])
+    per_lang = grouped_counts(_read(sf_dir, "documents", ["lang"]), ["lang"])
+    total = grouped_counts(
+        _read(sf_dir, "documents", ["lang"]).map_batches(
+            lambda t: t.select(["lang"]).append_column(
+                "all", pa.array(["all"] * t.num_rows, pa.string())
+            ).select(["all"]),
+            batch_format="pyarrow",
+        ),
+        ["all"],
+    )
+
+    def pad_lang(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "source": pa.array([None] * b.num_rows, pa.string()),
+                "n": b["n"],
+            }
+        )
+
+    def pad_total(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pa.array([None] * b.num_rows, pa.string()),
+                "source": pa.array([None] * b.num_rows, pa.string()),
+                "n": b["n"],
+            }
+        )
+
+    return detail.union(
+        per_lang.map_batches(pad_lang, batch_format="pyarrow"),
+        total.map_batches(pad_total, batch_format="pyarrow"),
+    )
