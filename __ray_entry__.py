@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_keep_by_role": _q_transcript_keep_by_role,
         "simhash_pairs": P.q_simhash_pairs,
         "nchars_quantiles_sketch": P.q_nchars_quantiles_sketch,
+        "doc_winnow_fingerprints": P.q_doc_winnow_fingerprints,
         "doc_bpe_tokens": P.q_doc_bpe_tokens,
         "distinct_users_approx": P.q_distinct_users_approx,
         "doc_multitask_scores": P.q_doc_multitask_scores,

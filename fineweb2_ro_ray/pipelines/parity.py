@@ -1154,3 +1154,19 @@ def q_lang_source_rollup(sf_dir: str):
         per_lang.map_batches(pad_lang, batch_format="pyarrow"),
         total.map_batches(pad_total, batch_format="pyarrow"),
     )
+
+
+def q_doc_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rolling k-gram hash + window
+    min; Schleimer et al. 2003) for every 20th doc — the per-doc sketch
+    a plagiarism / near-dup scanner stores. Rows-only (uint64 hashes
+    have no SQL analog); guarantee + determinism pinned in pytest."""
+    from ..stages.fingerprint import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % 20 == 0))
+
+    return winnow_fingerprints(ds.map_batches(keep, batch_format="pyarrow"))

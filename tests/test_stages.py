@@ -1579,3 +1579,41 @@ def test_quantile_sketch_rank_error_bound():
     for _, row in out2.iterrows():
         pos = np.searchsorted(s, row["value"]) / len(s)
         assert abs(pos - row["q"] / 100.0) <= 3.0 / 256 + 0.005, (row["q"], pos)
+
+
+def test_winnow_fingerprints_guarantee_and_determinism():
+    from fineweb2_ro_ray.stages.fingerprint import winnow_fingerprints
+
+    k, w = 8, 16
+    rng = np.random.default_rng(13)
+    alphabet = list("abcdefgh ")
+    base = "".join(rng.choice(alphabet, 400))
+    shared = "".join(rng.choice(alphabet, k + w - 1))  # minimal guaranteed span
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                base,
+                base,  # identical doc -> identical fingerprint set
+                "".join(rng.choice(alphabet, 200)) + shared,
+                shared + "".join(rng.choice(alphabet, 200)),
+                "tiny",  # < k+w-1: no full window -> no fingerprints
+            ],
+        }
+    )
+    out = winnow_fingerprints(
+        rd.from_pandas(docs), text_col="text", id_col="doc_id", k=k, w=w
+    ).to_pandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in out.groupby("doc_id")}
+    assert by_doc[0] == by_doc[1]  # identical docs, identical sketch
+    # shared substring of length w+k-1 -> at least one common fingerprint
+    assert by_doc[2] & by_doc[3]
+    assert 4 not in by_doc
+    # density: winnowing keeps roughly 2/(w+1) of positions, never all
+    assert 0 < len(by_doc[0]) < len(base) / 2
+    # block-layout determinism
+    out2 = winnow_fingerprints(
+        rd.from_pandas(docs).repartition(3), text_col="text", id_col="doc_id", k=k, w=w
+    ).to_pandas()
+    by_doc2 = {d: set(g["fingerprint"]) for d, g in out2.groupby("doc_id")}
+    assert by_doc == by_doc2
