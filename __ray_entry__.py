@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_revenue": P.q_orders_top_revenue,
         "word_heavy_hitters": P.q_word_heavy_hitters,
         "events_cumsum": P.q_events_cumsum,
+        "label_centroid_sums": P.q_label_centroid_sums,
         "lang_source_rollup": P.q_lang_source_rollup,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
@@ -266,6 +267,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
                        AS cluster_size
             FROM comp c
+        """,
+        "label_centroid_sums": """
+            WITH e AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                       unnest(embedding) AS val
+                FROM embeddings
+            )
+            SELECT label, pos,
+                   CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_ppm,
+                   count(*) AS n
+            FROM e GROUP BY label, pos
         """,
         "events_cumsum": """
             SELECT user_id, event_id,

@@ -1170,3 +1170,49 @@ def q_doc_winnow_fingerprints(sf_dir: str):
         return b.filter(pa.array(did % 20 == 0))
 
     return winnow_fingerprints(ds.map_batches(keep, batch_format="pyarrow"))
+
+
+def q_label_centroid_sums(sf_dir: str):
+    """Per-label centroid sufficient statistics over the embedding
+    column — (label, dim pos, exact ppm-scaled coordinate sum, count).
+    The distributed mean-embedding building block (cluster centroids,
+    class prototypes): per-batch label-masked matrix sums (one
+    reshape + per-label vectorized column sum, no Python over rows),
+    one thin exchange of (labels x dims) partial rows. Integer ppm
+    scaling keeps the value hash engine-independent; a consumer divides
+    sum_ppm / n / 1e6 for the mean."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        d = len(emb[0])
+        mat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = round_half_away(mat.reshape(-1, d) * 1e6)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        rows = []
+        for i, lab in enumerate(uniq):
+            mask = inv == i
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(d, lab, dtype=np.int64),
+                        "pos": np.arange(1, d + 1, dtype=np.int64),
+                        "partial_sum": mat[mask].sum(axis=0).astype(np.int64),
+                        "partial_n": np.full(d, int(mask.sum()), dtype=np.int64),
+                    }
+                )
+            )
+        return from_pandas_clean(pd.concat(rows, ignore_index=True))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["label", "pos"], as_index=False)[["partial_sum", "partial_n"]].sum()
+        return out.rename(columns={"partial_sum": "sum_ppm", "partial_n": "n"})
+
+    return hash_exchange_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), merge, key=["label", "pos"]
+    )
