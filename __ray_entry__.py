@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_heavy_hitters": P.q_word_heavy_hitters,
         "events_cumsum": P.q_events_cumsum,
         "label_centroid_sums": P.q_label_centroid_sums,
+        "events_percent_rank": P.q_events_percent_rank,
         "lang_source_rollup": P.q_lang_source_rollup,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
@@ -267,6 +268,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
                        AS cluster_size
             FROM comp c
+        """,
+        "events_percent_rank": """
+            SELECT user_id, event_id,
+                   CAST(round(percent_rank() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) * 1000000) AS BIGINT) AS pr_ppm,
+                   CAST(round(cume_dist() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) * 1000000) AS BIGINT) AS cd_ppm
+            FROM events
         """,
         "label_centroid_sums": """
             WITH e AS (

@@ -872,7 +872,12 @@ def q_dedup_clusters(sf_dir: str):
 
     def attach(t: pa.Table) -> pa.Table:
         lut = _ray.get(lut_ref)
-        cs = [int(lut[c]) for c in t["component"].to_pylist()]
+        cs = (
+            pd.Series(t["component"].to_numpy(zero_copy_only=False))
+            .map(lut)
+            .to_numpy()
+            .astype(np.int64)
+        )
         return t.append_column("cluster_size", pa.array(cs, pa.int64()))
 
     return comp.map_batches(attach, batch_format="pyarrow")
@@ -1215,4 +1220,29 @@ def q_label_centroid_sums(sf_dir: str):
 
     return hash_exchange_map_groups(
         ds.map_batches(partial, batch_format="pyarrow"), merge, key=["label", "pos"]
+    )
+
+
+def q_events_percent_rank(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST per user over (ts, event_id) order —
+    scaled to exact integers (x 1e6 with round-half-away, both engines)
+    so the value hash is bit-stable. Same exchange shape as
+    per_key_rank."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        r = g.cumcount().to_numpy().astype(np.float64)
+        n = g["event_id"].transform("size").to_numpy().astype(np.float64)
+        pr = np.where(n > 1, r / np.maximum(n - 1, 1), 0.0)
+        cd = (r + 1) / n
+        df["pr_ppm"] = round_half_away(pr * 1e6)
+        df["cd_ppm"] = round_half_away(cd * 1e6)
+        return df[["user_id", "event_id", "pr_ppm", "cd_ppm"]]
+
+    return hash_exchange_map_groups(
+        ds.select_columns(["user_id", "event_id", "ts"]), win, key="user_id"
     )
