@@ -1191,6 +1191,15 @@ def q_label_centroid_sums(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "partial_sum": pa.array([], pa.int64()),
+                    "partial_n": pa.array([], pa.int64()),
+                }
+            )
         emb = b["embedding"]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
