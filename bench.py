@@ -173,6 +173,7 @@ def run_bench() -> dict:
         flagship_runs.append(round(el, 3))
         timings["flagship_filter"] = min(el, timings.get("flagship_filter", el))
 
+    t_run0 = time.time()
     for rep in range(repeats):
         _flagship_once()
         for name, fn in op_benches:
@@ -189,10 +190,17 @@ def run_bench() -> dict:
     # flagship-only passes — each preceded by a short sleep so a burst
     # of neighbor load can pass — keeping the min. Bounded by
     # BENCH_REPEATS_MAX so a permanently-degraded host still finishes.
+    # wall-clock budget caps the extension so a degraded host can't push
+    # the whole bench past a reasonable driver timeout
     degraded_ms = float(os.environ.get("BENCH_DEGRADED_MS", "25"))
-    while len(flagship_runs) < max_repeats and (
-        _probe_page_supply_ms() > degraded_ms
-        or max(flagship_runs) > 1.5 * min(flagship_runs)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
+    while (
+        len(flagship_runs) < max_repeats
+        and time.time() - t_run0 < budget_s - (15 + max(flagship_runs))
+        and (
+            _probe_page_supply_ms() > degraded_ms
+            or max(flagship_runs) > 1.5 * min(flagship_runs)
+        )
     ):
         time.sleep(15.0)
         _flagship_once()
