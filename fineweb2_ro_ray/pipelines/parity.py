@@ -1035,6 +1035,15 @@ def q_orders_top_revenue(sf_dir: str):
 
     o = orders.map_batches(keep_orders, batch_format="pyarrow")
 
+    # semi-join pushdown: a fixed-memory Bloom of surviving orderkeys
+    # filters the fact side BEFORE the combiner and the hash join (at
+    # 100 TB the filtered orders key set outgrows a broadcast array;
+    # the 16 MB bitmap does not). False positives are dropped by the
+    # inner join, so results are exact.
+    from ..stages.bloom import bloom_filter_ids, build_id_bloom
+
+    bm = build_id_bloom(o, ["o_orderkey"])
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
 
     def li_revenue(b: pa.Table) -> pa.Table:
@@ -1047,15 +1056,15 @@ def q_orders_top_revenue(sf_dir: str):
         out = df.groupby("l_orderkey", as_index=False)["rev_cbp"].sum()
         return from_pandas_clean(out)
 
-    rev = li.map_batches(li_revenue, batch_format="pyarrow")
-
-    joined = rev.join(
-        o,
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    rev = bloom_filter_ids(li, bm, id_col="l_orderkey").map_batches(
+        li_revenue, batch_format="pyarrow"
     )
+
+    from ..stages.joins import hash_join
+
+    # exchange-based equality join (joins.hash_join): one keyed shuffle,
+    # vectorized per-partition merge — no JoinOperator actor-pool floor
+    joined = hash_join(rev, o, key="l_orderkey", right_key="o_orderkey")
 
     # merge partials per (orderkey, date, priority), then global top-10
     merged = _exchange_sum(

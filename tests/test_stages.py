@@ -1617,3 +1617,35 @@ def test_winnow_fingerprints_guarantee_and_determinism():
     ).to_pandas()
     by_doc2 = {d: set(g["fingerprint"]) for d, g in out2.groupby("doc_id")}
     assert by_doc == by_doc2
+
+
+def test_hash_join_matches_pandas_merge():
+    from fineweb2_ro_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "d", None], 80),
+            "lv": np.arange(80, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.choice(["a", "b", "e", None], 30),
+            "rv": (np.arange(30, dtype=np.int64) + 2**53 + 3),  # > 2^53: dtype probe
+        }
+    )
+    out = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), key="k", right_key="rk")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        left.dropna(subset=["k"])
+        .merge(right.dropna(subset=["rk"]), left_on="k", right_on="rk", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=False)
+    assert out["rv"].dtype == np.int64  # no float64 upcast above 2^53
