@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": P.q_events_cumsum,
         "label_centroid_sums": P.q_label_centroid_sums,
         "events_percent_rank": P.q_events_percent_rank,
+        "customer_order_counts": P.q_customer_order_counts,
         "lang_source_rollup": P.q_lang_source_rollup,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
@@ -268,6 +269,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
                        AS cluster_size
             FROM comp c
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
         """,
         "events_percent_rank": """
             SELECT user_id, event_id,

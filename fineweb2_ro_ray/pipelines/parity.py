@@ -1264,3 +1264,27 @@ def q_events_percent_rank(sf_dir: str):
     return hash_exchange_map_groups(
         ds.select_columns(["user_id", "event_id", "ts"]), win, key="user_id"
     )
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT JOIN + grouped count of the matched side: orders per
+    customer INCLUDING zero-order customers (the classic left-join
+    aggregate) on the exchange hash join. count(o_custkey) counts
+    non-null matches only, exactly SQL's count(col)."""
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    joined = hash_join(cust, orders, key="c_custkey", right_key="o_custkey", how="left")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["m"] = df["o_custkey"].notna().astype(np.int64)
+        out = df.groupby("c_custkey", as_index=False)["m"].sum()
+        return from_pandas_clean(out.rename(columns={"m": "partial_n"}))
+
+    return _exchange_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        {"partial_n": "n_orders"},
+    )

@@ -247,31 +247,72 @@ def hash_join(
     *,
     key: str,
     right_key: str,
+    how: str = "inner",
     n_partitions: int = 512,
 ) -> ray.data.Dataset:
-    """Equality INNER join on the raw hash exchange — the engine-native
-    alternative to Ray's ``Dataset.join`` JoinOperator, whose actor-pool
-    spin-up floor (~2 s measured at 16 partitions) dominates small and
-    mid-size joins. Same single-shuffle shape as asof/range: pad both
-    sides to the superset schema, ONE identically-keyed exchange, then
-    a vectorized ``pd.merge`` per partition on null-free frames (source
-    dtypes preserved). NULL keys never match (dropped pre-shuffle by
-    ``_bucket_union``); string and integer keys both route through the
-    dtype-canonical ``hash_key_u64``."""
+    """Equality INNER / LEFT join on the raw hash exchange — the
+    engine-native alternative to Ray's ``Dataset.join`` JoinOperator,
+    whose actor-pool spin-up floor (~2 s measured at 16 partitions)
+    dominates small and mid-size joins. Same single-shuffle shape as
+    asof/range: pad both sides to the superset schema, ONE
+    identically-keyed exchange, then per partition resolve (left_pos,
+    right_pos) index pairs with one positions-only ``pd.merge`` and
+    compose the output with Arrow ``take`` — a null right index yields
+    a null row, so LEFT-join padding never round-trips int64 through
+    float64 (the dtype trap ``_split_sides`` documents). NULL equality
+    keys never match (SQL): they are dropped pre-shuffle; for
+    ``how="left"`` the null-key left rows bypass the exchange entirely
+    and are appended with all-null right columns."""
+    assert how in ("inner", "left"), how
     both, l_cols, r_cols, out_schema = _bucket_union(
         left, right, key, right_key, n_partitions
     )
 
     def per_part(g: pa.Table) -> pa.Table:
-        l, r = _split_sides(g, l_cols, r_cols)
-        if l.empty or r.empty:
+        side = g["_side"]
+        lt = g.filter(pc.equal(side, "l")).select(l_cols)
+        rt = g.filter(pc.equal(side, "r")).select(r_cols)
+        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
             return out_schema.empty_table()
-        out = l.merge(r, left_on=key, right_on=right_key, how="inner")
-        t = from_pandas_clean(out).select(out_schema.names)
-        return t.cast(out_schema)
+        if rt.num_rows == 0:  # left join, no right rows in this partition
+            cols = {c: lt[c] for c in l_cols}
+            for c in r_cols:
+                cols[c] = pa.nulls(lt.num_rows, out_schema.field(c).type)
+            return pa.table(cols).cast(out_schema)
+        lpos = pd.DataFrame(
+            {
+                "k": lt[key].to_pandas(),
+                "li": np.arange(lt.num_rows, dtype=np.int64),
+            }
+        )
+        rpos = pd.DataFrame(
+            {
+                "k": rt[right_key].to_pandas(),
+                "ri": np.arange(rt.num_rows, dtype=np.int64),
+            }
+        )
+        pairs = lpos.merge(rpos, on="k", how=how)
+        li = pa.array(pairs["li"].to_numpy(dtype=np.int64))
+        ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
+        cols = {c: pc.take(lt[c], li) for c in l_cols}
+        cols.update({c: pc.take(rt[c], ri) for c in r_cols})
+        return pa.table(cols).cast(out_schema)
 
     from .exchange import hash_exchange_map_groups
 
-    return hash_exchange_map_groups(
+    joined = hash_exchange_map_groups(
         both, per_part, key="part", batch_format="pyarrow", out_schema=out_schema
     )
+    if how != "left":
+        return joined
+
+    # SQL LEFT JOIN keeps null-key left rows (matching nothing); they
+    # were dropped pre-shuffle, so re-add them with null right columns
+    def null_key_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_null(b[key]))
+        cols = {c: t[c] for c in l_cols}
+        for c in r_cols:
+            cols[c] = pa.nulls(t.num_rows, out_schema.field(c).type)
+        return pa.table(cols).cast(out_schema)
+
+    return joined.union(left.map_batches(null_key_rows, batch_format="pyarrow"))

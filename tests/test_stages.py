@@ -1649,3 +1649,23 @@ def test_hash_join_matches_pandas_merge():
     )
     pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=False)
     assert out["rv"].dtype == np.int64  # no float64 upcast above 2^53
+
+
+def test_hash_join_left_keeps_unmatched_and_null_keys():
+    from fineweb2_ro_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": ["a", "b", None, "c"], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"rk": ["a", "a", "d"], "rv": [10, 11, 12]})
+    out = (
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="k", right_key="rk", how="left"
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # a matches twice; b, c and the NULL-key row survive unmatched
+    assert out["lv"].tolist() == [1, 1, 2, 3, 4]
+    assert out["rv"].tolist()[:2] == [10, 11]
+    assert out["rv"].isna().tolist() == [False, False, True, True, True]
+    assert out["k"].isna().tolist() == [False, False, False, True, False]
