@@ -40,27 +40,35 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
 def _bucket_union(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    key: str,
-    right_key: str,
+    key: str | list[str],
+    right_key: str | list[str],
     n_partitions: int,
 ):
     """Shared scaffolding for the bucketed joins: pad each side to the
     superset schema with a ``_side`` tag, hash-bucket on the equality
-    key, and union — ONE identically-keyed shuffle co-locates both
-    sides. Returns (both, l_cols, r_cols, out_schema)."""
+    key (one column or a composite list), and union — ONE
+    identically-keyed shuffle co-locates both sides. Returns
+    (both, l_cols, r_cols, out_schema)."""
     l_cols = left.schema().names
     r_cols = right.schema().names
     overlap = set(l_cols) & set(r_cols)
     assert not overlap, f"rename overlapping columns first: {overlap}"
 
-    def pad(b: pa.Table, side: str, k: str, other_cols, other_types) -> pa.Table:
-        # NULL keys never match (SQL semantics) — drop them before the
+    def pad(b: pa.Table, side: str, k: str | list[str], other_cols, other_types) -> pa.Table:
+        # NULL keys never match (SQL semantics; for composite keys any
+        # null component disqualifies the row) — drop them before the
         # shuffle so they neither skew a partition nor hash at all.
         # hash_key_u64 is dtype-canonical: equal logical keys land in
         # the same partition even when one side's batch upcast to
         # float64 via null padding or uses a narrower int type.
-        b = b.filter(pc.is_valid(b[k]))
-        ks = hash_key_u64(b[k])
+        kl = [k] if isinstance(k, str) else list(k)
+        for kc in kl:
+            b = b.filter(pc.is_valid(b[kc]))
+        ks = hash_key_u64(b[kl[0]])
+        for kc in kl[1:]:
+            # splitmix-style mix keeps composite hashes order-sensitive
+            # and well-spread (same recipe both sides)
+            ks = (ks * np.uint64(0x9E3779B97F4A7C15)) ^ hash_key_u64(b[kc])
         b = b.append_column(
             "part", pa.array((ks % n_partitions).astype(np.int32), pa.int32())
         )
@@ -245,8 +253,8 @@ def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     *,
-    key: str,
-    right_key: str,
+    key: str | list[str],
+    right_key: str | list[str],
     how: str = "inner",
     n_partitions: int = 512,
 ) -> ray.data.Dataset:
@@ -262,8 +270,12 @@ def hash_join(
     float64 (the dtype trap ``_split_sides`` documents). NULL equality
     keys never match (SQL): they are dropped pre-shuffle; for
     ``how="left"`` the null-key left rows bypass the exchange entirely
-    and are appended with all-null right columns."""
+    and are appended with all-null right columns. ``key``/``right_key``
+    may be composite (lists of the same length)."""
     assert how in ("inner", "left"), how
+    kl = [key] if isinstance(key, str) else list(key)
+    rkl = [right_key] if isinstance(right_key, str) else list(right_key)
+    assert len(kl) == len(rkl), (kl, rkl)
     both, l_cols, r_cols, out_schema = _bucket_union(
         left, right, key, right_key, n_partitions
     )
@@ -279,19 +291,11 @@ def hash_join(
             for c in r_cols:
                 cols[c] = pa.nulls(lt.num_rows, out_schema.field(c).type)
             return pa.table(cols).cast(out_schema)
-        lpos = pd.DataFrame(
-            {
-                "k": lt[key].to_pandas(),
-                "li": np.arange(lt.num_rows, dtype=np.int64),
-            }
-        )
-        rpos = pd.DataFrame(
-            {
-                "k": rt[right_key].to_pandas(),
-                "ri": np.arange(rt.num_rows, dtype=np.int64),
-            }
-        )
-        pairs = lpos.merge(rpos, on="k", how=how)
+        lpos = pd.DataFrame({f"k{i}": lt[c].to_pandas() for i, c in enumerate(kl)})
+        lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
+        rpos = pd.DataFrame({f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)})
+        rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
+        pairs = lpos.merge(rpos, on=[f"k{i}" for i in range(len(kl))], how=how)
         li = pa.array(pairs["li"].to_numpy(dtype=np.int64))
         ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
         cols = {c: pc.take(lt[c], li) for c in l_cols}
@@ -309,7 +313,10 @@ def hash_join(
     # SQL LEFT JOIN keeps null-key left rows (matching nothing); they
     # were dropped pre-shuffle, so re-add them with null right columns
     def null_key_rows(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.is_null(b[key]))
+        anynull = pc.is_null(b[kl[0]])
+        for kc in kl[1:]:
+            anynull = pc.or_(anynull, pc.is_null(b[kc]))
+        t = b.filter(anynull)
         cols = {c: t[c] for c in l_cols}
         for c in r_cols:
             cols[c] = pa.nulls(t.num_rows, out_schema.field(c).type)

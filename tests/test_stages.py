@@ -1669,3 +1669,47 @@ def test_hash_join_left_keeps_unmatched_and_null_keys():
     assert out["rv"].tolist()[:2] == [10, 11]
     assert out["rv"].isna().tolist() == [False, False, True, True, True]
     assert out["k"].isna().tolist() == [False, False, False, True, False]
+
+
+def test_hash_join_composite_keys():
+    from fineweb2_ro_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {
+            "a": rng.integers(0, 4, 60),
+            "b": rng.choice(["x", "y", None], 60),
+            "lv": np.arange(60),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ra": rng.integers(0, 4, 25),
+            "rb": rng.choice(["x", "y", "z"], 25),
+            "rv": np.arange(25) + 100,
+        }
+    )
+    for how in ("inner", "left"):
+        out = (
+            hash_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key=["a", "b"],
+                right_key=["ra", "rb"],
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        if how == "inner":
+            ref = left.dropna(subset=["b"]).merge(
+                right, left_on=["a", "b"], right_on=["ra", "rb"], how="inner"
+            )
+        else:
+            ref = left.merge(
+                right, left_on=["a", "b"], right_on=["ra", "rb"], how="left"
+            )
+        ref = ref.sort_values(["lv", "rv"]).reset_index(drop=True)
+        assert out["lv"].tolist() == ref["lv"].tolist(), how
+        assert out["rv"].fillna(-1).tolist() == ref["rv"].fillna(-1).tolist(), how
