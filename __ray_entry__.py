@@ -211,6 +211,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": P.q_events_percent_rank,
         "customer_order_counts": P.q_customer_order_counts,
         "lang_source_rollup": P.q_lang_source_rollup,
+        # round-3 continuation: correlated/conditional join shapes +
+        # ordered string agg + word-level Gopher-rule stats
+        "orders_exists_late": P.q_orders_exists_late,
+        "promo_revenue_ratio": P.q_promo_revenue_ratio,
+        "small_qty_revenue": P.q_small_qty_revenue,
+        "orders_big_qty": P.q_orders_big_qty,
+        "user_event_paths": P.q_user_event_paths,
+        "user_first_last": P.q_user_first_last,
+        "doc_word_repetition": P.q_doc_word_repetition,
+        "doc_stopword_counts": P.q_doc_stopword_counts,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -308,6 +318,91 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_rollup": """
             SELECT lang, source, count(*) AS n
             FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "orders_exists_late": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "promo_revenue_ratio": """
+            WITH r AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cbp,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cbp ELSE 0 END) AS BIGINT)
+                       AS promo_cbp,
+                   CAST(sum(rev_cbp) AS BIGINT) AS total_cbp,
+                   100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_cbp ELSE 0 END)
+                       / sum(rev_cbp) AS promo_pct
+            FROM r
+        """,
+        "small_qty_revenue": """
+            WITH pa AS (
+                SELECT l_partkey AS pk,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                           AS sum_q100,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_small
+            FROM lineitem JOIN pa ON l_partkey = pk
+            WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * cnt < sum_q100
+        """,
+        "orders_big_qty": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                           AS total_q100
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+            )
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority, total_q100
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "user_first_last": """
+            SELECT DISTINCT user_id,
+                   first_value(event_id) OVER w AS first_event_id,
+                   first_value(event_type) OVER w AS first_type,
+                   last_value(event_id) OVER w2 AS last_event_id,
+                   last_value(event_type) OVER w2 AS last_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+        """,
+        "doc_word_repetition": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS n_distinct_words
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "doc_stopword_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the', 'a', 'data', 'row'))) AS BIGINT)
+                       AS n_stop
+            FROM documents WHERE text IS NOT NULL
         """,
         "word_heavy_hitters": """
             WITH w AS (

@@ -1288,3 +1288,356 @@ def q_customer_order_counts(sf_dir: str):
         ["c_custkey"],
         {"partial_n": "n_orders"},
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation: correlated / conditional-aggregate join shapes
+# (TPC-H Q4/Q14/Q17/Q18 analogs) + ordered per-key string aggregation +
+# word-level Gopher-rule stats with exact SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def q_orders_exists_late(sf_dir: str):
+    """Correlated EXISTS semi-aggregate (TPC-H Q4 shape): count orders
+    per priority having at least one lineitem shipped >60 days after
+    the order date. EXISTS against a constant-per-order bound reduces
+    exactly to max(l_shipdate) per order — a map-side combiner + thin
+    exchange merge of (orderkey, max_ship) rows, one hash join, then a
+    grouped-count exchange of partial rows. No row of lineitem crosses
+    the shuffle."""
+    from ..stages.exchange import hash_exchange_map_groups
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = df.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+        return from_pandas_clean(out.rename(columns={"l_shipdate": "max_ship"}))
+
+    def merge_max(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False)["max_ship"].max()
+
+    per_order = hash_exchange_map_groups(
+        li.map_batches(max_partial, batch_format="pyarrow"), merge_max, key="l_orderkey"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_join(per_order, orders, key="l_orderkey", right_key="o_orderkey")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        late = df["max_ship"] > df["o_orderdate"] + pd.Timedelta(days=60)
+        out = (
+            df[late]
+            .groupby("o_orderpriority", as_index=False)
+            .size()
+            .rename(columns={"size": "partial_n"})
+        )
+        out["partial_n"] = out["partial_n"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    return _exchange_sum(
+        joined.map_batches(count_partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"partial_n": "n_orders"},
+    )
+
+
+def q_promo_revenue_ratio(sf_dir: str):
+    """Conditional-aggregate ratio over a join (TPC-H Q14 shape):
+    share of 1997 revenue from PROMO parts. Lineitem collapses to
+    per-partkey partial revenue BEFORE the join, so the hash join
+    moves |parts| rows, not |lineitem|; the final two sums reduce a
+    partial-row stream bounded by the reduce-partition count. Exact
+    integer cents-x-basis-points; the single ratio division is the
+    only float."""
+    from ..stages.exchange import hash_exchange_map_groups
+    from ..stages.joins import hash_join
+    import datetime as _dt
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        df = t.select(["l_partkey", "l_extendedprice", "l_discount"]).to_pandas()
+        cents = round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        disc = round_half_away(df["l_discount"].to_numpy() * 100)
+        df["rev_cbp"] = cents * (100 - disc)
+        return from_pandas_clean(df.groupby("l_partkey", as_index=False)["rev_cbp"].sum())
+
+    def merge_rev(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False)["rev_cbp"].sum()
+
+    per_part = hash_exchange_map_groups(
+        li.map_batches(rev_partial, batch_format="pyarrow"), merge_rev, key="l_partkey"
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = hash_join(per_part, part, key="l_partkey", right_key="p_partkey")
+
+    def split_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        promo = df.loc[df["p_type"] == "PROMO", "rev_cbp"].sum()
+        total = df["rev_cbp"].sum()
+        return from_pandas_clean(
+            pd.DataFrame({"promo_cbp": [np.int64(promo)], "total_cbp": [np.int64(total)]})
+        )
+
+    parts = joined.map_batches(split_partial, batch_format="pyarrow").to_pandas()
+    promo, total = int(parts["promo_cbp"].sum()), int(parts["total_cbp"].sum())
+    return pd.DataFrame(
+        {
+            "promo_cbp": [promo],
+            "total_cbp": [total],
+            "promo_pct": [100.0 * promo / total],
+        }
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """Correlated scalar-subquery filter (TPC-H Q17 shape): revenue of
+    lineitems with quantity below 20% of their part's average.
+    ``q < 0.2 * sum/cnt`` is evaluated in exact integers as
+    ``5*q100*cnt < sum_q100`` — no float average anywhere. The
+    per-part aggregate (thin: one row per partkey) joins BACK to the
+    fact stream on the exchange hash join; the fact side never
+    aggregates globally."""
+    from ..stages.exchange import hash_exchange_map_groups
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        df = b.select(["l_partkey", "l_quantity"]).to_pandas()
+        df["q100"] = round_half_away(df["l_quantity"].to_numpy() * 100)
+        out = df.groupby("l_partkey", as_index=False).agg(
+            sum_q100=("q100", "sum"), cnt=("q100", "size")
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def merge_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False)[["sum_q100", "cnt"]].sum()
+
+    per_part = hash_exchange_map_groups(
+        li.map_batches(agg_partial, batch_format="pyarrow"), merge_agg, key="l_partkey"
+    ).map_batches(
+        lambda t: t.rename_columns(["pk", "sum_q100", "cnt"]), batch_format="pyarrow"
+    )
+
+    joined = hash_join(li, per_part, key="l_partkey", right_key="pk")
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        q100 = round_half_away(df["l_quantity"].to_numpy() * 100)
+        small = 5 * q100 * df["cnt"].to_numpy() < df["sum_q100"].to_numpy()
+        cents = round_half_away(df.loc[small, "l_extendedprice"].to_numpy() * 100)
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "revenue_cents": [np.int64(cents.sum())],
+                    "n_small": [np.int64(small.sum())],
+                }
+            )
+        )
+
+    parts = joined.map_batches(small_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_cents": [int(parts["revenue_cents"].sum())],
+            "n_small": [int(parts["n_small"].sum())],
+        }
+    )
+
+
+def q_orders_big_qty(sf_dir: str):
+    """Grouped HAVING + join-back (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 250 (q100 > 25000 in exact integer
+    hundredths — ~1% of orders), joined back to the order header. The
+    HAVING filter runs on the thin merged per-order aggregate, so only
+    qualifying orderkeys enter the join."""
+    from ..stages.exchange import hash_exchange_map_groups
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def q_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["q100"] = round_half_away(df["l_quantity"].to_numpy() * 100)
+        return from_pandas_clean(df.groupby("l_orderkey", as_index=False)["q100"].sum())
+
+    def merge_having(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_orderkey", as_index=False)["q100"].sum()
+        return out[out["q100"] > 25000].rename(columns={"q100": "total_q100"})
+
+    big = hash_exchange_map_groups(
+        li.map_batches(q_partial, batch_format="pyarrow"), merge_having, key="l_orderkey"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_join(big, orders, key="l_orderkey", right_key="o_orderkey")
+
+    def project(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "o_orderdate": day,
+                "o_orderpriority": b["o_orderpriority"],
+                "total_q100": b["total_q100"],
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_user_event_paths(sf_dir: str):
+    """Ordered per-key string aggregation — string_agg(event_type, ','
+    ORDER BY ts, event_id) per user. One exchange co-locates each
+    user; the partition body is a vectorized sort + join. The path
+    length is bounded by a user's event count (sessionization upstream
+    bounds it in a real pipeline)."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        out = g.agg(",".join).reset_index().rename(columns={"event_type": "path"})
+        out["n_events"] = g.size().to_numpy().astype(np.int64)
+        return out
+
+    return hash_exchange_map_groups(ds, paths, key="user_id")
+
+
+def q_user_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per partition (ordered by ts, event_id)
+    collapsed to one row per user. The map-side combiner keeps only
+    each batch's first+last candidate rows per user (<=2 rows per user
+    per batch cross the exchange); the reduce applies the identical
+    argmin/argmax, which is associative under the unique (ts,
+    event_id) order."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        return pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
+
+    def candidates(b: pa.Table) -> pa.Table:
+        return from_pandas_clean(ends(b.to_pandas()))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        first, last = g.head(1), g.tail(1)
+        out = first[["user_id", "event_id", "event_type"]].rename(
+            columns={"event_id": "first_event_id", "event_type": "first_type"}
+        )
+        out = out.merge(
+            last[["user_id", "event_id", "event_type"]].rename(
+                columns={"event_id": "last_event_id", "event_type": "last_type"}
+            ),
+            on="user_id",
+        )
+        return out[["user_id", "first_event_id", "first_type", "last_event_id", "last_type"]]
+
+    return hash_exchange_map_groups(
+        ds.map_batches(candidates, batch_format="pyarrow"), finalize, key="user_id"
+    )
+
+
+def _word_lists(b: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Split non-null text rows on single spaces: returns (flat word
+    array, per-row word counts, list offsets) — the vectorized base
+    for word-level Gopher rules. Caller filters nulls first."""
+    col = b["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(col, pattern=" ")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return flat, lens, offsets
+
+
+def q_doc_word_repetition(sf_dir: str):
+    """Gopher repetition rule, oracle-exact: per-doc word count and
+    DISTINCT word count (duplicate-word fraction = 1 - distinct/total
+    derives from the two integers). Distinct-per-row is computed
+    without a Python loop: factorize the flat word array once, lexsort
+    (row, code) pairs, count first-occurrences per row with one
+    bincount."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_distinct_words": pa.array([], pa.int64()),
+                }
+            )
+        flat, lens, _ = _word_lists(t)
+        codes = pd.factorize(flat.to_numpy(zero_copy_only=False))[0]
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        order = np.lexsort((codes, rows))
+        r, c = rows[order], codes[order]
+        first = np.ones(len(r), dtype=bool)
+        first[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        distinct = np.bincount(r[first], minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(lens, pa.int64()),
+                "n_distinct_words": pa.array(distinct, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_doc_stopword_counts(sf_dir: str):
+    """C4/Gopher stopword rule, oracle-exact: per-doc total words and
+    stopword hits (ratio derives from the integers; the engine's
+    quality gate thresholds the same statistic). One is_in kernel over
+    the flat word array + one reduceat per batch."""
+    STOP = ("the", "a", "data", "row")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop_arr = pa.array(list(STOP))
+
+    def stats(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_stop": pa.array([], pa.int64()),
+                }
+            )
+        flat, lens, offsets = _word_lists(t)
+        hits = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        hits = hits.astype(np.int64)
+        n_stop = np.add.reduceat(
+            np.concatenate((hits, [0])), np.minimum(offsets[:-1], len(hits))
+        )
+        n_stop[lens == 0] = 0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(lens, pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -1713,3 +1713,77 @@ def test_hash_join_composite_keys():
         ref = ref.sort_values(["lv", "rv"]).reset_index(drop=True)
         assert out["lv"].tolist() == ref["lv"].tolist(), how
         assert out["rv"].fillna(-1).tolist() == ref["rv"].fillna(-1).tolist(), how
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation: word-level Gopher-rule kernels + join-shape queries
+# ---------------------------------------------------------------------------
+
+
+def _docs_dir(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_word_repetition_edge_cases(tmp_path):
+    """Empty string, consecutive spaces (empty tokens), all-duplicate
+    doc, and NULL text (excluded) — duckdb string_split semantics."""
+    from fineweb2_ro_ray.pipelines.parity import q_doc_word_repetition
+
+    d = _docs_dir(
+        tmp_path,
+        [(1, "a a a"), (2, ""), (3, "x  y"), (4, None), (5, "a b a b c")],
+    )
+    df = q_doc_word_repetition(d).to_pandas().set_index("doc_id").sort_index()
+    # "" splits to [''] (1 word); "x  y" -> ['x','','y'] (3 words, 3 distinct)
+    assert df.loc[1].tolist() == [3, 1]
+    assert df.loc[2].tolist() == [1, 1]
+    assert df.loc[3].tolist() == [3, 3]
+    assert 4 not in df.index
+    assert df.loc[5].tolist() == [5, 3]
+
+
+def test_stopword_counts_edge_cases(tmp_path):
+    from fineweb2_ro_ray.pipelines.parity import q_doc_stopword_counts
+
+    d = _docs_dir(
+        tmp_path,
+        [(1, "the a the"), (2, "xyz"), (3, ""), (4, "row the data qq")],
+    )
+    df = q_doc_stopword_counts(d).to_pandas().set_index("doc_id").sort_index()
+    assert df.loc[1].tolist() == [3, 3]
+    assert df.loc[2].tolist() == [1, 0]
+    assert df.loc[3].tolist() == [1, 0]
+    assert df.loc[4].tolist() == [4, 3]
+
+
+def test_user_first_last_single_event(tmp_path):
+    """A single-event user has first == last; combiner dedup keeps it."""
+    import pyarrow.parquet as pq
+
+    from fineweb2_ro_ray.pipelines.parity import q_user_first_last
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7, 9], pa.int64()),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    df = q_user_first_last(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
+    assert df.loc[7, "first_type"] == "a" and df.loc[7, "last_type"] == "b"
+    assert df.loc[9, "first_type"] == "c" and df.loc[9, "last_type"] == "c"
+    assert df.loc[9, "first_event_id"] == 3 and df.loc[9, "last_event_id"] == 3
