@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": P.q_user_first_last,
         "doc_word_repetition": P.q_doc_word_repetition,
         "doc_stopword_counts": P.q_doc_stopword_counts,
+        "userday_click_purchase": P.q_userday_click_purchase,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -403,6 +404,23 @@ def oracle_sql() -> dict[str, str]:
                             x -> x IN ('the', 'a', 'data', 'row'))) AS BIGINT)
                        AS n_stop
             FROM documents WHERE text IS NOT NULL
+        """,
+        "userday_click_purchase": """
+            WITH c AS (
+                SELECT user_id AS cu,
+                       strftime(date_trunc('day', ts), '%Y-%m-%d') AS cd,
+                       count(*) AS n_clicks
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ), p AS (
+                SELECT user_id AS pu,
+                       strftime(date_trunc('day', ts), '%Y-%m-%d') AS pd,
+                       count(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT COALESCE(cu, pu) AS user_id, COALESCE(cd, pd) AS day,
+                   COALESCE(n_clicks, 0) AS n_clicks,
+                   COALESCE(n_purchases, 0) AS n_purchases
+            FROM c FULL OUTER JOIN p ON cu = pu AND cd = pd
         """,
         "word_heavy_hitters": """
             WITH w AS (

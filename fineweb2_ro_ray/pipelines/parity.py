@@ -1641,3 +1641,50 @@ def q_doc_stopword_counts(sf_dir: str):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_userday_click_purchase(sf_dir: str):
+    """FULL OUTER join on a composite key — per-(user, day) click
+    counts vs purchase counts, preserving days with only one activity
+    (counts coalesced to 0, keys coalesced across sides: the COALESCE
+    + FULL OUTER reconciliation every warehouse runs). Both sides are
+    thin pre-aggregates, so the outer join moves only count rows."""
+    from ..stages.joins import hash_join
+
+    def day_counts(event_type: str, kcols: tuple[str, str], ncol: str):
+        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], event_type))
+            day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+            df = pd.DataFrame(
+                {
+                    kcols[0]: t["user_id"].to_numpy(zero_copy_only=False),
+                    kcols[1]: day.to_pandas(),
+                }
+            )
+            out = df.groupby(list(kcols), as_index=False).size()
+            out[ncol] = out.pop("size").astype(np.int64)
+            return from_pandas_clean(out)
+
+        return _exchange_sum(
+            ds.map_batches(partial, batch_format="pyarrow"), list(kcols), {ncol: ncol}
+        )
+
+    clicks = day_counts("click", ("cu", "cd"), "n_clicks")
+    purch = day_counts("purchase", ("pu", "pd"), "n_purchases")
+    joined = hash_join(clicks, purch, key=["cu", "cd"], right_key=["pu", "pd"], how="full")
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        user = pc.coalesce(b["cu"], b["pu"])
+        day = pc.coalesce(b["cd"], b["pd"])
+        return pa.table(
+            {
+                "user_id": user,
+                "day": day,
+                "n_clicks": pc.coalesce(b["n_clicks"], pa.scalar(0, pa.int64())),
+                "n_purchases": pc.coalesce(b["n_purchases"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")

@@ -271,8 +271,12 @@ def hash_join(
     keys never match (SQL): they are dropped pre-shuffle; for
     ``how="left"`` the null-key left rows bypass the exchange entirely
     and are appended with all-null right columns. ``key``/``right_key``
-    may be composite (lists of the same length)."""
-    assert how in ("inner", "left"), how
+    may be composite (lists of the same length). ``how="right"`` and
+    ``how="full"`` compose from the same per-partition primitive: the
+    positions merge emits null left indices for right-only rows, and
+    Arrow ``take`` with a null index yields a null row, so both outer
+    sides fall out of the inner machinery without a dtype round-trip."""
+    assert how in ("inner", "left", "right", "full"), how
     kl = [key] if isinstance(key, str) else list(key)
     rkl = [right_key] if isinstance(right_key, str) else list(right_key)
     assert len(kl) == len(rkl), (kl, rkl)
@@ -284,9 +288,19 @@ def hash_join(
         side = g["_side"]
         lt = g.filter(pc.equal(side, "l")).select(l_cols)
         rt = g.filter(pc.equal(side, "r")).select(r_cols)
-        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
+        keep_l = how in ("left", "full")
+        keep_r = how in ("right", "full")
+        if lt.num_rows == 0 and rt.num_rows == 0:
             return out_schema.empty_table()
-        if rt.num_rows == 0:  # left join, no right rows in this partition
+        if lt.num_rows == 0:  # right-only rows in this partition
+            if not keep_r:
+                return out_schema.empty_table()
+            cols = {c: pa.nulls(rt.num_rows, out_schema.field(c).type) for c in l_cols}
+            cols.update({c: rt[c] for c in r_cols})
+            return pa.table(cols).cast(out_schema)
+        if rt.num_rows == 0:  # left-only rows in this partition
+            if not keep_l:
+                return out_schema.empty_table()
             cols = {c: lt[c] for c in l_cols}
             for c in r_cols:
                 cols[c] = pa.nulls(lt.num_rows, out_schema.field(c).type)
@@ -295,8 +309,12 @@ def hash_join(
         lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
         rpos = pd.DataFrame({f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)})
         rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
-        pairs = lpos.merge(rpos, on=[f"k{i}" for i in range(len(kl))], how=how)
-        li = pa.array(pairs["li"].to_numpy(dtype=np.int64))
+        pairs = lpos.merge(
+            rpos,
+            on=[f"k{i}" for i in range(len(kl))],
+            how={"full": "outer"}.get(how, how),
+        )
+        li = pa.array(pairs["li"].to_numpy(), type=pa.int64(), from_pandas=True)
         ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
         cols = {c: pc.take(lt[c], li) for c in l_cols}
         cols.update({c: pc.take(rt[c], ri) for c in r_cols})
@@ -307,19 +325,33 @@ def hash_join(
     joined = hash_exchange_map_groups(
         both, per_part, key="part", batch_format="pyarrow", out_schema=out_schema
     )
-    if how != "left":
+    if how == "inner":
         return joined
 
-    # SQL LEFT JOIN keeps null-key left rows (matching nothing); they
-    # were dropped pre-shuffle, so re-add them with null right columns
-    def null_key_rows(b: pa.Table) -> pa.Table:
-        anynull = pc.is_null(b[kl[0]])
-        for kc in kl[1:]:
-            anynull = pc.or_(anynull, pc.is_null(b[kc]))
-        t = b.filter(anynull)
-        cols = {c: t[c] for c in l_cols}
-        for c in r_cols:
-            cols[c] = pa.nulls(t.num_rows, out_schema.field(c).type)
-        return pa.table(cols).cast(out_schema)
+    # SQL outer joins keep null-key rows of the preserved side(s)
+    # (matching nothing); they were dropped pre-shuffle, so re-add them
+    # padded with nulls on the other side
+    def null_key_rows(src_keys: list[str], own: list[str], other: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            anynull = pc.is_null(b[src_keys[0]])
+            for kc in src_keys[1:]:
+                anynull = pc.or_(anynull, pc.is_null(b[kc]))
+            t = b.filter(anynull)
+            own_set = set(own)
+            cols = {
+                f.name: t[f.name] if f.name in own_set else pa.nulls(t.num_rows, f.type)
+                for f in out_schema
+            }
+            return pa.table(cols).cast(out_schema)
 
-    return joined.union(left.map_batches(null_key_rows, batch_format="pyarrow"))
+        return fn
+
+    if how in ("left", "full"):
+        joined = joined.union(
+            left.map_batches(null_key_rows(kl, l_cols, r_cols), batch_format="pyarrow")
+        )
+    if how in ("right", "full"):
+        joined = joined.union(
+            right.map_batches(null_key_rows(rkl, r_cols, l_cols), batch_format="pyarrow")
+        )
+    return joined

@@ -1787,3 +1787,53 @@ def test_user_first_last_single_event(tmp_path):
     assert df.loc[7, "first_type"] == "a" and df.loc[7, "last_type"] == "b"
     assert df.loc[9, "first_type"] == "c" and df.loc[9, "last_type"] == "c"
     assert df.loc[9, "first_event_id"] == 3 and df.loc[9, "last_event_id"] == 3
+
+
+def test_hash_join_right_and_full_outer():
+    """RIGHT / FULL OUTER on the exchange hash join vs pandas merge,
+    including null-key rows on both sides (SQL: null keys match
+    nothing but survive on their preserved side)."""
+    from fineweb2_ro_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame(
+        {
+            "a": rng.integers(0, 6, 50),
+            "b": rng.choice(["x", "y", None], 50),
+            "lv": np.arange(50),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ra": rng.integers(2, 9, 30),
+            "rb": rng.choice(["x", "y", None, "z"], 30),
+            "rv": np.arange(30) + 100,
+        }
+    )
+    for how, phow in (("right", "right"), ("full", "outer")):
+        out = (
+            hash_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key=["a", "b"],
+                right_key=["ra", "rb"],
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        # pandas merge MATCHES NaN==NaN; SQL does not — emulate SQL by
+        # merging only non-null-key rows, then appending preserved sides
+        ln = left.dropna(subset=["b"])
+        rn = right.dropna(subset=["rb"])
+        ref = ln.merge(rn, left_on=["a", "b"], right_on=["ra", "rb"], how=phow)
+        parts = [ref]
+        if how == "full":
+            parts.append(left[left["b"].isna()])
+        parts.append(right[right["rb"].isna()])
+        ref = pd.concat(parts, ignore_index=True)
+        ref = ref.sort_values(["lv", "rv"]).reset_index(drop=True)
+        assert out["lv"].fillna(-1).tolist() == ref["lv"].fillna(-1).tolist(), how
+        assert out["rv"].fillna(-1).tolist() == ref["rv"].fillna(-1).tolist(), how
+        assert len(out) == len(ref), how
