@@ -141,7 +141,7 @@ def _q_multimodal_search(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver grades a bounded prefix of this dict
     # (50 entries in rounds 1-2), so every oracle-SQL-backed query comes
-    # first (52 after the round-3 reshape/setops/ntile/mode additions) —
+    # first (68 after the round-3 widening) —
     # a graded slot spent on a value-exact check beats a rows-only one.
     # The rows-only flagship labels + distributed LSH dedup family
     # follow immediately (graded if the window is ≥56; pinned by pytest
