@@ -135,7 +135,7 @@ def run_bench() -> dict:
     # Default 3 passes: round 2's driver run caught a noisy window with
     # BOTH of its 2 passes (81.8 s min vs the 44.6 s canonical).
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    max_repeats = int(os.environ.get("BENCH_REPEATS_MAX", "6"))
+    max_repeats = int(os.environ.get("BENCH_REPEATS_MAX", "8"))
     timings: dict[str, float] = {}
     flagship_runs: list[float] = []
 
@@ -193,7 +193,7 @@ def run_bench() -> dict:
     # wall-clock budget caps the extension so a degraded host can't push
     # the whole bench past a reasonable driver timeout
     degraded_ms = float(os.environ.get("BENCH_DEGRADED_MS", "25"))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     while (
         len(flagship_runs) < max_repeats
         and time.time() - t_run0 < budget_s - (15 + max(flagship_runs))

@@ -34,7 +34,17 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
         return sch
     for b in ds.limit(1).iter_batches(batch_format="pyarrow"):
         return b.schema
-    raise ValueError("cannot determine Arrow schema of an empty non-Arrow dataset")
+    # 0-row pandas-block dataset yields no batches: derive from the
+    # pandas block schema (object dtype ~ string — the only ambiguity,
+    # and only reachable on an EMPTY input)
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        try:
+            at = pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            at = pa.string()
+        fields.append(pa.field(n, at))
+    return pa.schema(fields)
 
 
 def _bucket_union(
@@ -355,3 +365,93 @@ def hash_join(
             right.map_batches(null_key_rows(rkl, r_cols, l_cols), batch_format="pyarrow")
         )
     return joined
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str | list[str],
+    right_key: str | list[str],
+    how: str = "inner",
+    max_build_rows: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Map-side equality join against a SMALL build side: ``right`` is
+    collected once, ``ray.put`` into the object store, and every left
+    batch merges against it locally — ZERO shuffle, the left stream
+    never repartitions. This formalizes the broadcast-dict lookup
+    pattern (J2/J3: ``parity.q_orders_by_segment``) into a general
+    join; use it for dimension tables and thin aggregates, and
+    ``hash_join`` when both sides are large. INNER / LEFT only (the
+    right side's unmatched rows can't be tracked across independent
+    left batches without a shuffle).
+
+    ``max_build_rows`` guards the driver: collection aborts as soon as
+    the build side exceeds it (stream is abandoned mid-pull, same
+    pattern as ``dedup.distinct_pair_ids``)."""
+    assert how in ("inner", "left"), how
+    kl = [key] if isinstance(key, str) else list(key)
+    rkl = [right_key] if isinstance(right_key, str) else list(right_key)
+    assert len(kl) == len(rkl), (kl, rkl)
+    l_schema = _arrow_schema(left)
+    l_cols = l_schema.names
+
+    # collect the build side with a hard row cap (bail mid-stream)
+    parts: list[pa.Table] = []
+    n = 0
+    for b in right.iter_batches(batch_format="pyarrow", batch_size=None):
+        for kc in rkl:  # SQL: null keys never match — drop at build
+            b = b.filter(pc.is_valid(b[kc]))
+        parts.append(b)
+        n += b.num_rows
+        if n > max_build_rows:
+            raise ValueError(
+                f"broadcast_join build side exceeds max_build_rows="
+                f"{max_build_rows}; use hash_join"
+            )
+    r_schema = _arrow_schema(right)
+    rt = (
+        pa.concat_tables(parts).combine_chunks()
+        if parts
+        else r_schema.empty_table()
+    )
+    r_cols = rt.schema.names
+    overlap = set(l_cols) & set(r_cols)
+    assert not overlap, f"rename overlapping columns first: {overlap}"
+    out_fields = [l_schema.field(c) for c in l_cols] + [rt.schema.field(c) for c in r_cols]
+    out_schema = pa.schema(out_fields)
+    rref = ray.put(rt)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        rt = ray.get(rref)  # zero-copy from the local object store
+        anynull = pc.is_null(b[kl[0]])
+        for kc in kl[1:]:
+            anynull = pc.or_(anynull, pc.is_null(b[kc]))
+        lt = b.filter(pc.invert(anynull))
+        nullk = b.filter(anynull) if how == "left" else None
+        if lt.num_rows and rt.num_rows:
+            lpos = pd.DataFrame({f"k{i}": lt[c].to_pandas() for i, c in enumerate(kl)})
+            lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
+            rpos = pd.DataFrame({f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)})
+            rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
+            pairs = lpos.merge(rpos, on=[f"k{i}" for i in range(len(kl))], how=how)
+            li = pa.array(pairs["li"].to_numpy(), type=pa.int64(), from_pandas=True)
+            ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
+            cols = {c: pc.take(lt[c], li) for c in l_cols}
+            cols.update({c: pc.take(rt[c], ri) for c in r_cols})
+            out = pa.table(cols).cast(out_schema)
+        elif lt.num_rows and how == "left":  # empty build side
+            cols = {c: lt[c] for c in l_cols}
+            for c in r_cols:
+                cols[c] = pa.nulls(lt.num_rows, out_schema.field(c).type)
+            out = pa.table(cols).cast(out_schema)
+        else:
+            out = out_schema.empty_table()
+        if nullk is not None and nullk.num_rows:
+            cols = {c: nullk[c] for c in l_cols}
+            for c in r_cols:
+                cols[c] = pa.nulls(nullk.num_rows, out_schema.field(c).type)
+            out = pa.concat_tables([out, pa.table(cols).cast(out_schema)])
+        return out
+
+    return left.map_batches(per_batch, batch_format="pyarrow")

@@ -1837,3 +1837,56 @@ def test_hash_join_right_and_full_outer():
         assert out["lv"].fillna(-1).tolist() == ref["lv"].fillna(-1).tolist(), how
         assert out["rv"].fillna(-1).tolist() == ref["rv"].fillna(-1).tolist(), how
         assert len(out) == len(ref), how
+
+
+def test_broadcast_join_matches_hash_join():
+    """Broadcast (map-side, zero-shuffle) join ≡ exchange hash join on
+    INNER and LEFT, composite keys, nulls both sides."""
+    from fineweb2_ro_ray.stages.joins import broadcast_join, hash_join
+
+    rng = np.random.default_rng(47)
+    left = pd.DataFrame(
+        {
+            "a": rng.integers(0, 5, 80),
+            "b": rng.choice(["x", "y", None], 80),
+            "lv": np.arange(80),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ra": rng.integers(0, 7, 12),
+            "rb": rng.choice(["x", "y", None], 12),
+            "rv": np.arange(12) + 100,
+        }
+    )
+    for how in ("inner", "left"):
+        kw = dict(key=["a", "b"], right_key=["ra", "rb"], how=how)
+        got = (
+            broadcast_join(rd.from_pandas(left), rd.from_pandas(right), **kw)
+            .to_pandas()
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), **kw)
+            .to_pandas()
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert got["lv"].tolist() == want["lv"].tolist(), how
+        assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), how
+
+
+def test_broadcast_join_build_cap_and_empty():
+    from fineweb2_ro_ray.stages.joins import broadcast_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [10, 20]}))
+    big = rd.from_pandas(pd.DataFrame({"rk": np.arange(100), "rv": np.arange(100)}))
+    with pytest.raises(ValueError, match="max_build_rows"):
+        broadcast_join(left, big, key="k", right_key="rk", max_build_rows=10)
+    empty = rd.from_pandas(pd.DataFrame({"rk": pd.array([], dtype="int64"),
+                                         "rv": pd.array([], dtype="int64")}))
+    out = broadcast_join(left, empty, key="k", right_key="rk", how="left").to_pandas()
+    assert out["lv"].tolist() == [10, 20] and out["rv"].isna().all()
+    out_i = broadcast_join(left, empty, key="k", right_key="rk", how="inner").to_pandas()
+    assert len(out_i) == 0
