@@ -29,11 +29,24 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     """The dataset's schema as a real Arrow schema — from_pandas
     datasets report a PandasBlockSchema, so fall back to peeking one
     batch."""
+    def resolve_null_fields(s: pa.Schema) -> pa.Schema:
+        # a 1-row peek of a pandas-block dataset infers `null` for an
+        # object column whose sampled values are all None; such a
+        # column is string-typed in every non-degenerate block, and a
+        # genuinely all-null column casts to string losslessly — pin
+        # it so the exchange's padded blocks share one schema
+        return pa.schema(
+            [
+                pa.field(f.name, pa.string()) if pa.types.is_null(f.type) else f
+                for f in s
+            ]
+        )
+
     sch = ds.schema().base_schema
     if isinstance(sch, pa.Schema):
-        return sch
+        return resolve_null_fields(sch)
     for b in ds.limit(1).iter_batches(batch_format="pyarrow"):
-        return b.schema
+        return resolve_null_fields(b.schema)
     # 0-row pandas-block dataset yields no batches: derive from the
     # pandas block schema (object dtype ~ string — the only ambiguity,
     # and only reachable on an EMPTY input)
@@ -94,11 +107,19 @@ def _bucket_union(
         [l_schema.field(c) for c in l_cols] + [r_schema.field(c) for c in r_cols]
     )
     order = l_cols + r_cols + ["part", "_side"]
+    # pin every padded block to ONE schema: per-block Arrow inference of
+    # pandas blocks can type an all-null object column as `null`, which
+    # breaks the reduce-side concat (schemas must match exactly)
+    padded_schema = pa.schema(
+        list(out_schema)
+        + [pa.field("part", pa.int32()), pa.field("_side", pa.string())]
+    )
     lt = left.map_batches(
-        lambda b: pad(b, "l", key, r_cols, r_types).select(order), batch_format="pyarrow"
+        lambda b: pad(b, "l", key, r_cols, r_types).select(order).cast(padded_schema),
+        batch_format="pyarrow",
     )
     rt = right.map_batches(
-        lambda b: pad(b, "r", right_key, l_cols, l_types).select(order),
+        lambda b: pad(b, "r", right_key, l_cols, l_types).select(order).cast(padded_schema),
         batch_format="pyarrow",
     )
     return lt.union(rt), l_cols, r_cols, out_schema
@@ -411,7 +432,9 @@ def broadcast_join(
             )
     r_schema = _arrow_schema(right)
     rt = (
-        pa.concat_tables(parts).combine_chunks()
+        # permissive promotion: per-batch Arrow inference may type an
+        # all-null object column as `null` in some batches
+        pa.concat_tables(parts, promote_options="permissive").combine_chunks()
         if parts
         else r_schema.empty_table()
     )

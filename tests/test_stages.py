@@ -1890,3 +1890,59 @@ def test_broadcast_join_build_cap_and_empty():
     assert out["lv"].tolist() == [10, 20] and out["rv"].isna().all()
     out_i = broadcast_join(left, empty, key="k", right_key="rk", how="inner").to_pandas()
     assert len(out_i) == 0
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_hash_join_all_hows_vs_duckdb(seed):
+    """All four join modes vs a DuckDB oracle (independent of the
+    pandas emulation used elsewhere): SQL null-key semantics, composite
+    keys, unmatched rows both sides."""
+    import duckdb
+
+    from fineweb2_ro_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "a": rng.integers(0, 5, 40),
+            "b": rng.choice(["x", "y", None], 40),
+            "lv": np.arange(40),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ra": rng.integers(2, 8, 25),
+            "rb": rng.choice(["x", "y", None, "z"], 25),
+            "rv": np.arange(25) + 100,
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql_how in (
+        ("inner", "JOIN"),
+        ("left", "LEFT JOIN"),
+        ("right", "RIGHT JOIN"),
+        ("full", "FULL OUTER JOIN"),
+    ):
+        got = (
+            hash_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key=["a", "b"],
+                right_key=["ra", "rb"],
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            con.sql(f"SELECT * FROM l {sql_how} r ON a = ra AND b = rb")
+            .df()
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), how
+        assert got["lv"].fillna(-1).tolist() == want["lv"].fillna(-1).tolist(), how
+        assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), how
