@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "userdays_except": P.q_userdays_except,
         "lineitem_unpivot": P.q_lineitem_unpivot,
         "events_ntile": P.q_events_ntile,
+        "events_props_extract": P.q_events_props_extract,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -405,6 +406,16 @@ def oracle_sql() -> dict[str, str]:
                             x -> x IN ('the', 'a', 'data', 'row'))) AS BIGINT)
                        AS n_stop
             FROM documents WHERE text IS NOT NULL
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   CAST(sum(TRY_CAST(NULLIF(
+                        regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(TRY_CAST(NULLIF(
+                        regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT))
+                        AS n_extracted
+            FROM events GROUP BY event_type
         """,
         "userday_click_purchase": """
             WITH c AS (

@@ -1688,3 +1688,48 @@ def q_userday_click_purchase(sf_dir: str):
         )
 
     return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def q_events_props_extract(sf_dir: str):
+    """Vectorized regex field extraction from a JSON-ish string column
+    (the M6 parse family's regex sibling): pull the integer ``k`` out
+    of ``props``, NULL on no-match, and aggregate per event type — one
+    ``pc.extract_regex`` kernel per batch, no Python row loop."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract_partial(b: pa.Table) -> pa.Table:
+        col = b["props"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "k": k.to_pandas(),
+            }
+        )
+        out = df.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n_extracted=("k", "count")
+        )
+        out["sum_k"] = out["sum_k"].astype(np.int64)
+        out["n_extracted"] = out["n_extracted"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    merged = _exchange_sum(
+        ds.map_batches(extract_partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"sum_k": "sum_k", "n_extracted": "n_extracted"},
+    )
+
+    def nullify_empty(b: pa.Table) -> pa.Table:
+        # SQL sum() over zero non-null inputs is NULL, pandas' is 0 —
+        # reconcile from the count (exact, keeps int64 partials)
+        sum_k = pc.if_else(
+            pc.equal(b["n_extracted"], 0),
+            pa.nulls(b.num_rows, pa.int64()),
+            pc.cast(b["sum_k"], pa.int64()),
+        )
+        return b.set_column(b.schema.get_field_index("sum_k"), "sum_k", sum_k)
+
+    return merged.map_batches(nullify_empty, batch_format="pyarrow")

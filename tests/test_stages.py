@@ -1946,3 +1946,41 @@ def test_hash_join_all_hows_vs_duckdb(seed):
         assert len(got) == len(want), how
         assert got["lv"].fillna(-1).tolist() == want["lv"].fillna(-1).tolist(), how
         assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), how
+
+
+def test_events_props_extract_edges(tmp_path):
+    """Non-matching and NULL props extract as NULL (excluded from sum
+    and count), matching DuckDB NULLIF/TRY_CAST oracle semantics."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from fineweb2_ro_ray.pipelines.parity import q_events_props_extract
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b", "b", "b", "c"], pa.string()),
+            "props": pa.array(
+                ['{"k": 7}', "garbage", None, '{"k": 0}', '{"j": 5}', "nope"],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_events_props_extract(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    import __ray_entry__ as E
+
+    want = (
+        con.sql(E.oracle_sql()["events_props_extract"])
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got["sum_k"].fillna(-1).tolist() == want["sum_k"].fillna(-1).tolist()
+    assert got["n_extracted"].tolist() == want["n_extracted"].tolist()
