@@ -443,10 +443,14 @@ def broadcast_join(
     assert not overlap, f"rename overlapping columns first: {overlap}"
     out_fields = [l_schema.field(c) for c in l_cols] + [rt.schema.field(c) for c in r_cols]
     out_schema = pa.schema(out_fields)
-    rref = ray.put(rt)
+    # ship the build table AND its precomputed key frame once — the key
+    # frame would otherwise be rebuilt per left batch
+    rpos0 = pd.DataFrame({f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)})
+    rpos0["ri"] = np.arange(rt.num_rows, dtype=np.int64)
+    rref = ray.put((rt, rpos0))
 
     def per_batch(b: pa.Table) -> pa.Table:
-        rt = ray.get(rref)  # zero-copy from the local object store
+        rt, rpos = ray.get(rref)  # zero-copy from the local object store
         anynull = pc.is_null(b[kl[0]])
         for kc in kl[1:]:
             anynull = pc.or_(anynull, pc.is_null(b[kc]))
@@ -455,8 +459,6 @@ def broadcast_join(
         if lt.num_rows and rt.num_rows:
             lpos = pd.DataFrame({f"k{i}": lt[c].to_pandas() for i, c in enumerate(kl)})
             lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
-            rpos = pd.DataFrame({f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)})
-            rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
             pairs = lpos.merge(rpos, on=[f"k{i}" for i in range(len(kl))], how=how)
             li = pa.array(pairs["li"].to_numpy(), type=pa.int64(), from_pandas=True)
             ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
