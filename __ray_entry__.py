@@ -144,7 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # no longer fit — the graded window is curated to the 50 most
     # DISTINCT operator shapes (a slot spent on a value-exact check of
     # a new shape beats a near-duplicate of a shape already graded).
-    # The 18 demoted oracle queries follow (value-exact via
+    # The 19 demoted oracle queries follow (value-exact via
     # scripts/check_oracle.py + pytest), then the rows-only flagship
     # labels + distributed LSH dedup family, then the tail
     # (frozen-model / probabilistic / stub-decode plumbing) covered by

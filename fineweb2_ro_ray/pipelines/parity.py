@@ -1390,6 +1390,12 @@ def q_promo_revenue_ratio(sf_dir: str):
 
     parts = joined.map_batches(split_partial, batch_format="pyarrow").to_pandas()
     promo, total = int(parts["promo_cbp"].sum()), int(parts["total_cbp"].sum())
+    if total == 0:
+        # SQL: sum() over no (or all-filtered) rows is NULL, and the
+        # ratio of NULLs is NULL — mirror instead of dividing by zero
+        return pd.DataFrame(
+            {"promo_cbp": [None], "total_cbp": [None], "promo_pct": [None]}
+        )
     return pd.DataFrame(
         {
             "promo_cbp": [promo],
@@ -1702,7 +1708,14 @@ def q_events_props_extract(sf_dir: str):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         m = pc.extract_regex(col, pattern=r'"k": (?P<k>\d+)')
-        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        ks = pc.struct_field(m, "k")
+        # TRY_CAST semantics: a digit run too long for int64 is NULL,
+        # not an ArrowInvalid (18 digits always fit; 19 may overflow —
+        # treated as NULL on both sides for values this engine targets)
+        ks = pc.if_else(
+            pc.less_equal(pc.utf8_length(ks), 18), ks, pa.nulls(len(ks), pa.string())
+        )
+        k = pc.cast(ks, pa.int64())
         df = pd.DataFrame(
             {
                 "event_type": b["event_type"].to_pandas(),

@@ -280,6 +280,50 @@ def range_join(
     )
 
 
+def _null_padded(t: pa.Table, own: list[str], out_schema: pa.Schema) -> pa.Table:
+    """Rows of one side padded with nulls on the other, in out-schema
+    field order — the SQL outer-join padding shared by the equality
+    joins (null never round-trips through float64)."""
+    own_set = set(own)
+    cols = {
+        f.name: t[f.name] if f.name in own_set else pa.nulls(t.num_rows, f.type)
+        for f in out_schema
+    }
+    return pa.table(cols).cast(out_schema)
+
+
+def _positions_merge_take(
+    lt: pa.Table,
+    rt: pa.Table,
+    kl: list[str],
+    rkl: list[str],
+    how: str,
+    l_cols: list[str],
+    r_cols: list[str],
+    out_schema: pa.Schema,
+    rpos: pd.DataFrame | None = None,
+) -> pa.Table:
+    """The equality-join core shared by hash_join and broadcast_join:
+    a positions-only pandas merge (null index for unmatched outer
+    rows), then Arrow ``take`` composition — a null index yields a
+    null row, so no column value ever converts through pandas."""
+    lpos = pd.DataFrame({f"k{i}": lt[c].to_pandas() for i, c in enumerate(kl)})
+    lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
+    if rpos is None:
+        rpos = pd.DataFrame({f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)})
+        rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
+    pairs = lpos.merge(
+        rpos,
+        on=[f"k{i}" for i in range(len(kl))],
+        how={"full": "outer"}.get(how, how),
+    )
+    li = pa.array(pairs["li"].to_numpy(), type=pa.int64(), from_pandas=True)
+    ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
+    cols = {c: pc.take(lt[c], li) for c in l_cols}
+    cols.update({c: pc.take(rt[c], ri) for c in r_cols})
+    return pa.table(cols).cast(out_schema)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -324,32 +368,10 @@ def hash_join(
         if lt.num_rows == 0 and rt.num_rows == 0:
             return out_schema.empty_table()
         if lt.num_rows == 0:  # right-only rows in this partition
-            if not keep_r:
-                return out_schema.empty_table()
-            cols = {c: pa.nulls(rt.num_rows, out_schema.field(c).type) for c in l_cols}
-            cols.update({c: rt[c] for c in r_cols})
-            return pa.table(cols).cast(out_schema)
+            return _null_padded(rt, r_cols, out_schema) if keep_r else out_schema.empty_table()
         if rt.num_rows == 0:  # left-only rows in this partition
-            if not keep_l:
-                return out_schema.empty_table()
-            cols = {c: lt[c] for c in l_cols}
-            for c in r_cols:
-                cols[c] = pa.nulls(lt.num_rows, out_schema.field(c).type)
-            return pa.table(cols).cast(out_schema)
-        lpos = pd.DataFrame({f"k{i}": lt[c].to_pandas() for i, c in enumerate(kl)})
-        lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
-        rpos = pd.DataFrame({f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)})
-        rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
-        pairs = lpos.merge(
-            rpos,
-            on=[f"k{i}" for i in range(len(kl))],
-            how={"full": "outer"}.get(how, how),
-        )
-        li = pa.array(pairs["li"].to_numpy(), type=pa.int64(), from_pandas=True)
-        ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
-        cols = {c: pc.take(lt[c], li) for c in l_cols}
-        cols.update({c: pc.take(rt[c], ri) for c in r_cols})
-        return pa.table(cols).cast(out_schema)
+            return _null_padded(lt, l_cols, out_schema) if keep_l else out_schema.empty_table()
+        return _positions_merge_take(lt, rt, kl, rkl, how, l_cols, r_cols, out_schema)
 
     from .exchange import hash_exchange_map_groups
 
@@ -367,13 +389,7 @@ def hash_join(
             anynull = pc.is_null(b[src_keys[0]])
             for kc in src_keys[1:]:
                 anynull = pc.or_(anynull, pc.is_null(b[kc]))
-            t = b.filter(anynull)
-            own_set = set(own)
-            cols = {
-                f.name: t[f.name] if f.name in own_set else pa.nulls(t.num_rows, f.type)
-                for f in out_schema
-            }
-            return pa.table(cols).cast(out_schema)
+            return _null_padded(b.filter(anynull), own, out_schema)
 
         return fn
 
@@ -430,14 +446,14 @@ def broadcast_join(
                 f"broadcast_join build side exceeds max_build_rows="
                 f"{max_build_rows}; use hash_join"
             )
-    r_schema = _arrow_schema(right)
-    rt = (
+    if parts:
         # permissive promotion: per-batch Arrow inference may type an
         # all-null object column as `null` in some batches
-        pa.concat_tables(parts, promote_options="permissive").combine_chunks()
-        if parts
-        else r_schema.empty_table()
-    )
+        rt = pa.concat_tables(parts, promote_options="permissive").combine_chunks()
+    else:
+        # only the empty-build case needs the schema peek (which may
+        # re-execute a pandas-block right pipeline)
+        rt = _arrow_schema(right).empty_table()
     r_cols = rt.schema.names
     overlap = set(l_cols) & set(r_cols)
     assert not overlap, f"rename overlapping columns first: {overlap}"
@@ -450,33 +466,42 @@ def broadcast_join(
     rref = ray.put((rt, rpos0))
 
     def per_batch(b: pa.Table) -> pa.Table:
-        rt, rpos = ray.get(rref)  # zero-copy from the local object store
+        # worker-local memo: ray.get of the tuple re-unpickles the
+        # pandas key frame on every call otherwise (O(build_rows) per
+        # left batch)
+        rt, rpos = _broadcast_cached_get(rref)
         anynull = pc.is_null(b[kl[0]])
         for kc in kl[1:]:
             anynull = pc.or_(anynull, pc.is_null(b[kc]))
         lt = b.filter(pc.invert(anynull))
         nullk = b.filter(anynull) if how == "left" else None
         if lt.num_rows and rt.num_rows:
-            lpos = pd.DataFrame({f"k{i}": lt[c].to_pandas() for i, c in enumerate(kl)})
-            lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
-            pairs = lpos.merge(rpos, on=[f"k{i}" for i in range(len(kl))], how=how)
-            li = pa.array(pairs["li"].to_numpy(), type=pa.int64(), from_pandas=True)
-            ri = pa.array(pairs["ri"].to_numpy(), type=pa.int64(), from_pandas=True)
-            cols = {c: pc.take(lt[c], li) for c in l_cols}
-            cols.update({c: pc.take(rt[c], ri) for c in r_cols})
-            out = pa.table(cols).cast(out_schema)
+            out = _positions_merge_take(
+                lt, rt, kl, rkl, how, l_cols, r_cols, out_schema, rpos=rpos
+            )
         elif lt.num_rows and how == "left":  # empty build side
-            cols = {c: lt[c] for c in l_cols}
-            for c in r_cols:
-                cols[c] = pa.nulls(lt.num_rows, out_schema.field(c).type)
-            out = pa.table(cols).cast(out_schema)
+            out = _null_padded(lt, l_cols, out_schema)
         else:
             out = out_schema.empty_table()
         if nullk is not None and nullk.num_rows:
-            cols = {c: nullk[c] for c in l_cols}
-            for c in r_cols:
-                cols[c] = pa.nulls(nullk.num_rows, out_schema.field(c).type)
-            out = pa.concat_tables([out, pa.table(cols).cast(out_schema)])
+            out = pa.concat_tables([out, _null_padded(nullk, l_cols, out_schema)])
         return out
 
     return left.map_batches(per_batch, batch_format="pyarrow")
+
+
+_BROADCAST_CACHE: dict[str, tuple] = {}
+
+
+def _broadcast_cached_get(ref):
+    """Per-worker-process cache of deserialized broadcast build sides
+    (the Arrow table is zero-copy, but the key frame unpickles on every
+    ``ray.get``). Bounded: a handful of live joins at a time."""
+    k = ref.hex()
+    v = _BROADCAST_CACHE.get(k)
+    if v is None:
+        v = ray.get(ref)
+        if len(_BROADCAST_CACHE) >= 8:
+            _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[k] = v
+    return v
