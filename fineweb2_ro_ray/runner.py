@@ -34,7 +34,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    started_ray = not ray.is_initialized()
+    if started_ray:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -73,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
     summary["wall_sec"] = round(time.time() - t0, 2)
     summary["max_ppl"] = cfg.max_ppl
     print(json.dumps(summary))
-    ray.shutdown()
+    if started_ray:  # embedded callers (tests, notebooks) own the session
+        ray.shutdown()
     return 0
 
 

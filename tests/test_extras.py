@@ -280,3 +280,31 @@ def test_publish_dataset_layout_and_integrity(tmp_path):
     assert disk == m
     # round-trip: the published repo is a readable dataset
     assert rd.read_parquet(os.path.join(repo, "data")).count() == 2000
+
+
+def test_runner_cli_end_to_end(tmp_path, capsys):
+    """The `ray job submit` entry point: runner.main over a synthesized
+    corpus writes partitioned output + manifest and reports a summary;
+    a second invocation skips every committed group. Also exercises the
+    --ppl-percentile G3 flow (threshold derived from the corpus)."""
+    import json as _json
+
+    from fineweb2_ro_ray.runner import main as runner_main
+    from fineweb2_ro_ray.sources.synth import write_transcripts
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    write_transcripts(src, 40, seed=9)
+    rc = runner_main(
+        ["--input", src, "--output", out, "--groups", "3",
+         "--ppl-percentile", "95"]
+    )
+    assert rc == 0
+    s1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["groups_run"] == 3 and s1["rows"] > 0
+    assert s1["max_ppl"] > 0  # derived, not the default
+    rc = runner_main(["--input", src, "--output", out, "--groups", "3"])
+    assert rc == 0
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["groups_skipped"] == 3 and s2["groups_run"] == 0
+    assert s2["rows"] == 0  # rows counts groups RUN this invocation
