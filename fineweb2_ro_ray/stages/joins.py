@@ -350,14 +350,20 @@ def hash_join(
     ``how="full"`` compose from the same per-partition primitive: the
     positions merge emits null left indices for right-only rows, and
     Arrow ``take`` with a null index yields a null row, so both outer
-    sides fall out of the inner machinery without a dtype round-trip."""
-    assert how in ("inner", "left", "right", "full"), how
+    sides fall out of the inner machinery without a dtype round-trip.
+    ``how="semi"`` / ``how="anti"`` project LEFT columns only: semi
+    keeps left rows with at least one match (never duplicating them),
+    anti keeps left rows with none — NOT-EXISTS semantics, so left
+    null-key rows (matching nothing) survive an anti join."""
+    assert how in ("inner", "left", "right", "full", "semi", "anti"), how
     kl = [key] if isinstance(key, str) else list(key)
     rkl = [right_key] if isinstance(right_key, str) else list(right_key)
     assert len(kl) == len(rkl), (kl, rkl)
     both, l_cols, r_cols, out_schema = _bucket_union(
         left, right, key, right_key, n_partitions
     )
+    if how in ("semi", "anti"):
+        out_schema = pa.schema([out_schema.field(c) for c in l_cols])
 
     def per_part(g: pa.Table) -> pa.Table:
         side = g["_side"]
@@ -365,6 +371,21 @@ def hash_join(
         rt = g.filter(pc.equal(side, "r")).select(r_cols)
         keep_l = how in ("left", "full")
         keep_r = how in ("right", "full")
+        if how in ("semi", "anti"):
+            if lt.num_rows == 0:
+                return out_schema.empty_table()
+            if rt.num_rows == 0:
+                return lt.cast(out_schema) if how == "anti" else out_schema.empty_table()
+            lkeys = pd.DataFrame({f"k{i}": lt[c].to_pandas() for i, c in enumerate(kl)})
+            rkeys = pd.DataFrame(
+                {f"k{i}": rt[c].to_pandas() for i, c in enumerate(rkl)}
+            ).drop_duplicates()
+            on = [f"k{i}" for i in range(len(kl))]
+            hit = lkeys.merge(rkeys, on=on, how="left", indicator=True)["_merge"]
+            mask = (hit == "both").to_numpy()
+            if how == "anti":
+                mask = ~mask
+            return lt.filter(pa.array(mask)).cast(out_schema)
         if lt.num_rows == 0 and rt.num_rows == 0:
             return out_schema.empty_table()
         if lt.num_rows == 0:  # right-only rows in this partition
@@ -378,7 +399,17 @@ def hash_join(
     joined = hash_exchange_map_groups(
         both, per_part, key="part", batch_format="pyarrow", out_schema=out_schema
     )
-    if how == "inner":
+    if how == "anti":
+        # NOT EXISTS keeps null-key left rows; they were dropped
+        # pre-shuffle, so re-add them (left columns only)
+        def left_null_keys(b: pa.Table) -> pa.Table:
+            anynull = pc.is_null(b[kl[0]])
+            for kc in kl[1:]:
+                anynull = pc.or_(anynull, pc.is_null(b[kc]))
+            return b.filter(anynull).select(l_cols).cast(out_schema)
+
+        return joined.union(left.map_batches(left_null_keys, batch_format="pyarrow"))
+    if how in ("inner", "semi"):
         return joined
 
     # SQL outer joins keep null-key rows of the preserved side(s)

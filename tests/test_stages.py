@@ -1924,7 +1924,10 @@ def test_hash_join_all_hows_vs_duckdb(seed):
         ("left", "LEFT JOIN"),
         ("right", "RIGHT JOIN"),
         ("full", "FULL OUTER JOIN"),
+        ("semi", "SEMI JOIN"),
+        ("anti", "ANTI JOIN"),
     ):
+        sort_cols = ["lv"] if how in ("semi", "anti") else ["lv", "rv"]
         got = (
             hash_join(
                 rd.from_pandas(left),
@@ -1934,18 +1937,21 @@ def test_hash_join_all_hows_vs_duckdb(seed):
                 how=how,
             )
             .to_pandas()
-            .sort_values(["lv", "rv"])
+            .sort_values(sort_cols)
             .reset_index(drop=True)
         )
         want = (
             con.sql(f"SELECT * FROM l {sql_how} r ON a = ra AND b = rb")
             .df()
-            .sort_values(["lv", "rv"])
+            .sort_values(sort_cols)
             .reset_index(drop=True)
         )
         assert len(got) == len(want), how
         assert got["lv"].fillna(-1).tolist() == want["lv"].fillna(-1).tolist(), how
-        assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), how
+        if how not in ("semi", "anti"):
+            assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), how
+        else:
+            assert list(got.columns) == ["a", "b", "lv"], how
 
 
 def test_events_props_extract_edges(tmp_path):
