@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": P.q_lineitem_unpivot,
         "events_ntile": P.q_events_ntile,
         "events_props_extract": P.q_events_props_extract,
+        "orders_semi_exchange": P.q_orders_semi_exchange,
+        "orders_anti_exchange": P.q_orders_anti_exchange,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -406,6 +408,18 @@ def oracle_sql() -> dict[str, str]:
                             x -> x IN ('the', 'a', 'data', 'row'))) AS BIGINT)
                        AS n_stop
             FROM documents WHERE text IS NOT NULL
+        """,
+        "orders_semi_exchange": """
+            SELECT o_orderkey FROM orders
+            SEMI JOIN (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING') b
+            ON o_custkey = c_custkey
+        """,
+        "orders_anti_exchange": """
+            SELECT o_orderkey FROM orders
+            ANTI JOIN (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING') b
+            ON o_custkey = c_custkey
         """,
         "events_props_extract": """
             SELECT event_type,

@@ -1746,3 +1746,33 @@ def q_events_props_extract(sf_dir: str):
         return b.set_column(b.schema.get_field_index("sum_k"), "sum_k", sum_k)
 
     return merged.map_batches(nullify_empty, batch_format="pyarrow")
+
+
+def _orders_semi_anti_exchange(sf_dir: str, how: str):
+    """orders_semi_join / orders_anti_join restated on the exchange
+    hash join's semi/anti modes (the both-sides-large path; the
+    broadcast-key-set variants are q_orders_semi_join/q_orders_anti_join)."""
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = hash_join(
+        orders,
+        cust.map_batches(building, batch_format="pyarrow"),
+        key="o_custkey",
+        right_key="c_custkey",
+        how=how,
+    )
+    return out.map_batches(lambda t: t.select(["o_orderkey"]), batch_format="pyarrow")
+
+
+def q_orders_semi_exchange(sf_dir: str):
+    return _orders_semi_anti_exchange(sf_dir, "semi")
+
+
+def q_orders_anti_exchange(sf_dir: str):
+    return _orders_semi_anti_exchange(sf_dir, "anti")
