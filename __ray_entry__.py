@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": P.q_events_props_extract,
         "orders_semi_exchange": P.q_orders_semi_exchange,
         "orders_anti_exchange": P.q_orders_anti_exchange,
+        "dedup_incremental": P.q_dedup_incremental,
+        "dedup_incremental_update": P.q_dedup_incremental_update,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -420,6 +422,20 @@ def oracle_sql() -> dict[str, str]:
             ANTI JOIN (SELECT c_custkey FROM customer
                        WHERE c_mktsegment = 'BUILDING') b
             ON o_custkey = c_custkey
+        """,
+        "dedup_incremental": """
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM documents o
+                              WHERE o.doc_id % 2 = 0
+                                AND md5(o.text) = md5(d.text))
+        """,
+        "dedup_incremental_update": """
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 3 = 2
+              AND NOT EXISTS (SELECT 1 FROM documents o
+                              WHERE o.doc_id % 3 < 2
+                                AND md5(o.text) = md5(d.text))
         """,
         "events_props_extract": """
             SELECT event_type,

@@ -1776,3 +1776,72 @@ def q_orders_semi_exchange(sf_dir: str):
 
 def q_orders_anti_exchange(sf_dir: str):
     return _orders_semi_anti_exchange(sf_dir, "anti")
+
+
+def q_dedup_incremental(sf_dir: str):
+    """§2.7 cross-snapshot dedup: documents with even doc_id play the
+    already-processed snapshot (hashed into a persisted on-disk index),
+    odd doc_id the new snapshot; result = new docs whose text hash is
+    absent from the index (stages.incremental — the FineWeb cross-dump
+    exact-dedup shape). Oracle: NOT EXISTS anti-join on md5(text)."""
+    import shutil
+    import tempfile
+
+
+    from ..stages.incremental import build_hash_index, filter_against_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(parity: int):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 2 == p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    idx = tempfile.mkdtemp(prefix="hashidx_", dir="/tmp")
+    try:
+        build_hash_index(side(0), idx, n_parts=16)
+        kept = filter_against_index(side(1), idx)
+        return kept.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        ).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def q_dedup_incremental_update(sf_dir: str):
+    """Index UPDATE path: snapshot A = doc_id%3==0 builds the index,
+    snapshot B = %3==1 is merged in (only hashes new to the index are
+    written), snapshot C = %3==2 filters against the union. Also
+    exercises the no-Bloom exact path on the final filter."""
+    import shutil
+    import tempfile
+
+    from ..stages.incremental import (
+        build_hash_index,
+        filter_against_index,
+        update_index,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(rem: int):
+        return docs.map_batches(
+            lambda t, r=rem: t.filter(
+                pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 3 == r)
+            ),
+            batch_format="pyarrow",
+        )
+
+    idx = tempfile.mkdtemp(prefix="hashidx_", dir="/tmp")
+    try:
+        build_hash_index(side(0), idx, n_parts=8)
+        update_index(side(1), idx, snapshot="s0001")
+        kept = filter_against_index(side(2), idx, use_bloom=False)
+        return kept.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        ).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
