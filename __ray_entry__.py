@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_exchange": P.q_orders_anti_exchange,
         "dedup_incremental": P.q_dedup_incremental,
         "dedup_incremental_update": P.q_dedup_incremental_update,
+        "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
+        "doc_boilerplate_scrub_exchange": P.q_doc_boilerplate_scrub_exchange,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -256,6 +258,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # explicit ASCII whitespace — matches functions/textstats.SYMBOL_PATTERN
 # (RE2 \s is ASCII-only, Python re \s is Unicode; see textstats docstring)
+# corpus-level frequent-unit scrub (stages.boilerplate): shared by the
+# broadcast- and exchange-strategy queries (same semantics by design)
+_BOILERPLATE_SQL = """
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS unit,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ),
+    freq AS (SELECT unit, count(DISTINCT doc_id) AS nd FROM lines GROUP BY unit)
+    SELECT l.doc_id, string_agg(l.unit, ' ' ORDER BY l.ord) AS text_clean
+    FROM lines l JOIN freq f USING (unit)
+    WHERE f.nd < (SELECT count(*) // 2 FROM documents)
+    GROUP BY l.doc_id
+"""
+
 _SYM = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\t\n\f\r ]"
 _TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -437,6 +455,8 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.doc_id % 3 < 2
                                 AND md5(o.text) = md5(d.text))
         """,
+        "doc_boilerplate_scrub": _BOILERPLATE_SQL,
+        "doc_boilerplate_scrub_exchange": _BOILERPLATE_SQL,
         "events_props_extract": """
             SELECT event_type,
                    CAST(sum(TRY_CAST(NULLIF(

@@ -1845,3 +1845,33 @@ def q_dedup_incremental_update(sf_dir: str):
         ).to_pandas()
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def _boilerplate_scrub(sf_dir: str, strategy: str):
+    """Corpus-level frequent-unit scrub (CCNet/RefinedWeb line-dedup
+    shape, stages.boilerplate): remove tokens occurring in >= half of all
+    documents, rebuild each doc from survivors in original order. The
+    threshold derives from the corpus size so the query is
+    scale-independent; docs with no surviving tokens emit no row."""
+    from ..stages.boilerplate import remove_frequent_units
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = docs.count() // 2
+    out = remove_frequent_units(
+        docs, sep=" ", min_docs=k, strategy=strategy
+    )
+    return out.to_pandas()
+
+
+def q_doc_boilerplate_scrub(sf_dir: str):
+    """Broadcast path: the heavy set (<= units/min_docs distinct
+    values) ships once via ray.put; rebuild is map-side, zero further
+    shuffle."""
+    return _boilerplate_scrub(sf_dir, "broadcast")
+
+
+def q_doc_boilerplate_scrub_exchange(sf_dir: str):
+    """Exchange path (heavy set too big to broadcast at scale): ANTI
+    hash-join exploded units vs heavy set + one reassembly exchange
+    keyed on doc_id — fully distributed."""
+    return _boilerplate_scrub(sf_dir, "exchange")

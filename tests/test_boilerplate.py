@@ -1,0 +1,117 @@
+"""Tests for stages.boilerplate — corpus-level frequent-unit scrub."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from fineweb2_ro_ray.stages.boilerplate import (
+    explode_units,
+    heavy_units,
+    remove_frequent_units,
+)
+
+
+def _ds(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def _naive(texts, min_docs, sep="\n"):
+    cnt = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for u in set(t.split(sep)):
+            cnt[u] += 1
+    out = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        keep = [u for u in t.split(sep) if cnt[u] < min_docs]
+        if keep:
+            out.append((i, sep.join(keep)))
+    return out
+
+
+TEXTS = [
+    "cookie banner\nreal content A\nshare this",
+    "cookie banner\nunique text B",
+    "share this\nanother unique C\ncookie banner",
+    None,
+    "cookie banner",  # all units boilerplate -> doc emits no row
+    "",  # the '' unit occurs once -> kept
+]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "exchange"])
+def test_matches_naive(strategy):
+    out = remove_frequent_units(_ds(TEXTS), min_docs=2, strategy=strategy).to_pandas()
+    got = sorted(zip(out["doc_id"], out["text_clean"]))
+    assert got == _naive(TEXTS, 2)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "exchange"])
+def test_empty_heavy_set_keeps_everything(strategy):
+    """Threshold above any unit's document frequency: output = every
+    non-NULL-text doc unchanged."""
+    out = remove_frequent_units(_ds(TEXTS), min_docs=99, strategy=strategy).to_pandas()
+    got = sorted(zip(out["doc_id"], out["text_clean"]))
+    assert got == [(i, t) for i, t in enumerate(TEXTS) if t is not None]
+
+
+def test_strategies_agree_on_random_corpus():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        "\n".join(rng.choice(vocab, size=rng.integers(1, 8)))
+        for _ in range(200)
+    ]
+    a = remove_frequent_units(_ds(texts), min_docs=20, strategy="broadcast").to_pandas()
+    b = remove_frequent_units(_ds(texts), min_docs=20, strategy="exchange").to_pandas()
+    ka = sorted(zip(a["doc_id"], a["text_clean"]))
+    kb = sorted(zip(b["doc_id"], b["text_clean"]))
+    assert ka == kb == _naive(texts, 20)
+
+
+def test_within_doc_repeats_count_once():
+    """Document frequency is DISTINCT docs: a unit repeated 5x inside
+    one doc still counts that doc once."""
+    texts = ["x\nx\nx\nx\nx\ny", "z"]
+    out = remove_frequent_units(_ds(texts), min_docs=2, strategy="broadcast").to_pandas()
+    got = sorted(zip(out["doc_id"], out["text_clean"]))
+    assert got == [(0, "x\nx\nx\nx\nx\ny"), (1, "z")]
+
+
+def test_heavy_units_and_explode():
+    hv = heavy_units(
+        _ds(TEXTS), text_col="text", id_col="doc_id", sep="\n", min_docs=2
+    ).to_pandas()
+    assert sorted(hv["unit"]) == ["cookie banner", "share this"]
+    ex = explode_units(_ds(["a\nb", None, "c"]), text_col="text", id_col="doc_id", sep="\n")
+    df = ex.to_pandas().sort_values(["doc_id", "ord"])
+    assert list(zip(df["doc_id"], df["ord"], df["unit"])) == [
+        (0, 1, "a"),
+        (0, 2, "b"),
+        (2, 1, "c"),
+    ]
+
+
+def test_custom_separator():
+    texts = ["the cat sat", "the dog ran", "a cat ran"]
+    out = remove_frequent_units(
+        _ds(texts), sep=" ", min_docs=2, strategy="exchange"
+    ).to_pandas()
+    got = sorted(zip(out["doc_id"], out["text_clean"]))
+    assert got == _naive(texts, 2, sep=" ")
