@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": P.q_dedup_incremental,
         "dedup_incremental_update": P.q_dedup_incremental_update,
         "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
+        "doc_top_terms": P.q_doc_top_terms,
         "doc_boilerplate_scrub_exchange": P.q_doc_boilerplate_scrub_exchange,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
@@ -456,6 +457,23 @@ def oracle_sql() -> dict[str, str]:
                                 AND md5(o.text) = md5(d.text))
         """,
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
+        "doc_top_terms": """
+            WITH terms AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS nd
+                   FROM terms GROUP BY term),
+            ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.nd,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.nd ASC, tf.term ASC) AS rk
+              FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, nd, rk FROM ranked WHERE rk <= 3
+        """,
         "doc_boilerplate_scrub_exchange": _BOILERPLATE_SQL,
         "events_props_extract": """
             SELECT event_type,

@@ -1875,3 +1875,15 @@ def q_doc_boilerplate_scrub_exchange(sf_dir: str):
     hash-join exploded units vs heavy set + one reassembly exchange
     keyed on doc_id — fully distributed."""
     return _boilerplate_scrub(sf_dir, "exchange")
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per document, ranked (tf DESC, df
+    ASC, term ASC) — the integer-exact tf-idf cousin
+    (stages.boilerplate.top_terms_per_doc): per-batch tf combiner, thin
+    document-frequency exchange, both-sides-large INNER hash join on
+    term, per-doc top-k in a reassembly exchange."""
+    from ..stages.boilerplate import top_terms_per_doc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_terms_per_doc(docs, sep=" ", k=3)

@@ -80,20 +80,21 @@ def explode_units(
 
 
 _CNT_SCHEMA_OUT = pa.schema([("unit", pa.string())])
+_DF_SCHEMA = pa.schema([("unit", pa.string()), ("nd", pa.int64())])
 
 
-def heavy_units(
+def unit_doc_frequencies(
     ds: ray.data.Dataset,
     *,
     text_col: str,
     id_col: str,
     sep: str,
-    min_docs: int,
     n_reducers: int | None = None,
 ) -> ray.data.Dataset:
-    """Distinct units occurring in >= min_docs documents. One THIN
+    """(unit, nd) — distinct-document frequency of every unit. One THIN
     exchange: batches move (unit, partial distinct-doc count), never
-    per-occurrence rows."""
+    per-occurrence rows (a document never spans batches, so per-batch
+    distinct-doc partials sum exactly)."""
 
     def partials(t: pa.Table) -> pa.Table:
         lst = _split_col(t, text_col, sep)
@@ -118,14 +119,34 @@ def heavy_units(
 
     def tot(t: pa.Table) -> pa.Table:
         g = t.group_by("unit").aggregate([("n", "sum")])
-        return g.filter(pc.greater_equal(g["n_sum"], min_docs)).select(["unit"])
+        return g.select(["unit", "n_sum"]).rename_columns(["unit", "nd"])
 
     return hash_exchange_map_groups(
         cnt,
         tot,
         key="unit",
         n_reducers=n_reducers,
-        out_schema=_CNT_SCHEMA_OUT,
+        out_schema=_DF_SCHEMA,
+        batch_format="pyarrow",
+    )
+
+
+def heavy_units(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    sep: str,
+    min_docs: int,
+    n_reducers: int | None = None,
+) -> ray.data.Dataset:
+    """Distinct units occurring in >= min_docs documents (the
+    boilerplate set) — document frequencies filtered at the reduce."""
+    df = unit_doc_frequencies(
+        ds, text_col=text_col, id_col=id_col, sep=sep, n_reducers=n_reducers
+    )
+    return df.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["nd"], min_docs)).select(["unit"]),
         batch_format="pyarrow",
     )
 
@@ -234,6 +255,98 @@ def remove_frequent_units(
     return hash_exchange_map_groups(
         survivors,
         reassemble,
+        key=id_col,
+        n_reducers=n_reducers,
+        out_schema=out_schema,
+        batch_format="pyarrow",
+    )
+
+
+def top_terms_per_doc(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    k: int = 3,
+    n_reducers: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k characteristic terms per document, ranked by
+    (term frequency DESC, document frequency ASC, term ASC) — the
+    integer-exact cousin of tf-idf (idf is monotone-decreasing in df,
+    so within equal tf the df ASC order IS the tf-idf order; across tf
+    the lexicographic rank trades the log weighting for bit-exact
+    reproducibility against a SQL oracle — no float in any key).
+
+    Output: (id_col, term, tf, nd, rk), rk in 1..k. NULL-text docs emit
+    no rows.
+
+    Shape: per-batch (doc, term, tf) combiner (exact — a doc never
+    spans batches) → thin DF exchange (``unit_doc_frequencies``) →
+    both-sides-large INNER hash join on term → per-doc top-k in a
+    reassembly exchange keyed on the doc id. Nothing driver-resident;
+    the vocabulary is never broadcast."""
+    from .joins import hash_join
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        lst = _split_col(t, text_col, sep)
+        parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    id_col: t[id_col].slice(0, 0),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"p": parents, "term": flat})
+            .groupby(["p", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(g["p"].to_numpy(), pa.int64())),
+                "term": pa.array(g["term"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+    df = unit_doc_frequencies(
+        ds, text_col=text_col, id_col=id_col, sep=sep, n_reducers=n_reducers
+    ).map_batches(lambda t: t.rename_columns(["term_r", "nd"]), batch_format="pyarrow")
+    joined = hash_join(tf, df, key="term", right_key="term_r", how="inner")
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("nd", pa.int64()),
+            ("rk", pa.int64()),
+        ]
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = t.select([id_col, "term", "tf", "nd"]).to_pandas()
+        d = d.sort_values(
+            [id_col, "tf", "nd", "term"], ascending=[True, False, True, True]
+        )
+        d["rk"] = d.groupby(id_col, sort=False).cumcount() + 1
+        d = d[d["rk"] <= k]
+        return pa.Table.from_pandas(d, preserve_index=False).cast(out_schema)
+
+    return hash_exchange_map_groups(
+        joined,
+        topk,
         key=id_col,
         n_reducers=n_reducers,
         out_schema=out_schema,

@@ -115,3 +115,29 @@ def test_custom_separator():
     ).to_pandas()
     got = sorted(zip(out["doc_id"], out["text_clean"]))
     assert got == _naive(texts, 2, sep=" ")
+
+
+def test_top_terms_matches_naive():
+    from fineweb2_ro_ray.stages.boilerplate import top_terms_per_doc
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 15))) for _ in range(80)]
+    texts[7] = None
+    out = top_terms_per_doc(_ds(texts), sep=" ", k=3).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "term", "tf", "nd", "rk"]].values.tolist()))
+
+    df_cnt = Counter()
+    for t in texts:
+        if t is not None:
+            for u in set(t.split(" ")):
+                df_cnt[u] += 1
+    want = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        tf = Counter(t.split(" "))
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], df_cnt[kv[0]], kv[0]))
+        for rk, (term, f) in enumerate(ranked[:3], 1):
+            want.append((i, term, f, df_cnt[term], rk))
+    assert got == sorted(want)
