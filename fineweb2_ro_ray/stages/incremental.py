@@ -351,3 +351,62 @@ def filter_against_index(
         batch_format="pyarrow",
     )
     return survivors if passthrough is None else passthrough.union(survivors)
+
+
+@ray.remote
+def _compact_part(index_dir: str, part: int, gen: int) -> tuple[int, int, int]:
+    """Merge one partition's files into a single distinct-hash file.
+    Write-then-delete ordering keeps the partition readable (a filter
+    running concurrently sees duplicates across old+new files at worst,
+    which membership tests are insensitive to)."""
+    files = _part_files(index_dir, part)
+    if len(files) <= 1:
+        return part, len(files), 0
+    h = np.unique(pq.read_table(files, columns=["text_md5"])["text_md5"].to_numpy(
+        zero_copy_only=False))
+    d = os.path.join(index_dir, f"part={part:05d}")
+    out = os.path.join(d, f"compacted-{gen:04d}.parquet")
+    pq.write_table(pa.table({"text_md5": pa.array(h, pa.string())}), out)
+    for f in files:
+        if f != out:
+            os.remove(f)
+    return part, len(files), len(h)
+
+
+def compact_index(index_dir: str) -> dict:
+    """Merge each partition's per-snapshot files into one file — bounds
+    file count (and filter-side open/read overhead) after many
+    ``update_index`` rounds. One Ray task per partition (the same
+    read-locality unit as the filter); the Bloom bitmap and membership
+    set are unchanged by construction, so filters before/after agree.
+    The compaction generation is recorded in ``meta.json`` and names
+    the output file, keeping re-runs idempotent."""
+    meta = load_meta(index_dir)
+    gen = int(meta.get("compactions", 0)) + 1
+    res = ray.get(
+        [
+            _compact_part.remote(index_dir, p, gen)
+            for p in range(meta["n_parts"])
+        ]
+    )
+    meta["compactions"] = gen
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump(meta, f)
+    merged = [(p, nf, nh) for p, nf, nh in res if nf > 1]
+    return {
+        "parts_compacted": len(merged),
+        "files_removed": sum(nf - 1 for _, nf, _ in merged),
+    }
+
+
+def index_stats(index_dir: str) -> dict:
+    """Footer-only index summary (no data pages read)."""
+    meta = load_meta(index_dir)
+    files = glob.glob(os.path.join(index_dir, "part=*", "*.parquet"))
+    return {
+        "n_parts": meta["n_parts"],
+        "snapshots": list(meta["snapshots"]),
+        "n_files": len(files),
+        "n_hashes": sum(pq.read_metadata(f).num_rows for f in files),
+        "bytes": sum(os.path.getsize(f) for f in files),
+    }

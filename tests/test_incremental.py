@@ -97,3 +97,24 @@ def test_filter_matches_naive_python(tmp_path):
     kept = filter_against_index(_ds(list(range(90)), new_texts), idx)
     want = sorted(i for i, t in enumerate(new_texts) if t not in set(old_texts))
     assert _kept_ids(kept) == want
+
+
+def test_compact_preserves_membership(tmp_path):
+    from fineweb2_ro_ray.stages.incremental import compact_index, index_stats
+
+    idx = str(tmp_path / "idx")
+    build_hash_index(_ds([0, 1, 2], ["a", "b", "c"]), idx, n_parts=4, snapshot="s0")
+    update_index(_ds([3, 4], ["d", "e"]), idx, snapshot="s1")
+    update_index(_ds([5], ["f"]), idx, snapshot="s2")
+    before = index_stats(idx)
+    probe = _ds(list(range(8)), ["a", "b", "c", "d", "e", "f", "g", "h"])
+    kept_before = _kept_ids(filter_against_index(probe, idx))
+    r = compact_index(idx)
+    after = index_stats(idx)
+    assert r["files_removed"] > 0
+    assert after["n_files"] <= before["n_files"] - r["files_removed"]
+    assert after["n_hashes"] == 6  # distinct hashes unchanged
+    assert _kept_ids(filter_against_index(probe, idx)) == kept_before == [6, 7]
+    # idempotent: second compaction is a no-op
+    r2 = compact_index(idx)
+    assert r2["files_removed"] == 0
