@@ -101,6 +101,18 @@ def load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    """Write-to-temp + rename: a task that dies mid-write leaves only a
+    ``.tmp-`` file (invisible to the ``*.parquet`` globs), never a
+    half-written Parquet that poisons later reads. os.replace is atomic
+    on POSIX, so retries that overwrite the same deterministic name are
+    safe too."""
+    tmp = os.path.join(os.path.dirname(path), ".tmp-" + os.path.basename(path))
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 def _distinct_hashes(ds: ray.data.Dataset, text_col: str, n_parts: int) -> ray.data.Dataset:
     """Map side shared by build and update: per-batch md5 → drop nulls
     → per-batch distinct (combiner) → partition id column. The exchange
@@ -148,7 +160,7 @@ def _write_parts_fn(index_dir: str, snapshot: str, dedupe_against_existing: bool
             d = os.path.join(index_dir, f"part={int(p):05d}")
             os.makedirs(d, exist_ok=True)
             if len(h):
-                pq.write_table(
+                _atomic_write(
                     pa.table({"text_md5": pa.array(h, pa.string())}),
                     os.path.join(d, f"{snapshot}.parquet"),
                 )
@@ -366,7 +378,7 @@ def _compact_part(index_dir: str, part: int, gen: int) -> tuple[int, int, int]:
         zero_copy_only=False))
     d = os.path.join(index_dir, f"part={part:05d}")
     out = os.path.join(d, f"compacted-{gen:04d}.parquet")
-    pq.write_table(pa.table({"text_md5": pa.array(h, pa.string())}), out)
+    _atomic_write(pa.table({"text_md5": pa.array(h, pa.string())}), out)
     for f in files:
         if f != out:
             os.remove(f)
