@@ -98,20 +98,26 @@ def unit_doc_frequencies(
 
     def partials(t: pa.Table) -> pa.Table:
         lst = _split_col(t, text_col, sep)
-        parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lst)
+        flat = pc.list_flatten(lst)
         if len(flat) == 0:
             return pa.table(
                 {"unit": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
-        import pandas as pd
-
-        d = pd.DataFrame({"unit": flat, "p": parents}).drop_duplicates()
-        n = d.groupby("unit", sort=False).size()
+        # Arrow group_by, NOT pandas: pandas' string hash table uses
+        # C-string semantics, so units differing only past an embedded
+        # NUL ('' vs '\x00') collide in drop_duplicates/groupby
+        # (hypothesis-found). Arrow hashes the full binary value.
+        dd = (
+            pa.table({"unit": flat, "p": parents})
+            .group_by(["unit", "p"])
+            .aggregate([])
+        )
+        n = dd.group_by("unit").aggregate([("p", "count")])
         return pa.table(
             {
-                "unit": pa.array(n.index.to_numpy(), pa.string()),
-                "n": pa.array(n.to_numpy(np.int64), pa.int64()),
+                "unit": n["unit"],
+                "n": n["p_count"].cast(pa.int64()),
             }
         )
 
@@ -290,8 +296,8 @@ def top_terms_per_doc(
 
     def tf_rows(t: pa.Table) -> pa.Table:
         lst = _split_col(t, text_col, sep)
-        parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lst)
+        flat = pc.list_flatten(lst)
         if len(flat) == 0:
             return pa.table(
                 {
@@ -300,19 +306,17 @@ def top_terms_per_doc(
                     "tf": pa.array([], pa.int64()),
                 }
             )
-        import pandas as pd
-
+        # Arrow group_by for the same embedded-NUL reason as `partials`
         g = (
-            pd.DataFrame({"p": parents, "term": flat})
-            .groupby(["p", "term"], sort=False)
-            .size()
-            .reset_index(name="tf")
+            pa.table({"p": parents, "term": flat})
+            .group_by(["p", "term"])
+            .aggregate([("term", "count")])
         )
         return pa.table(
             {
-                id_col: t[id_col].take(pa.array(g["p"].to_numpy(), pa.int64())),
-                "term": pa.array(g["term"].to_numpy(), pa.string()),
-                "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+                id_col: t[id_col].take(g["p"]),
+                "term": g["term"],
+                "tf": g["term_count"].cast(pa.int64()),
             }
         )
 

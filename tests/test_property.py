@@ -311,3 +311,63 @@ def test_setops_match_python_set_algebra(a_rows, b_rows):
     sa, sb = set(map(tuple, a.values.tolist())), set(map(tuple, b.values.tolist()))
     assert set(map(tuple, inter.values.tolist())) == (sa & sb)
     assert set(map(tuple, exc.values.tolist())) == (sa - sb)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.text(
+                    alphabet=st.characters(blacklist_characters="\n"),
+                    min_size=0,
+                    max_size=6,
+                ),
+                min_size=1,
+                max_size=6,
+            ).map("\n".join),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 4),
+)
+def test_boilerplate_scrub_matches_naive_on_unicode(texts, min_docs):
+    """Both strategies == a naive Python reference on arbitrary unicode
+    lines (including empty lines, duplicate docs and NULL text)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from fineweb2_ro_ray.stages.boilerplate import remove_frequent_units
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cnt = Counter()
+    for t in texts:
+        if t is not None:
+            for u in set(t.split("\n")):
+                cnt[u] += 1
+    want = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        keep = [u for u in t.split("\n") if cnt[u] < min_docs]
+        if keep:
+            want.append((i, "\n".join(keep)))
+    for strategy in ("broadcast", "exchange"):
+        out = remove_frequent_units(
+            rd.from_arrow(tbl), min_docs=min_docs, strategy=strategy
+        ).to_pandas()
+        if len(out) == 0:
+            # Ray's to_pandas over zero output blocks loses the (correct)
+            # block schema; emptiness itself is the assertion here
+            assert want == [], strategy
+            continue
+        got = sorted(zip(out["doc_id"], out["text_clean"]))
+        assert got == sorted(want), strategy
