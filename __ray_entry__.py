@@ -189,7 +189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mode_lang": P.q_source_mode_lang,
         "orders_top_revenue": P.q_orders_top_revenue,
         "word_heavy_hitters": P.q_word_heavy_hitters,
-        "events_cumsum": P.q_events_cumsum,
         "label_centroid_sums": P.q_label_centroid_sums,
         "events_percent_rank": P.q_events_percent_rank,
         "customer_order_counts": P.q_customer_order_counts,
@@ -201,10 +200,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": P.q_user_event_paths,
         "user_first_last": P.q_user_first_last,
         "doc_word_repetition": P.q_doc_word_repetition,
-        "doc_stopword_counts": P.q_doc_stopword_counts,
         "userday_click_purchase": P.q_userday_click_purchase,
+        "dedup_incremental": P.q_dedup_incremental,
+        "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
         # value-exact via scripts/check_oracle.py + pytest) ---
+        "doc_stopword_counts": P.q_doc_stopword_counts,
+        "events_cumsum": P.q_events_cumsum,
         "doc_symbol_ratio": P.q_doc_symbol_ratio,
         "filter_min_chars": P.q_filter_min_chars,
         "lang_counts": P.q_lang_counts,
@@ -226,9 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": P.q_events_props_extract,
         "orders_semi_exchange": P.q_orders_semi_exchange,
         "orders_anti_exchange": P.q_orders_anti_exchange,
-        "dedup_incremental": P.q_dedup_incremental,
         "dedup_incremental_update": P.q_dedup_incremental_update,
-        "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
         "doc_top_terms": P.q_doc_top_terms,
         "doc_boilerplate_scrub_exchange": P.q_doc_boilerplate_scrub_exchange,
         # --- rows-only (graded when the driver window reaches them) ---
