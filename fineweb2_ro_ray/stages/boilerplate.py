@@ -55,31 +55,21 @@ def explode_units(
 ) -> ray.data.Dataset:
     """(id, ord, unit) — one row per separator-delimited unit, 1-based
     original position. NULL text emits no rows (SQL UNNEST on a NULL
-    split)."""
+    split). Split + delegate to the reshape UNNEST kernel."""
+    from .reshape import explode_list
 
-    def ex(t: pa.Table) -> pa.Table:
-        lst = _split_col(t, text_col, sep)
-        parents = pc.list_parent_indices(lst)
-        flat = pc.list_flatten(lst)
-        lens = (
-            pc.fill_null(pc.list_value_length(lst), 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else lens
-        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens) + 1
-        return pa.table(
-            {
-                id_col: t[id_col].take(parents),
-                "ord": pa.array(pos, pa.int64()),
-                "unit": flat,
-            }
-        )
+    def split(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], "_units": _split_col(t, text_col, sep)})
 
-    return ds.map_batches(ex, batch_format="pyarrow")
+    return explode_list(
+        ds.map_batches(split, batch_format="pyarrow"),
+        list_col="_units",
+        id_cols=[id_col],
+        pos_col="ord",
+        val_col="unit",
+    )
 
 
-_CNT_SCHEMA_OUT = pa.schema([("unit", pa.string())])
 _DF_SCHEMA = pa.schema([("unit", pa.string()), ("nd", pa.int64())])
 
 
@@ -179,7 +169,12 @@ def remove_frequent_units(
     n_reducers: int | None = None,
     out_col: str = "text_clean",
 ) -> ray.data.Dataset:
-    """Corpus-level boilerplate scrub (see module docstring)."""
+    """Corpus-level boilerplate scrub (see module docstring).
+
+    ``id_col`` must uniquely identify a document (it is the GROUP BY /
+    reassembly key — the same precondition the SQL oracle's
+    ``GROUP BY doc_id`` carries): rows sharing an id would have their
+    units counted as separate documents and reassembled interleaved."""
     if strategy not in ("auto", "broadcast", "exchange"):
         raise ValueError(f"unknown strategy {strategy!r}")
     heavy = heavy_units(
@@ -190,21 +185,24 @@ def remove_frequent_units(
         min_docs=min_docs,
         n_reducers=n_reducers,
     )
-    use_broadcast = strategy == "broadcast"
-    if strategy == "auto":
-        use_broadcast = heavy.count() <= max_broadcast
+    # count() is cheap here: the DF exchange is a barrier, so `heavy` is
+    # backed by materialized reduce outputs — this never re-scans the corpus
+    n_heavy = heavy.count()
+    if strategy == "broadcast" and n_heavy > max_broadcast:
+        raise ValueError(
+            f"heavy set ({n_heavy}) exceeds max_broadcast ({max_broadcast})"
+        )
+    use_broadcast = strategy == "broadcast" or (
+        strategy == "auto" and n_heavy <= max_broadcast
+    )
 
     if use_broadcast:
-        hdf = heavy.to_pandas()  # bounded by max_broadcast under auto
+        hdf = heavy.to_pandas()  # bounded by max_broadcast (checked above)
         heavy_arr = (
             pa.array(hdf["unit"].to_numpy(), pa.string())
             if "unit" in hdf.columns
             else pa.array([], pa.string())  # empty heavy set
         )
-        if strategy == "broadcast" and len(heavy_arr) > max_broadcast:
-            raise ValueError(
-                f"heavy set ({len(heavy_arr)}) exceeds max_broadcast ({max_broadcast})"
-            )
         ref = ray.put(heavy_arr)
 
         def scrub(t: pa.Table) -> pa.Table:
@@ -226,7 +224,7 @@ def remove_frequent_units(
     from .joins import hash_join
 
     units = explode_units(ds, text_col=text_col, id_col=id_col, sep=sep)
-    if heavy.count() == 0:
+    if n_heavy == 0:
         survivors = units  # nothing to scrub; still reassemble (drops NULL text)
     else:
         heavy_r = heavy.map_batches(
@@ -285,7 +283,8 @@ def top_terms_per_doc(
     reproducibility against a SQL oracle — no float in any key).
 
     Output: (id_col, term, tf, nd, rk), rk in 1..k. NULL-text docs emit
-    no rows.
+    no rows. ``id_col`` must uniquely identify a document (the tf
+    combiner and the oracle's ``GROUP BY doc_id, term`` both assume it).
 
     Shape: per-batch (doc, term, tf) combiner (exact — a doc never
     spans batches) → thin DF exchange (``unit_doc_frequencies``) →

@@ -105,12 +105,31 @@ def load_meta(index_dir: str) -> dict:
 def _atomic_write(table: pa.Table, path: str) -> None:
     """Write-to-temp + rename: a task that dies mid-write leaves only a
     ``.tmp-`` file (invisible to the ``*.parquet`` globs), never a
-    half-written Parquet that poisons later reads. os.replace is atomic
-    on POSIX, so retries that overwrite the same deterministic name are
-    safe too."""
-    tmp = os.path.join(os.path.dirname(path), ".tmp-" + os.path.basename(path))
+    half-written Parquet that poisons later reads. The temp name is
+    unique per call (pid + uuid) so a speculative Ray retry racing a
+    not-actually-dead original cannot interleave into one file; both
+    eventually os.replace (atomic on POSIX) a COMPLETE file into the
+    same deterministic destination — either winner is valid."""
+    import uuid
+
+    tmp = os.path.join(
+        os.path.dirname(path),
+        f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}-" + os.path.basename(path),
+    )
     pq.write_table(table, tmp)
     os.replace(tmp, path)
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    """meta.json with the same temp+rename discipline — a truncated
+    metadata file would brick every later load_meta even though the
+    hash data is intact."""
+    import uuid
+
+    tmp = os.path.join(index_dir, f".tmp-meta-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _META))
 
 
 def _distinct_hashes(ds: ray.data.Dataset, text_col: str, n_parts: int) -> ray.data.Dataset:
@@ -236,8 +255,7 @@ def build_hash_index(
         _snapshot_hashes_ds(index_dir, snapshot), np.zeros(m_bits // 64, np.uint64), n_hashes
     )
     np.save(os.path.join(index_dir, _BLOOM), bm)
-    with open(os.path.join(index_dir, _META), "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta)
     return {"n_hashes_indexed": int(stats["n_new"].sum()), "parts_written": len(stats)}
 
 
@@ -271,8 +289,7 @@ def update_index(
     bm = _or_bloom_from_hashes(_snapshot_hashes_ds(index_dir, snapshot), bm, meta["n_hashes"])
     np.save(os.path.join(index_dir, _BLOOM), bm)
     meta["snapshots"].append(snapshot)
-    with open(os.path.join(index_dir, _META), "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta)
     return {"n_hashes_added": int(stats["n_new"].sum()), "parts_touched": len(stats)}
 
 
@@ -368,9 +385,12 @@ def filter_against_index(
 @ray.remote
 def _compact_part(index_dir: str, part: int, gen: int) -> tuple[int, int, int]:
     """Merge one partition's files into a single distinct-hash file.
-    Write-then-delete ordering keeps the partition readable (a filter
-    running concurrently sees duplicates across old+new files at worst,
-    which membership tests are insensitive to)."""
+
+    Concurrency caveat: a filter/update task that globbed the partition
+    BEFORE the deletes may try to read a removed file and fail (Ray's
+    task retry re-globs and succeeds, since write-then-delete never
+    leaves the partition incomplete). Run compaction as a maintenance
+    step between snapshot jobs, not concurrently with them."""
     files = _part_files(index_dir, part)
     if len(files) <= 1:
         return part, len(files), 0
@@ -402,8 +422,7 @@ def compact_index(index_dir: str) -> dict:
         ]
     )
     meta["compactions"] = gen
-    with open(os.path.join(index_dir, _META), "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta)
     merged = [(p, nf, nh) for p, nf, nh in res if nf > 1]
     return {
         "parts_compacted": len(merged),
