@@ -118,3 +118,34 @@ def test_compact_preserves_membership(tmp_path):
     # idempotent: second compaction is a no-op
     r2 = compact_index(idx)
     assert r2["files_removed"] == 0
+
+
+def test_index_cli_chain(tmp_path):
+    """build -> filter -> update -> compact -> stats via the CLI module
+    (in-process so it reuses the session Ray instead of spawning one)."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq_mod
+
+    from fineweb2_ro_ray.index_cli import main as cli
+
+    d0, d1 = tmp_path / "in0", tmp_path / "in1"
+    d0.mkdir(); d1.mkdir()
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": ["a", "b", "c"]}),
+        str(d0 / "p.parquet"),
+    )
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array([4, 5, 6], pa.int64()), "text": ["b", "d", "e"]}),
+        str(d1 / "p.parquet"),
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    assert cli(["build", "--input", str(d0), "--index", idx, "--n-parts", "8"]) == 0
+    assert cli(["filter", "--input", str(d1), "--index", idx, "--output", out]) == 0
+    assert sorted(pds.dataset(out).to_table()["doc_id"].to_pylist()) == [5, 6]
+    assert cli(["update", "--input", out, "--index", idx, "--snapshot", "d1"]) == 0
+    assert cli(["compact", "--index", idx]) == 0
+    assert cli(["stats", "--index", idx]) == 0
+    from fineweb2_ro_ray.stages.incremental import index_stats
+
+    st = index_stats(idx)
+    assert st["n_hashes"] == 5 and st["snapshots"] == ["s0000", "d1"]
