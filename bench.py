@@ -156,7 +156,39 @@ def run_bench() -> dict:
         ("sample_stratified", P.q_sample_stratified),
         ("dedup_clusters", P.q_dedup_clusters),
         ("orders_top_revenue", P.q_orders_top_revenue),
+        # round-3 continuation: cross-snapshot dedup at transcript scale
+        ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
     ]
+
+    def _incremental_dedup_bench():
+        """Cross-snapshot exact dedup over the FULL bench corpus: hash
+        the first half of the transcript shards into a fresh on-disk
+        index, anti-join the second half against it (Bloom fast-path +
+        exchange). Exercises stages.incremental at millions of turns —
+        the tiny documents table wouldn't."""
+        import glob
+
+        import ray.data
+
+        from fineweb2_ro_ray.stages.incremental import (
+            build_hash_index,
+            filter_against_index,
+        )
+
+        files = sorted(glob.glob(f"{BENCH_DIR}/*.parquet"))
+        half = max(1, len(files) // 2)
+        idx = "/tmp/fineweb2_ro_bench/hashidx"
+        shutil.rmtree(idx, ignore_errors=True)
+        build_hash_index(
+            ray.data.read_parquet(files[:half], columns=["conv_id", "turn_idx", "text"]),
+            idx,
+            n_parts=64,
+        )
+        kept = filter_against_index(
+            ray.data.read_parquet(files[half:], columns=["conv_id", "turn_idx", "text"]),
+            idx,
+        )
+        return kept.count()
     def _flagship_once() -> None:
         # headline: full quality-filter DAG + conversation reassembly → sink
         out_dir = f"/tmp/fineweb2_ro_bench/out_{NUM_CPUS}"
