@@ -94,8 +94,10 @@ def _q_multimodal(sf_dir: str):
     n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000}.get(
         os.path.basename(os.path.normpath(sf_dir)), 60
     )
-    ds = ray.data.from_arrow(synth_media(n))
-    out = decode_and_featurize(ds, fake=True).drop_columns(["payload"])
+    # REAL decode path: BMP + PCM-WAV payloads parsed for true dims /
+    # rate / duration / RMS (compressed codecs stay env-gated)
+    ds = ray.data.from_arrow(synth_media(n, real=True))
+    out = decode_and_featurize(ds, fake=False).drop_columns(["payload"])
     return out
 
 

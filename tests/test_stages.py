@@ -1990,3 +1990,59 @@ def test_events_props_extract_edges(tmp_path):
     )
     assert got["sum_k"].fillna(-1).tolist() == want["sum_k"].fillna(-1).tolist()
     assert got["n_extracted"].tolist() == want["n_extracted"].tolist()
+
+
+def test_multimodal_real_wav_bmp_decode():
+    """Non-fake decode is REAL for uncompressed formats: BMP dims and
+    WAV rate/duration/RMS recover the synthesized ground truth; BMP
+    encode/decode round-trips bit-exact; real nearest-neighbor resize
+    produces the target grid."""
+    import json
+
+    from fineweb2_ro_ray.stages.multimodal import (
+        MediaResizer,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    px = np.random.default_rng(5).integers(0, 256, (13, 6, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    rate, ch, samp = decode_wav(encode_wav(np.arange(-500, 500, dtype=np.int16), 8000))
+    assert (rate, ch) == (8000, 1) and (samp == np.arange(-500, 500)).all()
+
+    t = synth_media(24, real=True)
+    out = (
+        decode_and_featurize(rd.from_arrow(t), fake=False)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    metas = [json.loads(m) for m in t["meta"].to_pylist()]
+    for i, m in enumerate(metas):
+        if m["codec"] == "bmp":
+            assert (out.loc[i, "width"], out.loc[i, "height"]) == (m["width"], m["height"])
+            assert np.isnan(out.loc[i, "sample_rate"])
+        else:
+            assert out.loc[i, "sample_rate"] == m["rate"]
+            expect_ms = round(1000 * m["samples"] / m["rate"])
+            assert abs(out.loc[i, "duration_ms"] - expect_ms) <= 1
+            # sine amplitude 12000/32768 ≈ 0.366 → RMS ≈ 0.366/sqrt(2) ≈ 0.259
+            assert 0.2 < out.loc[i, "rms"] < 0.3
+
+    imgs = (
+        rd.from_arrow(t)
+        .map_batches(
+            lambda b: b.filter(pa.compute.equal(b["kind"], "image")),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            MediaResizer,
+            fn_constructor_kwargs={"target_w": 5, "target_h": 4, "fake": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert all(decode_bmp(p).shape == (4, 5, 3) for p in imgs["payload"])
