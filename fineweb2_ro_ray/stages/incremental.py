@@ -250,6 +250,14 @@ def build_hash_index(
         "m_bits": m_bits,
         "n_hashes": n_hashes,
         "snapshots": [snapshot],
+        # per-snapshot lineage: what each job added, when — the index's
+        # analog of the filter pipeline's manifest.jsonl
+        "snapshot_stats": {
+            snapshot: {
+                "n_hashes_added": int(stats["n_new"].sum()),
+                "parts_touched": int(len(stats)),
+            }
+        },
     }
     bm = _or_bloom_from_hashes(
         _snapshot_hashes_ds(index_dir, snapshot), np.zeros(m_bits // 64, np.uint64), n_hashes
@@ -289,6 +297,10 @@ def update_index(
     bm = _or_bloom_from_hashes(_snapshot_hashes_ds(index_dir, snapshot), bm, meta["n_hashes"])
     np.save(os.path.join(index_dir, _BLOOM), bm)
     meta["snapshots"].append(snapshot)
+    meta.setdefault("snapshot_stats", {})[snapshot] = {
+        "n_hashes_added": int(stats["n_new"].sum()),
+        "parts_touched": int(len(stats)),
+    }
     _write_meta(index_dir, meta)
     return {"n_hashes_added": int(stats["n_new"].sum()), "parts_touched": len(stats)}
 
@@ -437,6 +449,7 @@ def index_stats(index_dir: str) -> dict:
     return {
         "n_parts": meta["n_parts"],
         "snapshots": list(meta["snapshots"]),
+        "snapshot_stats": meta.get("snapshot_stats", {}),
         "n_files": len(files),
         "n_hashes": sum(pq.read_metadata(f).num_rows for f in files),
         "bytes": sum(os.path.getsize(f) for f in files),
