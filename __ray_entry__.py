@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-exact via scripts/check_oracle.py + pytest) ---
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
+        "region_nation_revenue": P.q_region_nation_revenue,
         "doc_symbol_ratio": P.q_doc_symbol_ratio,
         "filter_min_chars": P.q_filter_min_chars,
         "lang_counts": P.q_lang_counts,
@@ -459,6 +460,23 @@ def oracle_sql() -> dict[str, str]:
                                 AND md5(o.text) = md5(d.text))
         """,
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
+        "region_nation_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_cbp
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
         "doc_top_terms": """
             WITH terms AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1887,3 +1887,114 @@ def q_doc_top_terms(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return top_terms_per_doc(docs, sep=" ", k=3)
+
+
+def q_region_nation_revenue(sf_dir: str):
+    """TPC-H Q5 analog — the 6-table join composition: region→nation
+    prune on the driver (5 rows), nation + supplier maps broadcast via
+    ``ray.put`` (dimension tables), customer⋈orders and
+    lineitem⋈(orders×customer) on the exchange hash join (the two
+    large-fact joins), the co-nation condition (c_nationkey =
+    s_nationkey) applied post-join, map-side revenue combiners before
+    every exchange. Revenue in exact integer cents×percent so the
+    value hash is engine- and order-independent."""
+    import datetime as _dt
+
+    from ..stages.joins import hash_join
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg[reg["r_name"] == "EUROPE"]["r_regionkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nkeys = np.sort(nat["n_nationkey"].to_numpy())
+    nkeys_ref = ray.put(nkeys)
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(n_name)].sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (sup["s_suppkey"].to_numpy(np.int64), sup["s_nationkey"].to_numpy(np.int64))
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_region(b: pa.Table) -> pa.Table:
+        ks = ray.get(nkeys_ref)
+        m = np.isin(b["c_nationkey"].to_numpy(zero_copy_only=False), ks)
+        return b.filter(pa.array(m))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_window(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        return t.select(["o_orderkey", "o_custkey"])
+
+    oc = hash_join(
+        orders.map_batches(orders_window, batch_format="pyarrow"),
+        cust.map_batches(cust_region, batch_format="pyarrow"),
+        key="o_custkey",
+        right_key="c_custkey",
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def li_partials(b: pa.Table) -> pa.Table:
+        """Attach the supplier's nation map-side (regional suppliers
+        only — rest dropped before any shuffle); combine revenue per
+        (orderkey, supplier-nation)."""
+        skeys, snats = ray.get(sup_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, sk)
+        pos_c = np.minimum(pos, max(0, len(skeys) - 1))
+        hit = (len(skeys) > 0) & (skeys[pos_c] == sk)
+        t = b.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "s_nat": pa.array([], pa.int64()),
+                    "rev_cbp": pa.array([], pa.int64()),
+                }
+            )
+        snat = snats[np.searchsorted(skeys, t["l_suppkey"].to_numpy(zero_copy_only=False))]
+        from ..stages.analysis import round_half_away
+
+        cents = round_half_away(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        disc = round_half_away(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "s_nat": snat,
+                "rev_cbp": cents * (100 - disc),
+            }
+        )
+        out = df.groupby(["l_orderkey", "s_nat"], as_index=False)["rev_cbp"].sum()
+        return from_pandas_clean(out)
+
+    rev = li.map_batches(li_partials, batch_format="pyarrow")
+    j = hash_join(rev, oc, key="l_orderkey", right_key="o_orderkey")
+
+    def nation_partials(b: pa.Table) -> pa.Table:
+        """Apply the co-nation condition, map nation names, combine."""
+        m = pc.equal(b["s_nat"], b["c_nationkey"])
+        t = b.filter(m)
+        nats = t["s_nat"].to_numpy(zero_copy_only=False)
+        names = pd.Series(nats).map(n_name).to_numpy()
+        df = pd.DataFrame(
+            {"n_name": names, "rev_cbp": t["rev_cbp"].to_numpy(zero_copy_only=False)}
+        )
+        out = df.groupby("n_name", as_index=False)["rev_cbp"].sum()
+        return from_pandas_clean(out)
+
+    partials = j.map_batches(nation_partials, batch_format="pyarrow")
+    out = _exchange_sum(partials, ["n_name"], {"rev_cbp": "revenue_cbp"}).to_pandas()
+    return out.sort_values("revenue_cbp", ascending=False, ignore_index=True)
