@@ -371,3 +371,123 @@ def test_boilerplate_scrub_matches_naive_on_unicode(texts, min_docs):
             continue
         got = sorted(zip(out["doc_id"], out["text_clean"]))
         assert got == sorted(want), strategy
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_asof_join_matches_duckdb_asof(l_rows, r_rows):
+    """stages.joins.asof_join (greatest right_ts <= left_ts per key) vs
+    DuckDB's native ASOF JOIN on random keyed integer timelines —
+    including duplicate timestamps and keys with no match."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fineweb2_ro_ray.stages.joins import asof_join
+
+    left = pd.DataFrame(l_rows, columns=["k", "lts", "lv"])
+    right = pd.DataFrame(r_rows, columns=["rk", "rts", "rv"])
+    # asof needs a deterministic winner among equal (key, rts) rows:
+    # keep one right row per (rk, rts), like a real price/state table
+    right = right.drop_duplicates(["rk", "rts"]).reset_index(drop=True)
+    left["lid"] = np.arange(len(left))
+
+    got = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="k",
+        right_key="rk",
+        left_ts="lts",
+        right_ts="rts",
+        n_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    # INNER asof — matches the engine op and the events_asof_orders oracle
+    want = (
+        con.sql(
+            "SELECT l.*, r.rts, r.rv FROM l "
+            "ASOF JOIN r ON l.k = r.rk AND l.lts >= r.rts"
+        )
+        .df()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    if len(want) == 0:
+        return  # empty Ray results lose block schema; emptiness is the assertion
+    got = got.sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == want["lid"].tolist()
+    assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_range_join_matches_duckdb_interval(l_rows, r_rows):
+    """stages.joins.range_join (equal key, start <= ts < end,
+    one-to-many) vs a DuckDB BETWEEN-style join on random intervals —
+    including empty intervals and overlapping windows."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fineweb2_ro_ray.stages.joins import range_join
+
+    left = pd.DataFrame(l_rows, columns=["k", "lts"])
+    left["lid"] = np.arange(len(left))
+    right = pd.DataFrame(r_rows, columns=["rk", "rstart", "dur"])
+    right["rend"] = right["rstart"] + right["dur"]
+    right["rid"] = np.arange(len(right)) + 1000
+    right = right.drop(columns=["dur"])
+
+    got = range_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="k",
+        right_key="rk",
+        left_ts="lts",
+        right_start="rstart",
+        right_end="rend",
+        n_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = (
+        con.sql(
+            "SELECT l.*, r.rstart, r.rend, r.rid FROM l JOIN r "
+            "ON l.k = r.rk AND l.lts >= r.rstart AND l.lts < r.rend"
+        )
+        .df()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    if len(want) == 0:
+        return  # empty Ray results lose block schema; emptiness is the assertion
+    got = got.sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert got["lid"].tolist() == want["lid"].tolist()
+    assert got["rid"].tolist() == want["rid"].tolist()
