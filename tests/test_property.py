@@ -491,3 +491,126 @@ def test_range_join_matches_duckdb_interval(l_rows, r_rows):
     got = got.sort_values(["lid", "rid"]).reset_index(drop=True)
     assert got["lid"].tolist() == want["lid"].tolist()
     assert got["rid"].tolist() == want["rid"].tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(-500, 500)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 5),
+)
+def test_rolling_sum_matches_duckdb_window(rows, window):
+    """rolling_sum_cents vs DuckDB's ROWS BETWEEN window on random
+    per-key timelines — duplicate timestamps exercise the (ts, id)
+    total-order tiebreak."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fineweb2_ro_ray.stages.analysis import rolling_sum_cents
+
+    df = pd.DataFrame(rows, columns=["user_id", "tsec", "v"])
+    df["event_id"] = np.arange(len(df))
+    df["ts"] = pd.to_datetime(df["tsec"], unit="s")
+    df["value"] = df["v"] / 100.0
+    df = df.drop(columns=["tsec", "v"])
+
+    got = (
+        rolling_sum_cents(
+            rd.from_pandas(df),
+            key="user_id",
+            id_col="event_id",
+            ts_col="ts",
+            val_col="value",
+            window=window,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = (
+        con.sql(
+            f"""
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_cents
+            FROM e
+            """
+        )
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["roll_cents"].tolist() == want["roll_cents"].tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10000)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 60),
+)
+def test_session_windows_match_duckdb_gaps_islands(rows, gap_min):
+    """session_windows vs the DuckDB gaps-and-islands idiom on random
+    per-key event times (duplicate timestamps, single-event sessions,
+    gap exactly at the boundary)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fineweb2_ro_ray.stages.windows import session_windows
+
+    df = pd.DataFrame(rows, columns=["user_id", "tsec"])
+    df["ts"] = pd.to_datetime(df["tsec"], unit="s")
+    df = df.drop(columns=["tsec"])
+
+    got = (
+        session_windows(rd.from_pandas(df), key="user_id", ts_col="ts", gap_min=gap_min)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = (
+        con.sql(
+            f"""
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM e
+            ), s AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL {gap_min} MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM o
+            ), t AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM s
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS "end"
+            FROM t GROUP BY user_id, session_id
+            """
+        )
+        .df()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    for c in ["user_id", "session_id", "n_events", "start", "end"]:
+        assert got[c].tolist() == want[c].tolist(), c
