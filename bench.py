@@ -5,10 +5,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "turns": T, "turns_per_sec": r}
 
-``--scaling``: runs the same bench in two fresh processes
-(RAY_GRAFT_CPUS=8 then 32) on identical input and reports both
-throughputs + scaling efficiency (sandbox substitute for the
-N-vs-4N-node criterion, SURVEY.md §4.2).
+``--scaling``: runs the flagship in two fresh processes at N and 4N
+CPUs (default 2 vs 8; ``SCALE_LO``/``SCALE_HI``) on identical input
+and reports both throughputs + scaling efficiency (sandbox substitute
+for the N-vs-4N-node criterion, SURVEY.md §4.2 — 8->32 would measure
+this VM's DRAM wall, not the engine; see BASELINE.md).
 """
 
 from __future__ import annotations
