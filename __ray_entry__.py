@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": P.q_events_asof_orders,
         "lineitem_range_orders": P.q_lineitem_range_orders,
         "orders_semi_join": P.q_orders_semi_join,
-        "orders_anti_join": P.q_orders_anti_join,
+        "filter_adaptive": P.q_filter_adaptive,
         "lineitem_pricing": P.q_lineitem_pricing,
         "orders_by_segment": P.q_orders_by_segment,
         "count_metrics": P.q_count_metrics,
@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
         # value-exact via scripts/check_oracle.py + pytest) ---
+        "orders_anti_join": P.q_orders_anti_join,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
         "region_nation_revenue": P.q_region_nation_revenue,
@@ -815,6 +816,17 @@ def oracle_sql() -> dict[str, str]:
         "orders_anti_join": """
             SELECT o_orderkey FROM orders
             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+        "filter_adaptive": """
+            WITH b AS (
+                SELECT lang,
+                       quantile_cont(n_chars, 0.05) AS lo,
+                       quantile_cont(n_chars, 0.95) AS hi
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN b USING (lang)
+            WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
         """,
         "events_asof_orders": """
             SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date

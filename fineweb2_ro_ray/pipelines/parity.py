@@ -610,6 +610,18 @@ def q_orders_join_native(sf_dir: str):
     )
 
 
+def q_filter_adaptive(sf_dir: str):
+    """Adaptive per-language threshold filter — FineWeb2's signature
+    move: the [p05, p95] n_chars bounds are derived from the corpus
+    itself per language (not fixed constants), broadcast once, then
+    applied as a zero-shuffle filter. Two passes over the input; pass 1
+    moves only a (lang, n_chars, count) histogram."""
+    from ..stages.analysis import adaptive_threshold_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return adaptive_threshold_filter(ds, key="lang", col="n_chars", q_lo=5.0, q_hi=95.0)
+
+
 def q_orders_semi_join(sf_dir: str):
     """Semi-join via broadcast key set (ray_guide pattern: ship the key
     set once, filter inside map_batches — no shuffle): orders whose

@@ -712,6 +712,63 @@ def threshold_filter(
     return ds.map_batches(pred, batch_format="pyarrow")
 
 
+def adaptive_threshold_filter(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    col: str,
+    q_lo: float,
+    q_hi: float,
+) -> ray.data.Dataset:
+    """The derived-threshold filter: per-``key`` (e.g. per-language)
+    [q_lo, q_hi] percentile bounds of ``col`` computed FROM THE CORPUS
+    ITSELF, then a zero-shuffle broadcast filter — the reference's
+    quantile→threshold→filter chain (``ro_vs_eng/quantiles_fetcher.py:
+    25-65`` feeding ``filter_jql.py:27``) generalized per key, which is
+    what a multilingual corpus needs (FineWeb2's adaptive per-language
+    thresholds vs FineWeb's global constants).
+
+    Scale shape: pass 1 is the thinned (key, value, count) histogram
+    exchange of ``grouped_percentiles`` (rows never move); the bounds
+    table is one row per key, ``ray.put`` once; pass 2 is a stateless
+    ``map_batches`` filter with no shuffle. Bounds bit-match
+    ``quantile_cont``, so int-vs-double comparisons agree with SQL."""
+    # quantile_cont ignores NULL values — drop them before the histogram
+    pcts = grouped_percentiles(
+        ds.select_columns([key, col]).map_batches(
+            lambda t: t.filter(pc.is_valid(t[col])), batch_format="pyarrow"
+        ),
+        [key],
+        col,
+        [q_lo, q_hi],
+    ).to_pandas()
+    wide = pcts.pivot(index=key, columns="q", values="value")
+    bounds = {
+        k: (float(row[q_lo]), float(row[q_hi])) for k, row in wide.iterrows()
+    }
+    bounds_ref = ray.put(bounds)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        # dictionary-encode the key column so the Python dict is probed
+        # once per UNIQUE key per batch, not per row
+        enc = pc.dictionary_encode(t[key]).combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        # sentinel row 0 for null keys (always excluded, like SQL NULL)
+        lo_u = np.array([np.inf] + [bd.get(k, (np.inf, -np.inf))[0] for k in uniq])
+        hi_u = np.array([-np.inf] + [bd.get(k, (np.inf, -np.inf))[1] for k in uniq])
+        idx = (
+            pc.fill_null(pc.add(enc.indices, 1), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = (vals >= lo_u[idx]) & (vals <= hi_u[idx])
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def top_k(
     ds: ray.data.Dataset, col: str, k: int, *, tiebreak: str, descending: bool = True
 ) -> pd.DataFrame:

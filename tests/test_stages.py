@@ -2046,3 +2046,49 @@ def test_multimodal_real_wav_bmp_decode():
         .to_pandas()
     )
     assert all(decode_bmp(p).shape == (4, 5, 3) for p in imgs["payload"])
+
+
+def test_adaptive_threshold_filter_bounds_and_nulls():
+    """Per-key derived [q_lo, q_hi] bounds; null keys and null values
+    are excluded (SQL NULL-comparison semantics); keys absent from the
+    bounds table (all-null value groups) are excluded."""
+    import duckdb
+
+    from fineweb2_ro_ray.stages.analysis import adaptive_threshold_filter
+
+    rng = np.random.default_rng(7)
+    n = 400
+    langs = rng.choice(["ro", "en", "de"], size=n).tolist()
+    vals = rng.integers(10, 5000, size=n).astype("float64")
+    # inject nulls on both columns
+    langs[5] = None
+    vals[11] = np.nan
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array([None if np.isnan(v) else int(v) for v in vals], pa.int64()),
+        }
+    )
+    out = (
+        adaptive_threshold_filter(
+            rd.from_arrow(t), key="lang", col="n_chars", q_lo=10.0, q_hi=90.0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        """
+        WITH b AS (
+            SELECT lang, quantile_cont(n_chars, 0.10) lo, quantile_cont(n_chars, 0.90) hi
+            FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id FROM documents d JOIN b USING (lang)
+        WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        ORDER BY d.doc_id
+        """
+    ).df()
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
