@@ -178,7 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": P.q_orders_by_segment,
         "count_metrics": P.q_count_metrics,
         "score_correlations": P.q_score_correlations,
-        "score_confusion": P.q_score_confusion,
+        "dedup_spans": P.q_dedup_spans,
         "parse_kv": P.q_parse_kv,
         "split_counts": P.q_split_counts,
         "ann_cosine": P.q_ann_cosine,
@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
         # value-exact via scripts/check_oracle.py + pytest) ---
         "orders_anti_join": P.q_orders_anti_join,
+        "score_confusion": P.q_score_confusion,
+        "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
         "region_nation_revenue": P.q_region_nation_revenue,
@@ -277,6 +279,32 @@ _BOILERPLATE_SQL = """
     FROM lines l JOIN freq f USING (unit)
     WHERE f.nd < (SELECT count(*) // 2 FROM documents)
     GROUP BY l.doc_id
+"""
+
+_DEDUP_SPANS_SQL = """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS start,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                 || ' ' || lead(w, 3) OVER win AS gram,
+               lead(w, 3) OVER win IS NOT NULL AS isfull
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    gv AS (SELECT doc_id, start, gram FROM g WHERE isfull),
+    dup AS (SELECT gram FROM gv GROUP BY gram HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT v.doc_id, w.i
+        FROM gv v JOIN dup USING (gram)
+        JOIN words w ON w.doc_id = v.doc_id AND w.i BETWEEN v.start AND v.start + 3
+    )
+    SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.i) AS text_clean
+    FROM words w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.i = w.i
+    WHERE c.i IS NULL
+    GROUP BY w.doc_id
 """
 
 _SYM = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\t\n\f\r ]"
@@ -461,6 +489,8 @@ def oracle_sql() -> dict[str, str]:
                                 AND md5(o.text) = md5(d.text))
         """,
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
+        "dedup_spans": _DEDUP_SPANS_SQL,
+        "dedup_spans_exchange": _DEDUP_SPANS_SQL,
         "region_nation_revenue": """
             SELECT n_name,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -1889,6 +1889,29 @@ def q_doc_boilerplate_scrub_exchange(sf_dir: str):
     return _boilerplate_scrub(sf_dir, "exchange")
 
 
+def _dedup_spans(sf_dir: str, strategy: str):
+    from ..stages.spans import remove_duplicate_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicate_spans(docs, k=4, min_count=2, strategy=strategy)
+
+
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicate-span removal (Lee et al. 2021, EXACTSUBSTR at
+    word-4-gram resolution): every 4-gram occurring >= 2 times in the
+    corpus is deleted from every document, docs rebuilt from surviving
+    words. Broadcast path: the thin count exchange bounds the dup-key
+    set, which ships once; documents never move."""
+    return _dedup_spans(sf_dir, "broadcast")
+
+
+def q_dedup_spans_exchange(sf_dir: str):
+    """Same semantics, fully distributed rebuild: occurrence rows
+    SEMI-join the dup-key set on a keyed exchange, then a reassembly
+    exchange keyed on doc_id co-locates covered starts with the text."""
+    return _dedup_spans(sf_dir, "exchange")
+
+
 def q_doc_top_terms(sf_dir: str):
     """Top-3 characteristic terms per document, ranked (tf DESC, df
     ASC, term ASC) — the integer-exact tf-idf cousin

@@ -141,3 +141,75 @@ def test_top_terms_matches_naive():
         for rk, (term, f) in enumerate(ranked[:3], 1):
             want.append((i, term, f, df_cnt[term], rk))
     assert got == sorted(want)
+
+
+class TestDedupSpans:
+    """Duplicate-span removal (Lee et al. EXACTSUBSTR at k-gram
+    resolution) — edges + broadcast/exchange equivalence vs a DuckDB
+    oracle."""
+
+    def _docs(self):
+        import pyarrow as pa
+
+        rep = "alpha beta gamma delta"  # a 4-gram repeated across docs
+        return pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "text": pa.array(
+                    [
+                        f"start {rep} end one",
+                        f"intro {rep} outro two",
+                        # overlapping spans: 5 words containing TWO
+                        # duplicated 4-grams sharing 3 words
+                        "alpha beta gamma delta epsilon",
+                        "zeta alpha beta gamma delta epsilon",  # also has both
+                        "short doc",  # < k words: survives whole
+                        "",  # one empty word, survives
+                        None,  # NULL text: no output row
+                        rep,  # fully covered: no output row
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def _oracle(self, t):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        sql = E.oracle_sql()["dedup_spans"]
+        return (
+            con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("strategy", ["broadcast", "exchange"])
+    def test_matches_oracle(self, strategy):
+        import ray.data as rd
+
+        from fineweb2_ro_ray.stages.spans import remove_duplicate_spans
+
+        t = self._docs()
+        out = (
+            remove_duplicate_spans(
+                rd.from_arrow(t), k=4, min_count=2, strategy=strategy
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._oracle(t)
+        assert out["doc_id"].tolist() == want["doc_id"].tolist()
+        assert out["text_clean"].tolist() == want["text_clean"].tolist()
+        # spot-check semantics: doc 4/5 untouched, doc 6/7 dropped
+        got = dict(zip(out["doc_id"], out["text_clean"]))
+        assert got[4] == "short doc"
+        assert got[5] == ""
+        assert 6 not in got and 7 not in got
+        # overlapping spans merge: doc 2 is entirely covered by the two
+        # overlapping duplicated 4-grams (no row); doc 3 keeps only the
+        # word outside both spans
+        assert 2 not in got
+        assert got[3] == "zeta"
