@@ -184,7 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": P.q_ann_cosine,
         "embedding_neardup": P.q_embedding_neardup,
         "contamination": P.q_contamination,
-        "sample_stratified": P.q_sample_stratified,
+        "supplier_sole_returner": P.q_supplier_sole_returner,
         "dedup_clusters": P.q_dedup_clusters,
         "userdays_intersect": P.q_userdays_intersect,
         "embedding_unnest": P.q_embedding_unnest,
@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-exact via scripts/check_oracle.py + pytest) ---
         "orders_anti_join": P.q_orders_anti_join,
         "score_confusion": P.q_score_confusion,
+        "sample_stratified": P.q_sample_stratified,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
@@ -491,6 +492,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_spans_exchange": _DEDUP_SPANS_SQL,
+        "supplier_sole_returner": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+        """,
         "region_nation_revenue": """
             SELECT n_name,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -1309,6 +1309,87 @@ def q_customer_order_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_supplier_sole_returner(sf_dir: str):
+    """TPC-H Q21 shape — BOTH a correlated EXISTS and a correlated NOT
+    EXISTS self-join on the fact table — stated with this schema's
+    columns: for 'F'-status orders involving more than one supplier
+    where EXACTLY ONE supplier has returned ('R') items, count that
+    supplier's returned rows as ``numwait``.
+
+    Both subqueries reduce to per-(order, supplier) sufficient stats:
+    EXISTS(other supplier) == order's distinct-supplier count > 1;
+    NOT EXISTS(other supplier with 'R') == the order has exactly one
+    returning supplier. A map-side combiner thins lineitem to one
+    (order, supplier, n_ret) row per batch; ONE exchange keyed on the
+    order co-locates each order's stats and applies the sole-returner
+    test vectorized; the 'F' filter is a SEMI hash join; supplier
+    names attach via broadcast (J2) and a thin name-keyed exchange
+    sums numwait. No raw lineitem row ever crosses a shuffle."""
+    from ..stages.exchange import hash_exchange_map_groups
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ret = pc.cast(
+            pc.fill_null(pc.equal(b["l_returnflag"], "R"), False), pa.int64()
+        )
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "l_suppkey": b["l_suppkey"],
+                    "ret": ret,
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("ret", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_suppkey": g["l_suppkey"],
+                "n_ret": g["ret_sum"].cast(pa.int64()),
+            }
+        )
+
+    part = li.map_batches(partial, batch_format="pyarrow")
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["n_ret"].sum()
+        g["rs"] = (g["n_ret"] > 0).astype(np.int64)
+        agg = g.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_rsupp=("rs", "sum")
+        )
+        ok = agg.index[(agg["n_supp"] > 1) & (agg["n_rsupp"] == 1)]
+        out = g[g["l_orderkey"].isin(ok) & (g["n_ret"] > 0)]
+        return out[["l_orderkey", "l_suppkey", "n_ret"]].reset_index(drop=True)
+
+    per_ord = hash_exchange_map_groups(part, per_order, key="l_orderkey")
+
+    f_orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    cand = hash_join(per_ord, f_orders, key="l_orderkey", right_key="o_orderkey", how="semi")
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_name"])))
+
+    def to_name(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["s_name"] = df["l_suppkey"].map(ray.get(name_ref))
+        out = df.groupby("s_name", as_index=False)["n_ret"].sum()
+        out["n_ret"] = out["n_ret"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    return _exchange_sum(
+        cand.map_batches(to_name, batch_format="pyarrow"),
+        ["s_name"],
+        {"n_ret": "numwait"},
+    )
+
+
 def q_orders_exists_late(sf_dir: str):
     """Correlated EXISTS semi-aggregate (TPC-H Q4 shape): count orders
     per priority having at least one lineitem shipped >60 days after
