@@ -159,7 +159,42 @@ def run_bench() -> dict:
         ("orders_top_revenue", P.q_orders_top_revenue),
         # round-3 continuation: cross-snapshot dedup at transcript scale
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
+        # round-3 continuation: duplicate-span removal at transcript scale
+        ("dedup_spans", lambda _sf: _dedup_spans_bench()),
     ]
+
+    def _dedup_spans_bench():
+        """Lee-et-al duplicate-span removal (word 8-grams, total-count
+        >= 2): exercises the thin 128-bit count exchange and the
+        broadcast/exchange rebuild at transcript scale. Runs on every
+        8th shard (~750k turns) — the full corpus costs ~140 s/pass,
+        out of band for a x3-repeat suite entry; the 1/8 sample keeps
+        the same per-byte shape. Consumed with count() — the rebuilt
+        texts stay distributed."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from fineweb2_ro_ray.stages.spans import remove_duplicate_spans
+
+        files = sorted(glob.glob(f"{BENCH_DIR}/*.parquet"))[::8]
+        ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+
+        def uid(t: pa.Table) -> pa.Table:
+            u = pc.binary_join_element_wise(
+                t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "#"
+            )
+            return pa.table({"doc_id": u, "text": t["text"]})
+
+        out = remove_duplicate_spans(
+            ds.map_batches(uid, batch_format="pyarrow"),
+            k=8,
+            min_count=2,
+            max_broadcast=4_000_000,
+        )
+        return out.count()
 
     def _incremental_dedup_bench():
         """Cross-snapshot exact dedup over the FULL bench corpus: hash
