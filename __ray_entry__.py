@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_join": P.q_orders_anti_join,
         "score_confusion": P.q_score_confusion,
         "sample_stratified": P.q_sample_stratified,
+        "user_retention": P.q_user_retention,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
@@ -492,6 +493,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_spans_exchange": _DEDUP_SPANS_SQL,
+        "user_retention": """
+            WITH d AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events WHERE ts IS NOT NULL
+            ),
+            f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', f.cohort, d.day) AS BIGINT) AS day_offset,
+                   count(*) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
         "supplier_sole_returner": """
             SELECT s_name, count(*) AS numwait
             FROM supplier

@@ -1309,6 +1309,50 @@ def q_customer_order_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_user_retention(sf_dir: str):
+    """Cohort retention — the warehouse staple: each user's cohort is
+    their FIRST active day; count distinct users per (cohort_day,
+    day_offset). Self-referential per-entity anchor + offset
+    histogram: a per-batch (user, day) distinct combiner thins events,
+    ONE user-keyed exchange computes each user's anchor and emits
+    per-partition (cohort, offset) partial counts, then a thin
+    final-key exchange sums them. Raw events never cross a shuffle."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pc.floor_temporal(b["ts"], unit="day"),
+            }
+        ).filter(pc.is_valid(b["ts"]))
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    per = ev.map_batches(partial, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        coh = df.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": coh.dt.strftime("%Y-%m-%d"),
+                "day_offset": (df["day"] - coh).dt.days.astype(np.int64),
+            }
+        )
+        g = (
+            out.groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "pn"})
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    counts = hash_exchange_map_groups(per, per_user, key="user_id")
+    return _exchange_sum(counts, ["cohort_day", "day_offset"], {"pn": "n_users"})
+
+
 def q_supplier_sole_returner(sf_dir: str):
     """TPC-H Q21 shape — BOTH a correlated EXISTS and a correlated NOT
     EXISTS self-join on the fact table — stated with this schema's
