@@ -626,8 +626,10 @@ def test_percentiles_from_counts_match_duckdb_quantile_cont(vals, int_qs, frac_q
     """The histogram-based exact percentile kernel vs DuckDB
     quantile_cont on arbitrary integer data: INTEGER percentiles (the
     ones every graded query pins) must match bit-exact; arbitrary
-    fractional q may differ by the one ulp inherent in the
-    interpolation's float expression order — bounded here at 1 ulp."""
+    fractional q may differ by the couple of ulps inherent in the
+    interpolation's float expression order (q/100*(n-1) itself rounds,
+    then the convex combine rounds again — hypothesis found a 2-ulp
+    case at q=95.99999999999999 on [0,0,1]) — bounded here at 2 ulp."""
     import math
 
     import duckdb
@@ -647,4 +649,74 @@ def test_percentiles_from_counts_match_duckdb_quantile_cont(vals, int_qs, frac_q
             assert got[q] == want, (q, got[q], want)
         else:
             ulp = math.ulp(max(abs(got[q]), abs(want), 1e-300))
-            assert abs(got[q] - want) <= ulp, (q, got[q], want)
+            assert abs(got[q] - want) <= 2 * ulp, (q, got[q], want)
+
+
+# --- duplicate-span removal kernel vs a plain-Python reference ---
+
+_VOCAB = ["a", "b", "ab", "x1", "", "ț"]
+_doc_strategy = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join),
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(_doc_strategy, min_size=1, max_size=10),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=2, max_value=3),
+)
+def test_span_dedup_kernel_matches_reference(texts, k, min_count):
+    """Single-batch broadcast-path kernels (_batch_windows + 128-bit
+    membership + delta-cumsum mask + rebuild) vs a brute-force Counter
+    reference over a tiny vocab (forces heavy gram collisions, empty
+    words, NULL docs)."""
+    from collections import Counter
+
+    from fineweb2_ro_ray.stages.spans import (
+        _PAIR_DT,
+        _batch_windows,
+        _mask_and_rebuild,
+        _member,
+    )
+
+    # reference
+    split = [t.split(" ") if t is not None else None for t in texts]
+    cnt = Counter()
+    for ws in split:
+        if ws is None:
+            continue
+        for j in range(len(ws) - k + 1):
+            cnt[tuple(ws[j : j + k])] += 1
+    want = {}
+    for i, ws in enumerate(split):
+        if ws is None:
+            continue
+        cov = [False] * len(ws)
+        for j in range(len(ws) - k + 1):
+            if cnt[tuple(ws[j : j + k])] >= min_count:
+                for p in range(j, j + k):
+                    cov[p] = True
+        kept = [w for w, c in zip(ws, cov) if not c]
+        if kept:
+            want[i] = " ".join(kept)
+
+    # engine kernels, one batch
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    flat, parents, _, win, g1, g2 = _batch_windows(t, text_col="text", k=k, sep=" ")
+    pairs = np.empty(len(g1), dtype=_PAIR_DT)
+    pairs["g1"], pairs["g2"] = g1, g2
+    uniq, counts = np.unique(pairs, return_counts=True)
+    dup = np.sort(uniq[counts >= min_count])
+    hits = win[_member(dup, g1, g2)]
+    joined, kept = _mask_and_rebuild(flat, parents, hits, k, t.num_rows, " ")
+    got = {
+        i: joined[i].as_py() for i in range(t.num_rows) if kept[i] > 0
+    }
+    assert got == want
