@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_confusion": P.q_score_confusion,
         "sample_stratified": P.q_sample_stratified,
         "user_retention": P.q_user_retention,
+        "customer_distribution": P.q_customer_distribution,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
@@ -493,6 +494,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_spans_exchange": _DEDUP_SPANS_SQL,
+        "customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
         "user_retention": """
             WITH d AS (
                 SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -1302,6 +1302,31 @@ def q_customer_order_counts(sf_dir: str):
     )
 
 
+def q_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — aggregate OF an aggregate: histogram of
+    per-customer order counts (how many customers placed exactly N
+    orders, zero included). Level 1 is the LEFT-join count exchange of
+    q_customer_order_counts (already thin: one row per customer);
+    level 2 re-keys those rows on the count value itself — a second
+    thin exchange over (n_orders, partial) rows."""
+    per_cust = q_customer_order_counts(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("n_orders").aggregate([("n_orders", "count")])
+        return pa.table(
+            {
+                "c_count": g["n_orders"],
+                "pn": g["n_orders_count"].cast(pa.int64()),
+            }
+        )
+
+    return _exchange_sum(
+        per_cust.map_batches(partial, batch_format="pyarrow"),
+        ["c_count"],
+        {"pn": "custdist"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-3 continuation: correlated / conditional-aggregate join shapes
 # (TPC-H Q4/Q14/Q17/Q18 analogs) + ordered per-key string aggregation +
