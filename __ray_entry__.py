@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": P.q_doc_winnow_fingerprints,
         "doc_bpe_tokens": P.q_doc_bpe_tokens,
         "distinct_users_approx": P.q_distinct_users_approx,
+        "event_users_approx": P.q_event_users_approx,
         "doc_multitask_scores": P.q_doc_multitask_scores,
         "ann_lsh": P.q_ann_lsh,
         "ann_ivf": P.q_ann_ivf,

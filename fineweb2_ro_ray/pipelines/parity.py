@@ -442,6 +442,18 @@ def q_distinct_users_approx(sf_dir: str):
     return approx_distinct(ds, "user_id")
 
 
+def q_event_users_approx(sf_dir: str):
+    """Grouped HLL: approximate distinct users PER event_type — the
+    mergeable-sketch-per-key shape (per-batch register partials, one
+    key-hashed exchange of fixed-size register rows, estimate at the
+    reduce). Rows-only by construction; accuracy pytest-gated within
+    5% of the exact grouped distinct."""
+    from ..stages.sketches import approx_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id")
+
+
 def q_events_rolling(sf_dir: str):
     """§2.9 rolling window: per-user sum of the last 3 event values
     (integer cents; (ts, event_id) total order)."""

@@ -2092,3 +2092,39 @@ def test_adaptive_threshold_filter_bounds_and_nulls():
         """
     ).df()
     assert out["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_hll_approx_distinct_by_group_accuracy():
+    """Grouped HLL within 5% of the exact per-group distinct; NULL key
+    is a real group; null values ignored (COUNT DISTINCT semantics)."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.sketches import approx_distinct_by
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    keys = rng.choice(["click", "view", "buy"], size=n, p=[0.5, 0.4, 0.1]).tolist()
+    users = rng.integers(0, 5000, size=n).tolist()
+    keys[0] = None
+    keys[1] = None
+    users[2] = None
+    t = pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "user_id": pa.array(users, pa.int64()),
+        }
+    )
+    got = (
+        approx_distinct_by(rd.from_arrow(t).repartition(6), "event_type", "user_id")
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+    )
+    df = t.to_pandas()
+    exact = df.groupby("event_type", dropna=False)["user_id"].nunique(dropna=True)
+    assert len(got) == len(exact) == 4  # 3 types + the NULL group
+    for k, want in exact.items():
+        est = got[k] if not pd.isna(k) else got[got.index.isna()].iloc[0]
+        if want >= 100:
+            assert abs(est - want) / want < 0.05, (k, est, want)
+        else:  # tiny groups: linear counting is near-exact
+            assert abs(est - want) <= max(2, 0.05 * want), (k, est, want)
