@@ -308,3 +308,60 @@ def test_runner_cli_end_to_end(tmp_path, capsys):
     s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["groups_skipped"] == 3 and s2["groups_run"] == 0
     assert s2["rows"] == 0  # rows counts groups RUN this invocation
+
+
+def test_supplier_sole_returner_edges(tmp_path):
+    """Q21-shape semantics on hand-built tables: single-supplier orders
+    excluded (EXISTS fails), two-returner orders excluded (NOT EXISTS
+    fails), non-'F' orders excluded, numwait counts ROWS not orders —
+    all pinned against the DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+    from fineweb2_ro_ray.pipelines.parity import q_supplier_sole_returner
+
+    sf = str(tmp_path)
+    lineitem = pd.DataFrame(
+        {
+            # order 1: suppliers 1,2; only supp 1 returns, TWICE -> numwait 2
+            # order 2: single supplier 1 returns -> EXISTS fails
+            # order 3: suppliers 1,2 BOTH return -> NOT EXISTS fails
+            # order 4: suppliers 2,3; supp 3 returns; order is 'O' -> excluded
+            "l_orderkey": [1, 1, 1, 2, 3, 3, 4, 4],
+            "l_suppkey": [1, 1, 2, 1, 1, 2, 2, 3],
+            "l_returnflag": ["R", "R", "N", "R", "R", "R", "N", "R"],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_orderstatus": ["F", "F", "F", "O"],
+        }
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["Supp#1", "Supp#2", "Supp#3"]}
+    )
+    for name, df in [("lineitem", lineitem), ("orders", orders), ("supplier", supplier)]:
+        df.to_parquet(f"{sf}/{name}.parquet", index=False)
+
+    got = (
+        q_supplier_sole_returner(sf)
+        .to_pandas()
+        .sort_values("s_name")
+        .reset_index(drop=True)
+    )
+    assert got["s_name"].tolist() == ["Supp#1"]
+    assert got["numwait"].tolist() == [2]
+
+    con = duckdb.connect()
+    for name, df in [("lineitem", lineitem), ("orders", orders), ("supplier", supplier)]:
+        con.register(name, df)
+    want = (
+        con.execute(E.oracle_sql()["supplier_sole_returner"])
+        .df()
+        .sort_values("s_name")
+        .reset_index(drop=True)
+    )
+    assert got["s_name"].tolist() == want["s_name"].tolist()
+    assert got["numwait"].tolist() == want["numwait"].astype(int).tolist()
