@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": P.q_sample_stratified,
         "user_retention": P.q_user_retention,
         "customer_distribution": P.q_customer_distribution,
+        "cust_sales_opportunity": P.q_cust_sales_opportunity,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
@@ -495,6 +496,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_spans_exchange": _DEDUP_SPANS_SQL,
+        "cust_sales_opportunity": """
+            WITH t AS (
+                SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT n_name AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS totacctbal_c
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            CROSS JOIN t
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n > t.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY n_name
+        """,
         "customer_distribution": """
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
             FROM (

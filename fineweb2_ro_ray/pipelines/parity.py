@@ -57,18 +57,26 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
 
 
 def _exchange_sum(
-    partials: ray.data.Dataset, keys: list[str], renames: dict[str, str]
+    partials: ray.data.Dataset,
+    keys: list[str],
+    renames: dict[str, str],
+    out_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Merge map-side partial-sum rows on the raw hash exchange (no
     sort): one vectorized groupby-sum per reduce partition. ``renames``
-    maps partial column → output alias, in output order."""
+    maps partial column → output alias, in output order. Pass
+    ``out_schema`` when the result can be EMPTY (every partial filtered
+    out): without it an all-empty exchange yields a schema-less block
+    and the driver compare sees zero columns."""
     from ..stages.exchange import hash_exchange_map_groups
 
     def reduce_sum(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(keys, as_index=False, dropna=False)[list(renames)].sum()
         return out.rename(columns=renames)
 
-    return hash_exchange_map_groups(partials, reduce_sum, key=list(keys))
+    return hash_exchange_map_groups(
+        partials, reduce_sum, key=list(keys), out_schema=out_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1311,6 +1319,74 @@ def q_customer_order_counts(sf_dir: str):
         joined.map_batches(partial, batch_format="pyarrow"),
         ["c_custkey"],
         {"partial_n": "n_orders"},
+    )
+
+
+def q_cust_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape — a GLOBAL scalar subquery threshold (avg
+    positive balance) + NOT EXISTS anti join + grouped money
+    aggregate: customers with above-average balance and NO urgent
+    orders, counted and totalled per nation (the urgent-order variant
+    keeps the result non-empty at every test scale; plain 'no orders'
+    matches zero synthetic customers below sf0.1).
+
+    The avg compare is integer-exact, cross-multiplied in cents
+    (c100·n > sum_c — the Q17 trick, no float division anywhere);
+    the global (sum_c, n) pair is a two-int driver scalar; the anti
+    join runs on the exchange; nation names broadcast (tiny)."""
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def stat(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = v > 0.0
+        c = round_half_away(v[pos] * 100.0)
+        return pa.table(
+            {
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    st = cust.map_batches(stat, batch_format="pyarrow").to_pandas().sum()
+    sum_c, cnt = int(st["s"]), int(st["n"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    dormant = hash_join(cust, orders, key="c_custkey", right_key="o_custkey", how="anti")
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    def grp(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        c100 = round_half_away(df["c_acctbal"].to_numpy() * 100.0)
+        name = df["c_nationkey"].map(ray.get(nref))
+        keep = (c100 * cnt > sum_c) & name.notna().to_numpy()
+        d = pd.DataFrame({"cntrycode": name[keep], "bal_c": c100[keep]})
+        out = d.groupby("cntrycode", as_index=False).agg(
+            pn=("bal_c", "size"), ps=("bal_c", "sum")
+        )
+        out["pn"] = out["pn"].astype(np.int64)
+        out["ps"] = out["ps"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    return _exchange_sum(
+        dormant.map_batches(grp, batch_format="pyarrow"),
+        ["cntrycode"],
+        {"pn": "numcust", "ps": "totacctbal_c"},
+        out_schema=pa.schema(
+            [
+                ("cntrycode", pa.string()),
+                ("numcust", pa.int64()),
+                ("totacctbal_c", pa.int64()),
+            ]
+        ),
     )
 
 
