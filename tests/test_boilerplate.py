@@ -213,3 +213,27 @@ class TestDedupSpans:
         # word outside both spans
         assert 2 not in got
         assert got[3] == "zeta"
+
+
+def test_span_dedup_exchange_heavy_duplication():
+    """Pathological corpus: 2000 identical docs (every 4-gram
+    duplicated everywhere) + 1 unique doc. All clones vanish (fully
+    covered), the unique doc survives whole — on the distributed
+    exchange path, where the covered-span exchange carries one row per
+    occurrence."""
+    from fineweb2_ro_ray.stages.spans import remove_duplicate_spans
+
+    n = 2000
+    texts = ["alpha beta gamma delta epsilon"] * n + ["lone wolf text here now"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = remove_duplicate_spans(
+        rd.from_arrow(t).repartition(8), k=4, min_count=2, strategy="exchange"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["doc_id"].iloc[0] == n
+    assert out["text_clean"].iloc[0] == "lone wolf text here now"
