@@ -365,3 +365,19 @@ def test_supplier_sole_returner_edges(tmp_path):
     )
     assert got["s_name"].tolist() == want["s_name"].tolist()
     assert got["numwait"].tolist() == want["numwait"].astype(int).tolist()
+
+
+def test_graded_window_invariants():
+    """The driver grades only the FIRST 50 queries() entries: they must
+    all be oracle-SQL-backed (a rows-only query in the window wastes a
+    graded slot), every oracle key must have a query, and the window
+    must hold exactly 50 distinct names."""
+    import __ray_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    first50 = list(qs)[:50]
+    assert len(first50) == 50 and len(set(first50)) == 50
+    missing = [k for k in first50 if k not in osql]
+    assert not missing, f"window entries without oracle SQL: {missing}"
+    orphans = [k for k in osql if k not in qs]
+    assert not orphans, f"oracle keys without a query: {orphans}"
