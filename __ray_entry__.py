@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": P.q_user_retention,
         "customer_distribution": P.q_customer_distribution,
         "cust_sales_opportunity": P.q_cust_sales_opportunity,
+        "jaccard_ngram_pairs": P.q_jaccard_ngram_pairs,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
@@ -496,6 +497,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_spans_exchange": _DEDUP_SPANS_SQL,
+        "jaccard_ngram_pairs": """
+            WITH words AS (
+                SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, source,
+                       w || chr(31) || lead(w, 1) OVER win
+                         || chr(31) || lead(w, 2) OVER win AS gram,
+                       lead(w, 2) OVER win IS NOT NULL AS isfull
+                FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            s AS (
+                SELECT doc_id, source,
+                       list_distinct(list(gram) FILTER (isfull)) AS gs
+                FROM g GROUP BY doc_id, source
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                       / len(list_distinct(a.gs || b.gs)) AS jaccard
+            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                      / len(list_distinct(a.gs || b.gs)) >= 0.2
+        """,
         "cust_sales_opportunity": """
             WITH t AS (
                 SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,

@@ -200,9 +200,63 @@ def q_distinct_langs(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """§2.7 n-gram(word)-Jaccard near-dup pairs within source groups."""
+    """§2.7 word-set-Jaccard near-dup pairs within source groups."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     return jaccard_pairs_skew_safe(ds, group_col="source", threshold=0.5)
+
+
+def q_jaccard_ngram_pairs(sf_dir: str):
+    """§2.7 word-3-GRAM-set Jaccard near-dup pairs (the brief's
+    'n-gram Jaccard' — order-sensitive shingles, unlike the unigram
+    set): each doc's text is rewritten so its space-split tokens ARE
+    its 3-grams (gram words joined by the 0x1f unit separator, absent
+    from the word alphabet), then the verified AllPairs machinery runs
+    unchanged — same prefix-filter candidates, same exact verify, the
+    skew-safe dispatch included."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    k = 3
+
+    def to_grams(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(
+            pc.fill_null(
+                t["text"].combine_chunks()
+                if isinstance(t["text"], pa.ChunkedArray)
+                else t["text"],
+                "",
+            ),
+            pattern=" ",
+        )
+        parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lst)
+        L = len(flat)
+        n_win = max(L - k + 1, 0)
+        if n_win > 0:
+            cols = [flat.slice(i, n_win) for i in range(k)]
+            grams = pc.binary_join_element_wise(*cols, "\x1f")
+            valid = parents[:n_win] == parents[k - 1 :]
+            grams = grams.filter(pa.array(valid))
+            counts = np.bincount(parents[:n_win][valid], minlength=t.num_rows)
+        else:
+            grams = pa.array([], pa.string())
+            counts = np.zeros(t.num_rows, np.int64)
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), grams), " "
+        )
+        out = pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "text": joined}
+        )
+        # docs with zero grams (< k words, empty or NULL text) can never
+        # pair — drop them, as the SQL's NULL gram-set join does; kept
+        # they would tokenize to [''] and spuriously pair with each other
+        return out.filter(pa.array(counts > 0))
+
+    return jaccard_pairs_skew_safe(
+        ds.map_batches(to_grams, batch_format="pyarrow"),
+        group_col="source",
+        threshold=0.2,
+    )
 
 
 # ---------------------------------------------------------------------------
