@@ -2128,3 +2128,49 @@ def test_hll_approx_distinct_by_group_accuracy():
             assert abs(est - want) / want < 0.05, (k, est, want)
         else:  # tiny groups: linear counting is near-exact
             assert abs(est - want) <= max(2, 0.05 * want), (k, est, want)
+
+
+def test_jaccard_ngram_pairs_edges(tmp_path):
+    """3-gram-set Jaccard vs the DuckDB oracle on hand-built docs:
+    shared shingles pair, word-set-equal-but-order-different docs do
+    NOT (order sensitivity), sub-3-word / empty / NULL docs never pair."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+    from fineweb2_ro_ray.pipelines.parity import q_jaccard_ngram_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "source": ["s1"] * 8,
+            "text": [
+                "the quick brown fox jumps over",      # 0: pairs with 1
+                "a the quick brown fox jumps over b",  # 1
+                "fox brown quick the over jumps",      # 2: same WORD SET as 0, no shared 3-gram
+                "tiny doc",                            # 3: < 3 words
+                "",                                    # 4: empty
+                None,                                  # 5: NULL
+                "xx yy",                               # 6: < 3 words
+                "zz ww",                               # 7: < 3 words (6+7 must NOT pair)
+            ],
+        }
+    )
+    docs.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    got = (
+        q_jaccard_ngram_pairs(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(E.oracle_sql()["jaccard_ngram_pairs"])
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got["doc_a"].tolist() == want["doc_a"].tolist() == [0]
+    assert got["doc_b"].tolist() == want["doc_b"].tolist() == [1]
+    assert np.allclose(got["jaccard"], want["jaccard"])
