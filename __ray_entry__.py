@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": P.q_customer_distribution,
         "cust_sales_opportunity": P.q_cust_sales_opportunity,
         "jaccard_ngram_pairs": P.q_jaccard_ngram_pairs,
+        "dedup_spans_keep_first": P.q_dedup_spans_keep_first,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
@@ -306,6 +307,38 @@ _DEDUP_SPANS_SQL = """
         SELECT DISTINCT v.doc_id, w.i
         FROM gv v JOIN dup USING (gram)
         JOIN words w ON w.doc_id = v.doc_id AND w.i BETWEEN v.start AND v.start + 3
+    )
+    SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.i) AS text_clean
+    FROM words w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.i = w.i
+    WHERE c.i IS NULL
+    GROUP BY w.doc_id
+"""
+
+_DEDUP_SPANS_KF_SQL = """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS start,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                 || ' ' || lead(w, 3) OVER win AS gram,
+               lead(w, 3) OVER win IS NOT NULL AS isfull
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    gv AS (SELECT doc_id, start, gram FROM g WHERE isfull),
+    dup AS (SELECT gram FROM gv GROUP BY gram HAVING count(*) >= 2),
+    occ AS (
+        SELECT v.doc_id, v.start,
+               row_number() OVER (PARTITION BY v.gram ORDER BY v.doc_id, v.start) AS rn
+        FROM gv v JOIN dup USING (gram)
+    ),
+    cov AS (
+        SELECT DISTINCT o.doc_id, w.i
+        FROM occ o JOIN words w
+          ON w.doc_id = o.doc_id AND w.i BETWEEN o.start AND o.start + 3
+        WHERE o.rn > 1
     )
     SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.i) AS text_clean
     FROM words w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.i = w.i
@@ -497,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_scrub": _BOILERPLATE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_spans_exchange": _DEDUP_SPANS_SQL,
+        "dedup_spans_keep_first": _DEDUP_SPANS_KF_SQL,
         "jaccard_ngram_pairs": """
             WITH words AS (
                 SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,

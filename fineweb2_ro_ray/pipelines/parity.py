@@ -2197,6 +2197,24 @@ def q_dedup_spans(sf_dir: str):
     return _dedup_spans(sf_dir, "broadcast")
 
 
+def q_dedup_spans_keep_first(sf_dir: str):
+    """Lee et al.'s ACTUAL dedup semantics: one copy of every repeated
+    region survives — each duplicated 4-gram's lexicographically-first
+    occurrence (min (doc_id, start)) is exempt from removal. The
+    canonical occurrence rides the same thin count exchange (one
+    candidate per gram per batch, min-merged at the reduce)."""
+    return _dedup_spans_kf(sf_dir, "broadcast")
+
+
+def _dedup_spans_kf(sf_dir: str, strategy: str):
+    from ..stages.spans import remove_duplicate_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicate_spans(
+        docs, k=4, min_count=2, strategy=strategy, keep_first=True
+    )
+
+
 def q_dedup_spans_exchange(sf_dir: str):
     """Same semantics, fully distributed rebuild: occurrence rows
     SEMI-join the dup-key set on a keyed exchange, then a reassembly

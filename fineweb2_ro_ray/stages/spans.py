@@ -47,6 +47,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..schema import from_pandas_clean
 from .boilerplate import _rebuild, _split_col
 from .exchange import hash_exchange_map_groups
 
@@ -146,39 +147,93 @@ def duplicated_grams(
     sep: str = " ",
     min_count: int = 2,
     n_reducers: int | None = None,
+    with_canonical: bool = False,
 ) -> ray.data.Dataset:
     """Distinct gram keys whose TOTAL occurrence count across the
     corpus >= min_count. Thin exchange: per-batch (g1, g2, n) partials
-    only."""
+    only. With ``with_canonical`` each key also carries its
+    lexicographically-first occurrence (min (id, start) — the copy a
+    keep-one-copy dedup preserves): partials pre-reduce to one
+    candidate per gram per batch, the exchange min-merges them, so the
+    canonical columns add 12-16 bytes per DISTINCT gram per batch and
+    nothing per occurrence."""
 
     def partials(t: pa.Table) -> pa.Table:
-        _, _, _, _, g1, g2 = _batch_windows(t, text_col=text_col, k=k, sep=sep)
-        g = (
-            pa.table(
-                {"g1": pa.array(g1, pa.uint64()), "g2": pa.array(g2, pa.uint64())}
+        flat, parents, offsets, win, g1, g2 = _batch_windows(
+            t, text_col=text_col, k=k, sep=sep
+        )
+        if not with_canonical:
+            g = (
+                pa.table(
+                    {"g1": pa.array(g1, pa.uint64()), "g2": pa.array(g2, pa.uint64())}
+                )
+                .group_by(["g1", "g2"])
+                .aggregate([("g1", "count")])
             )
-            .group_by(["g1", "g2"])
-            .aggregate([("g1", "count")])
+            return pa.table(
+                {"g1": g["g1"], "g2": g["g2"], "n": g["g1_count"].cast(pa.int64())}
+            )
+        par = parents[win] if len(win) else np.array([], np.int64)
+        start = win - offsets[par] + 1
+        df = pa.table(
+            {
+                "g1": pa.array(g1, pa.uint64()),
+                "g2": pa.array(g2, pa.uint64()),
+                "cid": t[id_col].take(pa.array(par, pa.int64())),
+                "cstart": pa.array(start, pa.int64()),
+            }
+        ).to_pandas()
+        df = df.sort_values(["g1", "g2", "cid", "cstart"], kind="mergesort")
+        g = df.groupby(["g1", "g2"], as_index=False, sort=False).agg(
+            n=("cstart", "size"), cid=("cid", "first"), cstart=("cstart", "first")
         )
-        return pa.table(
-            {"g1": g["g1"], "g2": g["g2"], "n": g["g1_count"].cast(pa.int64())}
-        )
+        g["n"] = g["n"].astype(np.int64)
+        return from_pandas_clean(g[["g1", "g2", "n", "cid", "cstart"]])
 
     cnt = ds.map_batches(partials, batch_format="pyarrow")
 
-    def tot(t: pa.Table) -> pa.Table:
-        g = t.group_by(["g1", "g2"]).aggregate([("n", "sum")])
-        return (
-            g.filter(pc.greater_equal(g["n_sum"], min_count)).select(["g1", "g2"])
+    if not with_canonical:
+
+        def tot(t: pa.Table) -> pa.Table:
+            g = t.group_by(["g1", "g2"]).aggregate([("n", "sum")])
+            return g.filter(pc.greater_equal(g["n_sum"], min_count)).select(
+                ["g1", "g2"]
+            )
+
+        return hash_exchange_map_groups(
+            cnt,
+            tot,
+            key="g1",
+            n_reducers=n_reducers,
+            out_schema=_DUP_SCHEMA,
+            batch_format="pyarrow",
         )
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [
+            ("g1", pa.uint64()),
+            ("g2", pa.uint64()),
+            ("cid", id_type),
+            ("cstart", pa.int64()),
+        ]
+    )
+
+    def tot_canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["g1", "g2", "cid", "cstart"], kind="mergesort")
+        g = df.groupby(["g1", "g2"], as_index=False, sort=False).agg(
+            n=("n", "sum"), cid=("cid", "first"), cstart=("cstart", "first")
+        )
+        g = g[g["n"] >= min_count]
+        return g[["g1", "g2", "cid", "cstart"]].reset_index(drop=True)
 
     return hash_exchange_map_groups(
         cnt,
-        tot,
+        tot_canon,
         key="g1",
         n_reducers=n_reducers,
-        out_schema=_DUP_SCHEMA,
-        batch_format="pyarrow",
+        out_schema=out_schema,
+        batch_format="pandas",
     )
 
 
@@ -189,16 +244,20 @@ def _sorted_pairs(g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
     return p
 
 
-def _member(sorted_pairs: np.ndarray, g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
-    """Exact vectorized membership of (g1, g2) in a sorted 128-bit set."""
+def _member(
+    sorted_pairs: np.ndarray, g1: np.ndarray, g2: np.ndarray, *, with_pos: bool = False
+):
+    """Exact vectorized membership of (g1, g2) in a sorted 128-bit set.
+    With ``with_pos`` also returns each query's index into the sorted
+    set (meaningful only where the mask is True)."""
     if len(sorted_pairs) == 0 or len(g1) == 0:
-        return np.zeros(len(g1), dtype=bool)
+        mask = np.zeros(len(g1), dtype=bool)
+        return (mask, np.zeros(len(g1), np.int64)) if with_pos else mask
     q = np.empty(len(g1), dtype=_PAIR_DT)
     q["g1"], q["g2"] = g1, g2
-    pos = np.searchsorted(sorted_pairs, q)
-    return (pos < len(sorted_pairs)) & (
-        sorted_pairs[np.minimum(pos, len(sorted_pairs) - 1)] == q
-    )
+    pos = np.minimum(np.searchsorted(sorted_pairs, q), len(sorted_pairs) - 1)
+    mask = sorted_pairs[pos] == q
+    return (mask, pos) if with_pos else mask
 
 
 def _mask_and_rebuild(
@@ -231,9 +290,16 @@ def remove_duplicate_spans(
     max_broadcast: int = 2_000_000,
     n_reducers: int | None = None,
     out_col: str = "text_clean",
+    keep_first: bool = False,
 ) -> ray.data.Dataset:
     """Duplicate-span removal (see module docstring). ``id_col`` must
-    uniquely identify a document (the reassembly / GROUP BY key)."""
+    uniquely identify a document (the reassembly / GROUP BY key).
+
+    ``keep_first=True`` is the paper's actual dedup semantics: the
+    lexicographically-FIRST occurrence of each duplicated gram (min
+    (id, start)) is exempt from removal, so one copy of every repeated
+    region survives; the default False removes every occurrence (the
+    stricter contamination-style scrub)."""
     if strategy not in ("auto", "broadcast", "exchange"):
         raise ValueError(f"unknown strategy {strategy!r}")
     dup = duplicated_grams(
@@ -244,6 +310,7 @@ def remove_duplicate_spans(
         sep=sep,
         min_count=min_count,
         n_reducers=n_reducers,
+        with_canonical=keep_first,
     )
     # the DF exchange is a barrier, so count() reads materialized
     # reduce outputs — no corpus re-scan
@@ -256,17 +323,33 @@ def remove_duplicate_spans(
 
     if use_broadcast:
         ddf = dup.to_pandas()  # bounded by max_broadcast (checked above)
-        pairs = _sorted_pairs(
-            ddf["g1"].to_numpy(dtype=np.uint64),
-            ddf["g2"].to_numpy(dtype=np.uint64),
-        )
+        raw = np.empty(len(ddf), dtype=_PAIR_DT)
+        raw["g1"] = ddf["g1"].to_numpy(dtype=np.uint64)
+        raw["g2"] = ddf["g2"].to_numpy(dtype=np.uint64)
+        order = np.argsort(raw, kind="stable")
+        pairs = raw[order]
         ref = ray.put(pairs)
+        if keep_first:
+            canon_ref = ray.put(
+                (
+                    ddf["cid"].to_numpy()[order],
+                    ddf["cstart"].to_numpy(dtype=np.int64)[order],
+                )
+            )
 
         def scrub(t: pa.Table) -> pa.Table:
-            flat, parents, _, win, g1, g2 = _batch_windows(
+            flat, parents, offsets, win, g1, g2 = _batch_windows(
                 t, text_col=text_col, k=k, sep=sep
             )
-            hits = win[_member(ray.get(ref), g1, g2)]
+            mask, pos = _member(ray.get(ref), g1, g2, with_pos=True)
+            if keep_first and mask.any():
+                cid, cstart = ray.get(canon_ref)
+                par = parents[win] if len(win) else np.array([], np.int64)
+                ids = t[id_col].to_numpy(zero_copy_only=False)[par]
+                start = win - offsets[par] + 1
+                canonical = mask & (ids == cid[pos]) & (start == cstart[pos])
+                mask = mask & ~canonical
+            hits = win[mask]
             joined, kept = _mask_and_rebuild(flat, parents, hits, k, t.num_rows, sep)
             out = pa.table({id_col: t[id_col], out_col: joined})
             return out.filter(pa.array(kept > 0))
@@ -280,12 +363,32 @@ def remove_duplicate_spans(
     from .joins import hash_join
 
     occ = gram_occurrences(ds, text_col=text_col, id_col=id_col, k=k, sep=sep)
-    dup_r = dup.map_batches(
-        lambda t: t.rename_columns(["g1_r", "g2_r"]), batch_format="pyarrow"
-    )
-    covered = hash_join(
-        occ, dup_r, key=["g1", "g2"], right_key=["g1_r", "g2_r"], how="semi"
-    ).select_columns([id_col, "start"])
+    if keep_first:
+        dup_r = dup.map_batches(
+            lambda t: t.rename_columns(["g1_r", "g2_r", "cid", "cstart"]),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            occ, dup_r, key=["g1", "g2"], right_key=["g1_r", "g2_r"], how="inner"
+        )
+        covered = joined.map_batches(
+            lambda t: t.filter(
+                pc.invert(
+                    pc.and_(
+                        pc.equal(t[id_col], t["cid"]),
+                        pc.equal(t["start"], t["cstart"]),
+                    )
+                )
+            ).select([id_col, "start"]),
+            batch_format="pyarrow",
+        )
+    else:
+        dup_r = dup.map_batches(
+            lambda t: t.rename_columns(["g1_r", "g2_r"]), batch_format="pyarrow"
+        )
+        covered = hash_join(
+            occ, dup_r, key=["g1", "g2"], right_key=["g1_r", "g2_r"], how="semi"
+        ).select_columns([id_col, "start"])
 
     id_type = ds.schema().base_schema.field(id_col).type
     # explicit row tag — _txt can't double as the tag because doc rows

@@ -237,3 +237,54 @@ def test_span_dedup_exchange_heavy_duplication():
     assert len(out) == 1
     assert out["doc_id"].iloc[0] == n
     assert out["text_clean"].iloc[0] == "lone wolf text here now"
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "exchange"])
+def test_span_dedup_keep_first_matches_oracle(strategy):
+    """keep_first=True (the paper's semantics): the lexicographically
+    first occurrence of each duplicated gram survives, later copies are
+    removed — vs the row_number()-based SQL oracle, both strategies."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from fineweb2_ro_ray.stages.spans import remove_duplicate_spans
+
+    rep = "alpha beta gamma delta"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(
+                [
+                    f"start {rep} end",          # doc 0 holds the FIRST copy -> kept whole
+                    f"intro {rep} outro",        # later copy -> gram removed
+                    rep,                          # later copy, fully covered -> no row
+                    f"{rep} {rep}",               # two copies in one doc, both later
+                    "unique words only here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        remove_duplicate_spans(
+            rd.from_arrow(t), k=4, min_count=2, strategy=strategy, keep_first=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = (
+        con.execute(E.oracle_sql()["dedup_spans_keep_first"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out["text_clean"].tolist() == want["text_clean"].tolist()
+    got = dict(zip(out["doc_id"], out["text_clean"]))
+    assert got[0] == f"start {rep} end"  # first copy survives INSIDE its doc
+    assert got[1] == "intro outro"
+    assert 2 not in got
+    assert got[4] == "unique words only here"
