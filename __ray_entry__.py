@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_sales_opportunity": P.q_cust_sales_opportunity,
         "jaccard_ngram_pairs": P.q_jaccard_ngram_pairs,
         "dedup_spans_keep_first": P.q_dedup_spans_keep_first,
+        "doc_normalized": P.q_doc_normalized,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "events_cumsum": P.q_events_cumsum,
@@ -531,6 +532,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_spans_exchange": _DEDUP_SPANS_SQL,
         "dedup_spans_keep_first": _DEDUP_SPANS_KF_SQL,
+        "doc_normalized": """
+            SELECT doc_id, translate(lower(text), 'ăâîșț', 'aaist') AS text_norm
+            FROM documents
+        """,
         "jaccard_ngram_pairs": """
             WITH words AS (
                 SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,

@@ -584,6 +584,26 @@ def q_score_confusion(sf_dir: str):
     )
 
 
+def q_doc_normalized(sf_dir: str):
+    """Text canonicalization (the CCNet §4.1 pre-LID/dedup normalize):
+    lowercase + Romanian diacritic fold (ăâîșț → aaist), zero-shuffle
+    vectorized Arrow kernels (utf8_lower + chained literal replaces —
+    single-char maps, so replace == SQL translate). NULL propagates."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        for src, dst in zip("ăâîșț", "aaist"):
+            x = pc.replace_substring(x, src, dst)
+        return pa.table({"doc_id": t["doc_id"], "text_norm": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def q_parse_kv(sf_dir: str):
     """M6 structured-output parser with the 'ERROR' sentinel
     (``fineweb/big_inference.py:84-115``): annotation-shaped text is
