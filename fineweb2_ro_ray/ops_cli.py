@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--limit", type=int, default=10, help="preview rows when no --output")
     ap.add_argument("--list", action="store_true", help="list operators and exit")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--stats",
+        action="store_true",
+        help="print Ray Data per-stage execution stats after the run "
+        "(Dataset results only — the ds.stats() wall/CPU breakdown "
+        "used to find the stage that dominates)",
+    )
     args = ap.parse_args(argv)
 
     sys.path.insert(0, ".")
@@ -68,10 +75,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             res.write_parquet(args.output)
             n = None  # streamed; count would re-execute
+            if args.stats:
+                print(res.stats(), file=sys.stderr)
         else:
-            df = res.limit(args.limit).to_pandas()
+            lim = res.limit(args.limit)
+            df = lim.to_pandas()
             print(df.to_string())
             n = len(df)
+            if args.stats:
+                # stats belong to the EXECUTED plan handle; with no
+                # --output only the limited preview ran, so the
+                # breakdown covers that partial execution
+                print(lim.stats(), file=sys.stderr)
     else:
         df = res.to_pandas() if isinstance(res, pa.Table) else res
         if args.output:
