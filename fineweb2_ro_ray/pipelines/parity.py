@@ -1486,6 +1486,7 @@ def q_customer_distribution(sf_dir: str):
         per_cust.map_batches(partial, batch_format="pyarrow"),
         ["c_count"],
         {"pn": "custdist"},
+        out_schema=pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())]),
     )
 
 
@@ -1537,7 +1538,18 @@ def q_user_retention(sf_dir: str):
         return g
 
     counts = hash_exchange_map_groups(per, per_user, key="user_id")
-    return _exchange_sum(counts, ["cohort_day", "day_offset"], {"pn": "n_users"})
+    return _exchange_sum(
+        counts,
+        ["cohort_day", "day_offset"],
+        {"pn": "n_users"},
+        out_schema=pa.schema(
+            [
+                ("cohort_day", pa.string()),
+                ("day_offset", pa.int64()),
+                ("n_users", pa.int64()),
+            ]
+        ),
+    )
 
 
 def q_supplier_sole_returner(sf_dir: str):
@@ -1618,6 +1630,7 @@ def q_supplier_sole_returner(sf_dir: str):
         cand.map_batches(to_name, batch_format="pyarrow"),
         ["s_name"],
         {"n_ret": "numwait"},
+        out_schema=pa.schema([("s_name", pa.string()), ("numwait", pa.int64())]),
     )
 
 

@@ -63,13 +63,9 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return lut[idx]
 
 
-def hll_registers(hashes: np.ndarray, p: int = 12) -> np.ndarray:
-    """(n,) uint64 hashes → 2^p uint8 registers (max leading-zero rank
-    per bucket)."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if len(hashes) == 0:
-        return regs
+def _bucket_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n,) uint64 hashes → (bucket int64, rank uint8) — the HLL
+    decomposition shared by the global and grouped register builders."""
     bucket = (hashes >> np.uint64(64 - p)).astype(np.int64)
     rest = (hashes << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
     # rank = leading zeros of the remaining 64-p bits, + 1
@@ -81,6 +77,17 @@ def hll_registers(hashes: np.ndarray, p: int = 12) -> np.ndarray:
         lz[mask] += shift
         x[mask] <<= np.uint64(shift)
     rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    return bucket, rank
+
+
+def hll_registers(hashes: np.ndarray, p: int = 12) -> np.ndarray:
+    """(n,) uint64 hashes → 2^p uint8 registers (max leading-zero rank
+    per bucket)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    bucket, rank = _bucket_rank(hashes, p)
     np.maximum.at(regs, bucket, rank)
     return regs
 
@@ -184,27 +191,33 @@ def approx_distinct_by(
         enc = pa.chunked_array([b[key]]).combine_chunks().dictionary_encode()
         idx = enc.indices.to_numpy(zero_copy_only=False)
         vals = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
-        keys_out, regs_out = [], []
-        # one hll_registers call per DISTINCT key in the batch (few),
-        # each vectorized over that key's rows; _hash_column drops
-        # null values itself (COUNT DISTINCT semantics), so hash the
-        # per-key slice rather than pre-hashing the whole column
-        valid = ~pd.isna(idx)
-        for code in np.unique(idx[valid]):
-            sel = pa.array(idx == code)
-            keys_out.append(enc.dictionary[int(code)].as_py())
-            regs_out.append(hll_registers(_hash_column(vals.filter(sel)), p))
-        if (~valid).any():  # NULL key is a real group (SQL GROUP BY)
-            keys_out.append(None)
-            regs_out.append(
-                hll_registers(_hash_column(vals.filter(pa.array(~valid))), p)
-            )
-        flat = np.concatenate(regs_out) if regs_out else np.array([], np.uint8)
+        # row-aligned codes: 0..U-1 real keys, U = the NULL-key group
+        # (a real group under SQL GROUP BY)
+        U = len(enc.dictionary)
+        key_null = pd.isna(idx)
+        codes = np.where(key_null, U, idx).astype(np.int64)
+        has_null_key = bool(key_null.any())
+        n_groups = U + (1 if has_null_key else 0)
+        # row-aligned value hashes (drop_null preserves order, so the
+        # compacted hash array scatters back through the valid mask);
+        # null VALUES are excluded entirely — COUNT DISTINCT semantics
+        val_ok = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        h = np.zeros(len(idx), dtype=np.uint64)
+        if val_ok.any():
+            h[val_ok] = _hash_column(vals)
+        rows = val_ok
+        # ONE scatter over (group, bucket) — no per-key loop, no
+        # per-key full-column compares (O(rows) regardless of U)
+        regs2d = np.zeros(n_groups * m, dtype=np.uint8)
+        if rows.any():
+            bucket, rank = _bucket_rank(h[rows], p)
+            np.maximum.at(regs2d, codes[rows] * m + bucket, rank)
+        keys_out = enc.dictionary.to_pylist() + ([None] if has_null_key else [])
         return pa.table(
             {
                 key: pa.array(keys_out, b[key].type),
                 "regs": pa.FixedSizeListArray.from_arrays(
-                    pa.array(flat, pa.uint8()), m
+                    pa.array(regs2d, pa.uint8()), m
                 ),
             }
         )

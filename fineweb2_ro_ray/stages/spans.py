@@ -237,13 +237,6 @@ def duplicated_grams(
     )
 
 
-def _sorted_pairs(g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
-    p = np.empty(len(g1), dtype=_PAIR_DT)
-    p["g1"], p["g2"] = g1, g2
-    p.sort()
-    return p
-
-
 def _member(
     sorted_pairs: np.ndarray, g1: np.ndarray, g2: np.ndarray, *, with_pos: bool = False
 ):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from fineweb2_ro_ray.functions.decide import FilterConfig, decide_batch
@@ -622,6 +622,9 @@ def test_session_windows_match_duckdb_gaps_islands(rows, gap_min):
     st.lists(st.integers(0, 100), min_size=1, max_size=5),
     st.lists(st.floats(0.0, 100.0, allow_nan=False), min_size=1, max_size=3),
 )
+# pin the discovered worst case in SOURCE (the .hypothesis example DB is
+# not guaranteed to replay across checkouts/versions): 2 ulp at this q
+@example(vals=[0, 0, 1], int_qs=[0], frac_qs=[95.99999999999999])
 def test_percentiles_from_counts_match_duckdb_quantile_cont(vals, int_qs, frac_qs):
     """The histogram-based exact percentile kernel vs DuckDB
     quantile_cont on arbitrary integer data: INTEGER percentiles (the
