@@ -93,18 +93,18 @@ def main() -> None:
         try:
             ray_df = to_df(fn(sf_dir))
         except Exception as e:
-            print(f"FAIL  {name}: query raised {e!r}")
+            print(f"FAIL  {name}: query raised {e!r}", flush=True)
             n_bad += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"rows  {name}: {len(ray_df)} rows ({dt:.1f}s) [rows-only check]")
+            print(f"rows  {name}: {len(ray_df)} rows ({dt:.1f}s) [rows-only check]", flush=True)
             n_rows_only += 1
             continue
         try:
             sql_df = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: oracle SQL raised {e!r}")
+            print(f"FAIL  {name}: oracle SQL raised {e!r}", flush=True)
             n_bad += 1
             continue
         problems = compare(name, ray_df, sql_df)
@@ -114,8 +114,17 @@ def main() -> None:
                 print(f"      {p}")
             n_bad += 1
         else:
-            print(f"OK    {name}: {len(ray_df)} rows ({dt:.1f}s)")
+            print(f"OK    {name}: {len(ray_df)} rows ({dt:.1f}s)", flush=True)
             n_ok += 1
+        # release this query's frames + any lingering Dataset refs
+        # before the next one: a single Ray session across 110 queries
+        # otherwise accumulates driver/object-store memory (observed: a
+        # full-gate run hard-killed mid-query under host memory
+        # pressure, each query green in isolation)
+        import gc
+
+        del ray_df, sql_df
+        gc.collect()
     print(f"\n{n_ok} ok, {n_rows_only} rows-only, {n_bad} FAILED")
     ray.shutdown()
     sys.exit(1 if n_bad else 0)
