@@ -625,6 +625,7 @@ def test_session_windows_match_duckdb_gaps_islands(rows, gap_min):
 # pin the discovered worst case in SOURCE (the .hypothesis example DB is
 # not guaranteed to replay across checkouts/versions): 2 ulp at this q
 @example(vals=[0, 0, 1], int_qs=[0], frac_qs=[95.99999999999999])
+@example(vals=[1, -1], int_qs=[0], frac_qs=[39.282234500430235])
 def test_percentiles_from_counts_match_duckdb_quantile_cont(vals, int_qs, frac_qs):
     """The histogram-based exact percentile kernel vs DuckDB
     quantile_cont on arbitrary integer data: INTEGER percentiles (the
@@ -632,7 +633,14 @@ def test_percentiles_from_counts_match_duckdb_quantile_cont(vals, int_qs, frac_q
     fractional q may differ by the couple of ulps inherent in the
     interpolation's float expression order (q/100*(n-1) itself rounds,
     then the convex combine rounds again — hypothesis found a 2-ulp
-    case at q=95.99999999999999 on [0,0,1]) — bounded here at 2 ulp."""
+    case at q=95.99999999999999 on [0,0,1]) — bounded here at 2 ulp.
+
+    q must be BOUND as a parameter, not spliced as a SQL literal:
+    DuckDB parses a 17-digit literal as DECIMAL and its decimal→double
+    conversion (int64 cast + power-of-ten divide, both inexact past
+    2^53) can land on a different double than Python's correctly
+    rounded literal — hypothesis found a 6-ulp "failure" at
+    q=39.282234500430235 that was purely literal-parse skew."""
     import math
 
     import duckdb
@@ -647,7 +655,9 @@ def test_percentiles_from_counts_match_duckdb_quantile_cont(vals, int_qs, frac_q
     con = duckdb.connect()
     con.register("v", pd.DataFrame({"x": arr}))
     for q in qs:
-        want = con.sql(f"SELECT quantile_cont(x, {q / 100.0!r}) FROM v").fetchone()[0]
+        want = con.execute(
+            "SELECT quantile_cont(x, ?) FROM v", [q / 100.0]
+        ).fetchone()[0]
         if float(q).is_integer():
             assert got[q] == want, (q, got[q], want)
         else:
