@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized": P.q_doc_normalized,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
+        "doc_line_clean": P.q_doc_line_clean,
+        "doc_top_bigram": P.q_doc_top_bigram,
         "events_cumsum": P.q_events_cumsum,
         "region_nation_revenue": P.q_region_nation_revenue,
         "doc_symbol_ratio": P.q_doc_symbol_ratio,
@@ -501,6 +503,51 @@ def oracle_sql() -> dict[str, str]:
                             x -> x IN ('the', 'a', 'data', 'row'))) AS BIGINT)
                        AS n_stop
             FROM documents WHERE text IS NOT NULL
+        """,
+        "doc_line_clean": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM documents WHERE text IS NOT NULL
+            ), f AS (
+                SELECT doc_id, len(ls) AS n_lines_total,
+                       list_filter(ls, l ->
+                           regexp_matches(trim(l, ' ' || chr(9) || chr(13)),
+                                          '[.!?"]$')
+                           AND len(regexp_extract_all(
+                                   trim(l, ' ' || chr(9) || chr(13)),
+                                   '[^ ]+')) >= 5
+                           AND NOT contains(
+                                   lower(trim(l, ' ' || chr(9) || chr(13))),
+                                   'javascript')
+                           AND NOT contains(
+                                   trim(l, ' ' || chr(9) || chr(13)), '{')
+                       ) AS kept
+                FROM d
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   CAST(n_lines_total AS BIGINT) AS n_lines_total,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept
+            FROM f
+        """,
+        "doc_top_bigram": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || chr(31) || ws[i + 1])) AS bg
+                FROM d
+            ), c AS (
+                SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg
+            ), m AS (
+                SELECT doc_id, max(n) AS top FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(greatest(len(d.ws) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(m.top, 0) AS BIGINT) AS top_bigram_count
+            FROM d LEFT JOIN m USING (doc_id)
         """,
         "orders_semi_exchange": """
             SELECT o_orderkey FROM orders

@@ -1986,6 +1986,84 @@ def q_doc_stopword_counts(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_doc_line_clean(sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2), oracle-exact:
+    per doc, drop lines that lack terminal punctuation / enough words /
+    carry boilerplate markers, rejoin the survivors. Shuffle-free: one
+    regex pass per rule over the flattened line array, per-row rebuild
+    via reduceat (:mod:`fineweb2_ro_ray.functions.lineclean`)."""
+    from ..functions.lineclean import clean_lines_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_lines_total": pa.array([], pa.int64()),
+                    "n_lines_kept": pa.array([], pa.int64()),
+                }
+            )
+        out = clean_lines_batch(t)
+        return out.select(["doc_id", "clean_text", "n_lines_total", "n_lines_kept"])
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def q_doc_top_bigram(sf_dir: str):
+    """Gopher repetition rule #2 (top-n-gram fraction), oracle-exact in
+    integers: per doc, the bigram count and the occurrence count of the
+    MOST frequent word bigram (the Gopher 'fraction of characters in
+    the top 2-gram' thresholds derive from these). No per-row Python:
+    factorize the flat word array once, key adjacent code pairs within
+    a row, count runs of one lexsort, max per row via reduceat."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "top_bigram_count": pa.array([], pa.int64()),
+                }
+            )
+        flat, lens, _ = _word_lists(t)
+        n = t.num_rows
+        n_bigrams = np.maximum(lens - 1, 0)
+        top = np.zeros(n, dtype=np.int64)
+        codes = pd.factorize(flat.to_numpy(zero_copy_only=False))[0].astype(np.int64)
+        if len(codes) >= 2:
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            same_row = rows[:-1] == rows[1:]
+            r = rows[:-1][same_row]
+            # pair key: codes fit in a batch-local vocab, so c1*V+c2 is
+            # collision-free in int64 (V < 2^31 per batch by size)
+            v = int(codes.max()) + 1
+            key = codes[:-1][same_row] * v + codes[1:][same_row]
+            if len(key):
+                order = np.lexsort((key, r))
+                rr, kk = r[order], key[order]
+                newgrp = np.ones(len(rr), dtype=bool)
+                newgrp[1:] = (rr[1:] != rr[:-1]) | (kk[1:] != kk[:-1])
+                gidx = np.cumsum(newgrp) - 1
+                cnt = np.bincount(gidx).astype(np.int64)
+                np.maximum.at(top, rr[newgrp], cnt)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "top_bigram_count": pa.array(top, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q_userday_click_purchase(sf_dir: str):
     """FULL OUTER join on a composite key — per-(user, day) click
     counts vs purchase counts, preserving days with only one activity

@@ -733,3 +733,80 @@ def test_span_dedup_kernel_matches_reference(texts, k, min_count):
         i: joined[i].as_py() for i in range(t.num_rows) if kept[i] > 0
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C4 line cleaning vs the DuckDB oracle (the testdata corpus is
+# single-line/punctuation-free, so the sf gate exercises this kernel
+# only trivially — this drives multi-line text with punctuation).
+# ---------------------------------------------------------------------------
+
+LINE_ALPHABET = 'abc DE.!?"{}\t\r\n' + "jJavascript"
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet=LINE_ALPHABET, max_size=120)),
+        min_size=1,
+        max_size=12,
+    ),
+    min_words=st.integers(min_value=1, max_value=6),
+)
+@example(texts=["a b c DE e.\nEnable javascript now please.", ""], min_words=5)
+@settings(max_examples=60, deadline=None)
+def test_line_clean_matches_duckdb(texts, min_words):
+    import duckdb
+
+    from fineweb2_ro_ray.functions.lineclean import clean_lines_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    valid = t.filter(pa.compute.is_valid(t["text"]))
+    if valid.num_rows == 0:
+        return
+    got = (
+        clean_lines_batch(valid, min_words=min_words)
+        .select(["doc_id", "clean_text", "n_lines_total", "n_lines_kept"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    ref = (
+        duckdb.arrow(t)
+        .query(
+            "documents",
+            f"""
+            WITH d AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM documents WHERE text IS NOT NULL
+            ), f AS (
+                SELECT doc_id, len(ls) AS n_lines_total,
+                       list_filter(ls, l ->
+                           regexp_matches(trim(l, ' ' || chr(9) || chr(13)),
+                                          '[.!?"]$')
+                           AND len(regexp_extract_all(
+                                   trim(l, ' ' || chr(9) || chr(13)),
+                                   '[^ ]+')) >= {min_words}
+                           AND NOT contains(
+                                   lower(trim(l, ' ' || chr(9) || chr(13))),
+                                   'javascript')
+                           AND NOT contains(
+                                   trim(l, ' ' || chr(9) || chr(13)), '{{')
+                       ) AS kept
+                FROM d
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   CAST(n_lines_total AS BIGINT) AS n_lines_total,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept
+            FROM f ORDER BY doc_id
+            """,
+        )
+        .to_df()
+    )
+    assert got["clean_text"].tolist() == ref["clean_text"].tolist()
+    assert got["n_lines_total"].tolist() == ref["n_lines_total"].tolist()
+    assert got["n_lines_kept"].tolist() == ref["n_lines_kept"].tolist()

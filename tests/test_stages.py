@@ -1765,6 +1765,59 @@ def test_stopword_counts_edge_cases(tmp_path):
     assert df.loc[4].tolist() == [4, 3]
 
 
+def test_line_clean_edge_cases(tmp_path):
+    """C4 line rules: terminal punctuation, min-words, javascript /
+    brace markers, trim set, original (untrimmed) lines rejoined."""
+    from fineweb2_ro_ray.pipelines.parity import q_doc_line_clean
+
+    d = _docs_dir(
+        tmp_path,
+        [
+            (1, "one two three four five.\nshort line.\nno terminal punct here"),
+            (2, "  padded one two three four five!  \t\nEnable JavaScript to view."),
+            (3, 'this line has template {braces} one two.\nquoted one two three four "'),
+            (4, ""),
+            (5, None),
+            (6, "first good line stays right here?\r\nsecond good line stays too, yes."),
+        ],
+    )
+    df = q_doc_line_clean(d).to_pandas().set_index("doc_id").sort_index()
+    assert df.loc[1, "clean_text"] == "one two three four five."
+    assert df.loc[1].tolist()[1:] == [3, 1]
+    # trailing spaces/tab trimmed for the TEST, but the kept line is original
+    assert df.loc[2, "clean_text"] == "  padded one two three four five!  \t"
+    assert df.loc[2, "n_lines_kept"] == 1  # javascript line dropped
+    assert df.loc[3, "clean_text"] == 'quoted one two three four "'
+    assert df.loc[4].tolist() == ["", 1, 0]
+    assert 5 not in df.index
+    # \r is in the trim set, so line 1 of doc 6 ends in '?' after trim
+    assert df.loc[6, "n_lines_kept"] == 2
+    assert "\r" in df.loc[6, "clean_text"]  # original bytes preserved
+
+
+def test_top_bigram_edge_cases(tmp_path):
+    """Gopher top-2-gram counts: single word (0 bigrams), repeated
+    bigram, empty string, tie between distinct bigrams."""
+    from fineweb2_ro_ray.pipelines.parity import q_doc_top_bigram
+
+    d = _docs_dir(
+        tmp_path,
+        [
+            (1, "a b a b a b"),  # 'a b' x3, 'b a' x2
+            (2, "word"),
+            (3, ""),
+            (4, None),
+            (5, "x y z"),  # two distinct bigrams, both count 1
+        ],
+    )
+    df = q_doc_top_bigram(d).to_pandas().set_index("doc_id").sort_index()
+    assert df.loc[1].tolist() == [5, 3]
+    assert df.loc[2].tolist() == [0, 0]
+    assert df.loc[3].tolist() == [0, 0]
+    assert 4 not in df.index
+    assert df.loc[5].tolist() == [2, 1]
+
+
 def test_user_first_last_single_event(tmp_path):
     """A single-event user has first == last; combiner dedup keeps it."""
     import pyarrow.parquet as pq
