@@ -220,6 +220,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stopword_counts": P.q_doc_stopword_counts,
         "doc_line_clean": P.q_doc_line_clean,
         "doc_top_bigram": P.q_doc_top_bigram,
+        "doc_chunks": P.q_doc_chunks,
+        "events_funnel": P.q_events_funnel,
+        "supplier_dominant_parts": P.q_supplier_dominant_parts,
+        "disjunctive_revenue": P.q_disjunctive_revenue,
+        "top_supplier_revenue": P.q_top_supplier_revenue,
         "events_cumsum": P.q_events_cumsum,
         "region_nation_revenue": P.q_region_nation_revenue,
         "doc_symbol_ratio": P.q_doc_symbol_ratio,
@@ -548,6 +553,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(len(d.ws) - 1, 0) AS BIGINT) AS n_bigrams,
                    CAST(coalesce(m.top, 0) AS BIGINT) AS top_bigram_count
             FROM d LEFT JOIN m USING (doc_id)
+        """,
+        "doc_chunks": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), s AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws), 30)) AS start
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST((start - 1) / 30 AS BIGINT) AS chunk_idx,
+                   CAST(least(start + 39, len(ws)) - start + 1 AS BIGINT)
+                       AS n_words,
+                   array_to_string(ws[start:least(start + 39, len(ws))], ' ')
+                       AS chunk_text
+            FROM s
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > v.t_view
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+            FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        """,
+        "supplier_dominant_parts": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS q
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), p AS (
+                SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq
+                FROM ps GROUP BY l_partkey
+            )
+            SELECT ps.l_partkey, ps.l_suppkey,
+                   ps.q AS supp_q100, p.tq AS part_q100
+            FROM ps JOIN p USING (l_partkey) WHERE 5 * ps.q > p.tq
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ), 0) AS BIGINT) AS rev_e4,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 30)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 5 AND 40)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 10 AND 50)
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_rev_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev_e4
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM r)
         """,
         "orders_semi_exchange": """
             SELECT o_orderkey FROM orders

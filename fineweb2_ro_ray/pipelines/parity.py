@@ -2454,3 +2454,274 @@ def q_region_nation_revenue(sf_dir: str):
     partials = j.map_batches(nation_partials, batch_format="pyarrow")
     out = _exchange_sum(partials, ["n_name"], {"rev_cbp": "revenue_cbp"}).to_pandas()
     return out.sort_values("revenue_cbp", ascending=False, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# training-sample prep + funnel / multi-granularity aggregate shapes
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 40
+CHUNK_STRIDE = 30
+
+
+def q_doc_chunks(sf_dir: str):
+    """Training-sample chunking: split every document into overlapping
+    fixed-size word windows (``CHUNK_WORDS`` words, ``CHUNK_STRIDE``
+    stride) — the sample-preparation step between a cleaned corpus and
+    a pretraining dataloader. Pure row EXPANSION, zero shuffle: the
+    per-batch kernel builds every chunk from ONE flattened word array
+    (vectorized range concatenation + one take + binary_join), so a
+    100 TB corpus chunks at read speed."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return empty
+        flat, lens, _ = _word_lists(t)
+        n = t.num_rows
+        n_chunks = (lens + CHUNK_STRIDE - 1) // CHUNK_STRIDE  # lens >= 1 always
+        total = int(n_chunks.sum())
+        row = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        cum_prev = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=cum_prev[1:])
+        ci = np.arange(total, dtype=np.int64) - np.repeat(cum_prev, n_chunks)
+        start = ci * CHUNK_STRIDE
+        end = np.minimum(start + CHUNK_WORDS, lens[row])
+        nw = end - start
+        row_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=row_off[1:])
+        g_start = row_off[row] + start
+        # concatenated ranges [g_start[i], g_start[i]+nw[i]) in one arange
+        tw = int(nw.sum())
+        nw_prev = np.zeros(total, dtype=np.int64)
+        np.cumsum(nw[:-1], out=nw_prev[1:])
+        idx = np.arange(tw, dtype=np.int64) - np.repeat(nw_prev, nw) + np.repeat(g_start, nw)
+        words = flat.take(pa.array(idx, pa.int64()))
+        offs = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(nw, out=offs[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), words.cast(pa.large_string())
+        )
+        text = pc.binary_join(lists, pa.scalar(" ", pa.large_string())).cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row, pa.int64())),
+                "chunk_idx": pa.array(ci, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "chunk_text": text,
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def q_events_funnel(sf_dir: str):
+    """Strict ordered funnel (view -> click -> purchase): per user, the
+    first view, the first click AFTER that view, and the first purchase
+    AFTER that click — the sequential-pattern shape (each stage's
+    anchor depends on the previous stage's result, so it is NOT a plain
+    per-type min). Map side filters to the three stage types and
+    combines views to per-user mins; one user-keyed exchange co-locates
+    each user's events; the chain is resolved vectorized per partition
+    (three groupby-min passes, no per-user Python)."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def thin(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["event_type"], value_set=pa.array(["view", "click", "purchase"])))
+        df = t.to_pandas()
+        views = df[df["event_type"] == "view"]
+        vmin = views.groupby("user_id", as_index=False)["ts"].min()
+        vmin["event_type"] = "view"
+        rest = df[df["event_type"] != "view"]
+        cols = ["user_id", "event_type", "ts"]
+        return from_pandas_clean(pd.concat([vmin[cols], rest[cols]], ignore_index=True))
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = df[df["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t_view")
+        c = df[df["event_type"] == "click"].join(t1, on="user_id", how="inner")
+        t2 = c[c["ts"] > c["t_view"]].groupby("user_id")["ts"].min().rename("t_click")
+        p = df[df["event_type"] == "purchase"].join(t2, on="user_id", how="inner")
+        t3 = p[p["ts"] > p["t_click"]].groupby("user_id")["ts"].min().rename("t_purchase")
+        return t1.to_frame().join(t2).join(t3).reset_index()
+
+    return hash_exchange_map_groups(
+        ev.map_batches(thin, batch_format="pyarrow"),
+        funnel,
+        key="user_id",
+        out_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("t_view", pa.timestamp("us")),
+                ("t_click", pa.timestamp("us")),
+                ("t_purchase", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+
+def q_supplier_dominant_parts(sf_dir: str):
+    """Two-granularity aggregate ratio (TPC-H Q20 cousin without
+    partsupp): (part, supplier) pairs where one supplier shipped MORE
+    than a FIFTH of the part's total quantity (2x the fair share of
+    its ~10 suppliers). Both granularities share
+    the part key, so ONE exchange resolves the correlation: map-side
+    per-(part, supp) integer partials, each reduce partition re-merges,
+    derives the per-part total with a vectorized transform and filters
+    ``5*supp > part`` — the fact table never crosses a second shuffle."""
+    from ..stages.exchange import hash_exchange_map_groups
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["q100"] = round_half_away(df["l_quantity"].to_numpy() * 100)
+        return from_pandas_clean(
+            df.groupby(["l_partkey", "l_suppkey"], as_index=False)["q100"].sum()
+        )
+
+    def dominant(df: pd.DataFrame) -> pd.DataFrame:
+        ps = df.groupby(["l_partkey", "l_suppkey"], as_index=False)["q100"].sum()
+        tot = ps.groupby("l_partkey")["q100"].transform("sum")
+        out = ps[5 * ps["q100"] > tot].copy()
+        out["part_q100"] = tot[out.index].astype(np.int64)
+        return out.rename(columns={"q100": "supp_q100"})
+
+    return hash_exchange_map_groups(
+        li.map_batches(partial, batch_format="pyarrow"),
+        dominant,
+        key="l_partkey",
+        out_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("supp_q100", pa.int64()),
+                ("part_q100", pa.int64()),
+            ]
+        ),
+    )
+
+
+_Q19_RULES = [
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#13", 1, 15, 1.0, 30.0),
+    ("Brand#22", 10, 30, 5.0, 40.0),
+    ("Brand#25", 20, 50, 10.0, 50.0),
+]
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """Disjunctive residual-predicate join (TPC-H Q19 shape): revenue
+    from lineitems whose part matches any of three (brand, size-range,
+    quantity-range) conjunction groups. The predicate spans BOTH join
+    sides, so it cannot be pushed below the join — but the dimension
+    side can: parts are pre-filtered to the three brands and broadcast
+    once (``ray.put``), the fact stream gathers (brand, size) by
+    partkey and evaluates the OR-of-ANDs vectorized. Zero shuffle;
+    money exact in price-cents x (100 - discount-bp) 1e-4 units."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_brand"].isin([r[0] for r in _Q19_RULES])]
+    pref = ray.put(
+        {
+            "key": part["p_partkey"].to_numpy(np.int64),
+            "brand": part["p_brand"].to_numpy(),
+            "size": part["p_size"].to_numpy(np.int64),
+        }
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = ray.get(pref)
+        order = np.argsort(p["key"], kind="stable")
+        skey, sbrand, ssize = p["key"][order], p["brand"][order], p["size"][order]
+        lk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skey, lk)
+        pos_c = np.minimum(pos, max(len(skey) - 1, 0))
+        if len(skey):
+            found = (pos < len(skey)) & (skey[pos_c] == lk)
+        else:
+            found = np.zeros(len(lk), dtype=bool)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(lk), dtype=bool)
+        if found.any():
+            br = sbrand[pos_c[found]]
+            sz = ssize[pos_c[found]]
+            q = qty[found]
+            m = np.zeros(found.sum(), dtype=bool)
+            for brand, lo, hi, qlo, qhi in _Q19_RULES:
+                m |= (br == brand) & (sz >= lo) & (sz <= hi) & (q >= qlo) & (q <= qhi)
+            keep[np.flatnonzero(found)] = m
+        cents = round_half_away(b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100)
+        disc = round_half_away(b["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100)
+        rev = cents * (100 - disc)
+        return pa.table(
+            {
+                "r": pa.array([int(rev.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "rev_e4": [int(parts["r"].sum())],
+            "n_lines": [int(parts["n"].sum())],
+        }
+    )
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """Argmax-with-ties over an aggregate (TPC-H Q15 shape): the
+    supplier(s) with the MAXIMUM revenue in 1996 Q1. Map-side per-supp
+    integer partials -> thin exchange merge (one row per supplier);
+    the global max is a one-scalar pull off that thin stream; names
+    attach by broadcast (the surviving side is the tie set)."""
+    import datetime as _dt
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 4, 1)
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(b["l_shipdate"], pa.scalar(hi, pa.timestamp("us"))),
+        )
+        t = b.filter(m)
+        cents = round_half_away(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        disc = round_half_away(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        df = pd.DataFrame(
+            {
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev": cents * (100 - disc),
+            }
+        )
+        return from_pandas_clean(df.groupby("l_suppkey", as_index=False)["rev"].sum())
+
+    totals = _exchange_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"],
+        {"rev": "total_rev_e4"},
+        out_schema=pa.schema([("l_suppkey", pa.int64()), ("total_rev_e4", pa.int64())]),
+    )
+    best = totals.max("total_rev_e4")
+    winners = totals.filter(expr=f"total_rev_e4 == {int(best)}").to_pandas()
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(sup["s_suppkey"], sup["s_name"]))
+    winners["s_name"] = winners["l_suppkey"].map(names)
+    winners = winners.rename(columns={"l_suppkey": "s_suppkey"})
+    return winners[["s_suppkey", "s_name", "total_rev_e4"]]
