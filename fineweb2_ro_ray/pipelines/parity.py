@@ -2548,12 +2548,20 @@ def q_events_funnel(sf_dir: str):
         return from_pandas_clean(pd.concat([vmin[cols], rest[cols]], ignore_index=True))
 
     def funnel(df: pd.DataFrame) -> pd.DataFrame:
-        t1 = df[df["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t_view")
-        c = df[df["event_type"] == "click"].join(t1, on="user_id", how="inner")
-        t2 = c[c["ts"] > c["t_view"]].groupby("user_id")["ts"].min().rename("t_click")
-        p = df[df["event_type"] == "purchase"].join(t2, on="user_id", how="inner")
-        t3 = p[p["ts"] > p["t_click"]].groupby("user_id")["ts"].min().rename("t_purchase")
-        return t1.to_frame().join(t2).join(t3).reset_index()
+        # merge (never join-on-index): an EMPTY left side joined on a
+        # column inherits the right's index NAME, and the later
+        # groupby("user_id") then dies on index-level/column ambiguity
+        # (hit on any partition whose users have views but no clicks)
+        def stage(events: pd.DataFrame, out: str) -> pd.DataFrame:
+            g = events.groupby("user_id", as_index=False)["ts"].min()
+            return g.rename(columns={"ts": out})
+
+        t1 = stage(df[df["event_type"] == "view"], "t_view")
+        c = df[df["event_type"] == "click"].merge(t1, on="user_id", how="inner")
+        t2 = stage(c[c["ts"] > c["t_view"]], "t_click")
+        p = df[df["event_type"] == "purchase"].merge(t2, on="user_id", how="inner")
+        t3 = stage(p[p["ts"] > p["t_click"]], "t_purchase")
+        return t1.merge(t2, on="user_id", how="left").merge(t3, on="user_id", how="left")
 
     return hash_exchange_map_groups(
         ev.map_batches(thin, batch_format="pyarrow"),
@@ -2718,6 +2726,14 @@ def q_top_supplier_revenue(sf_dir: str):
         out_schema=pa.schema([("l_suppkey", pa.int64()), ("total_rev_e4", pa.int64())]),
     )
     best = totals.max("total_rev_e4")
+    if best is None:  # no lineitem in the window: empty, typed result
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=object),
+                "total_rev_e4": pd.Series([], dtype=np.int64),
+            }
+        )
     winners = totals.filter(expr=f"total_rev_e4 == {int(best)}").to_pandas()
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()

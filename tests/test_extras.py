@@ -381,3 +381,92 @@ def test_graded_window_invariants():
     assert not missing, f"window entries without oracle SQL: {missing}"
     orphans = [k for k in osql if k not in qs]
     assert not orphans, f"oracle keys without a query: {orphans}"
+
+
+def test_new_shapes_edge_inputs(tmp_path):
+    """The five session-5 shapes on hand-built edge tables, each pinned
+    against its DuckDB oracle: null/empty/boundary-length documents for
+    chunking; funnel users missing a stage or with out-of-order stages
+    (a partition whose users have views but NO clicks used to crash on
+    a pandas join-on-empty index-name quirk); a lineitem table with NO
+    row inside top_supplier_revenue's date window (empty argmax); no
+    dominant supplier pair / no Q19 brand match."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                None,
+                "",
+                "solo",
+                " ".join(f"w{i}" for i in range(30)),
+                " ".join(f"w{i}" for i in range(40)),
+                " ".join(f"w{i}" for i in range(41)),
+            ],
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 4, 4, 4],
+            "event_type": [
+                "view", "click", "purchase",
+                "click", "view",          # click BEFORE first view: no t_click
+                "view",                    # view only
+                "view", "purchase", "click",  # purchase before click
+            ],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                    "2024-01-01 00:00", "2024-01-01 01:00",
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                ]
+            ),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1],
+            "l_partkey": [1],
+            "l_suppkey": [1],
+            "l_quantity": [5.0],
+            "l_extendedprice": [100.0],
+            "l_discount": [0.05],
+            "l_shipdate": pd.to_datetime(["1995-06-01"]),
+        }
+    )
+    part = pd.DataFrame({"p_partkey": [1], "p_brand": ["Brand#99"], "p_size": [5]})
+    sup = pd.DataFrame({"s_suppkey": [1], "s_name": ["S1"]})
+    tables = {
+        "documents": docs, "events": ev, "lineitem": li, "part": part, "supplier": sup,
+    }
+    for name, df in tables.items():
+        df.to_parquet(f"{sf}/{name}.parquet", index=False)
+
+    con = duckdb.connect()
+    for name in tables:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf}/{name}.parquet')"
+        )
+    Q, O = E.queries(), E.oracle_sql()
+    for name in [
+        "doc_chunks",
+        "events_funnel",
+        "supplier_dominant_parts",
+        "disjunctive_revenue",
+        "top_supplier_revenue",
+    ]:
+        res = Q[name](sf)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = con.execute(O[name]).df()
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+        assert sorted(got.columns) == sorted(want.columns), name
+        cols = sorted(got.columns)
+        a = got[cols].astype(str).sort_values(cols, ignore_index=True)
+        b = want[cols].astype(str).sort_values(cols, ignore_index=True)
+        assert a.equals(b), f"{name}:\n{a}\nvs\n{b}"

@@ -810,3 +810,62 @@ def test_line_clean_matches_duckdb(texts, min_words):
     assert got["clean_text"].tolist() == ref["clean_text"].tolist()
     assert got["n_lines_total"].tolist() == ref["n_lines_total"].tolist()
     assert got["n_lines_kept"].tolist() == ref["n_lines_kept"].tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from(list("ab șâ\n")), max_size=200
+            ),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@example(texts=[""])            # one empty word
+@example(texts=[" "])           # two empty words
+@example(texts=["a " * 30])     # exact stride boundary (trailing empty word)
+def test_doc_chunk_kernel_matches_python_reference(texts):
+    """q_doc_chunks' flat-array range-concatenation kernel vs the naive
+    per-row Python splitter: same chunks, indices, word counts and
+    texts for arbitrary (unicode, empty, null, boundary-length) docs.
+    Reference semantics: split on single spaces (empty words COUNT,
+    as DuckDB string_split does), windows of CHUNK_WORDS words every
+    CHUNK_STRIDE words, last window clipped."""
+    from fineweb2_ro_ray.pipelines.parity import CHUNK_STRIDE, CHUNK_WORDS, q_doc_chunks
+
+    # reach the batch kernel directly (no Ray session needed)
+    import fineweb2_ro_ray.pipelines.parity as P
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    # the kernel is the closure inside q_doc_chunks; rebuild it via the
+    # module-level pieces it uses
+    chunk = None
+    import types
+
+    for const in q_doc_chunks.__code__.co_consts:
+        if isinstance(const, types.CodeType) and const.co_name == "chunk":
+            chunk = types.FunctionType(const, vars(P))
+    assert chunk is not None
+    got = chunk(tbl).to_pydict()
+
+    want = {"doc_id": [], "chunk_idx": [], "n_words": [], "chunk_text": []}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        words = t.split(" ")
+        for ci, start in enumerate(range(0, len(words), CHUNK_STRIDE)):
+            w = words[start : start + CHUNK_WORDS]
+            want["doc_id"].append(i)
+            want["chunk_idx"].append(ci)
+            want["n_words"].append(len(w))
+            want["chunk_text"].append(" ".join(w))
+    assert got == want
