@@ -200,7 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": P.q_small_qty_revenue,
         "orders_big_qty": P.q_orders_big_qty,
         "user_event_paths": P.q_user_event_paths,
-        "user_first_last": P.q_user_first_last,
+        # window slot: doc_pack_spans (distributed ordered prefix-scan /
+        # training-sample packing — a shape nothing else in the window
+        # covers); user_first_last (FIRST/LAST_VALUE combiner, shape-
+        # adjacent to the rolling/rank/retention family) demoted below,
+        # still pinned by scripts/check_oracle.py + pytest
+        "doc_pack_spans": P.q_doc_pack_spans,
         "doc_word_repetition": P.q_doc_word_repetition,
         "userday_click_purchase": P.q_userday_click_purchase,
         "dedup_incremental": P.q_dedup_incremental,
@@ -221,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_clean": P.q_doc_line_clean,
         "doc_top_bigram": P.q_doc_top_bigram,
         "doc_chunks": P.q_doc_chunks,
+        "user_first_last": P.q_user_first_last,
         "events_funnel": P.q_events_funnel,
         "supplier_dominant_parts": P.q_supplier_dominant_parts,
         "disjunctive_revenue": P.q_disjunctive_revenue,
@@ -570,6 +576,23 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ws[start:least(start + 39, len(ws))], ' ')
                        AS chunk_text
             FROM s
+        """,
+        "doc_pack_spans": """
+            WITH d AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+                FROM documents WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       CAST(coalesce(sum(n_tok) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tok_start
+                FROM d
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, tok_start,
+                   tok_start // 2048 AS pack_first,
+                   (tok_start + n_tok - 1) // 2048 AS pack_last
+            FROM c
         """,
         "events_funnel": """
             WITH v AS (

@@ -2741,3 +2741,20 @@ def q_top_supplier_revenue(sf_dir: str):
     winners["s_name"] = winners["l_suppkey"].map(names)
     winners = winners.rename(columns={"l_suppkey": "s_suppkey"})
     return winners[["s_suppkey", "s_name", "total_rev_e4"]]
+
+
+PACK_BUDGET = 2048
+
+
+def q_doc_pack_spans(sf_dir: str):
+    """GPT-style sequence packing (concat-and-chunk): every document's
+    EXACT global token offset under doc_id order and the pack indices
+    its tokens land in, at a ``PACK_BUDGET``-token pack size. The
+    offset is a distributed ordered prefix-scan (``stages/packing.py``:
+    sketch boundaries -> per-range sums -> driver R-element prefix ->
+    per-range local cumsum); only the 16-byte (doc_id, n_tok) thin
+    stream moves."""
+    from ..stages.packing import doc_token_counts, pack_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_spans(doc_token_counts(docs), budget=PACK_BUDGET)

@@ -2227,3 +2227,43 @@ def test_jaccard_ngram_pairs_edges(tmp_path):
     assert got["doc_a"].tolist() == want["doc_a"].tolist() == [0]
     assert got["doc_b"].tolist() == want["doc_b"].tolist() == [1]
     assert np.allclose(got["jaccard"], want["jaccard"])
+
+
+def test_pack_spans_scan_exact(ray_session):
+    """The distributed ordered prefix-scan (stages/packing.py) against
+    a driver-side cumsum on adversarial shapes: unsorted input,
+    many ranges vs few rows (empty ranges), n_ranges=1 (no interior
+    boundary), a single row, budget-straddling documents, and a
+    zero-token row."""
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+    import ray.data
+
+    from fineweb2_ro_ray.stages.packing import pack_spans
+
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(np.arange(0, 5000, 3, dtype=np.int64))  # sparse, shuffled
+    toks = rng.randint(0, 900, size=len(ids)).astype(np.int64)
+    toks[5] = 0
+    df = pd.DataFrame({"doc_id": ids, "n_tok": toks})
+
+    for n_ranges, budget in [(None, 256), (1, 256), (64, 10**9), (7, 1)]:
+        thin = ray.data.from_pandas(df).repartition(9)
+        got = (
+            pack_spans(thin, budget=budget, n_ranges=n_ranges)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        ref = df.sort_values("doc_id", ignore_index=True).copy()
+        ref["tok_start"] = ref["n_tok"].cumsum() - ref["n_tok"]
+        ref["pack_first"] = ref["tok_start"] // budget
+        ref["pack_last"] = (ref["tok_start"] + ref["n_tok"] - 1) // budget
+        for col in ["doc_id", "n_tok", "tok_start", "pack_first", "pack_last"]:
+            assert got[col].tolist() == ref[col].tolist(), (n_ranges, budget, col)
+
+    # single row
+    one = ray.data.from_pandas(pd.DataFrame({"doc_id": [42], "n_tok": [5]}))
+    got = pack_spans(one, budget=4).to_pandas()
+    assert got.iloc[0].tolist() == [42, 5, 0, 0, 1]
