@@ -72,6 +72,22 @@ def pack_spans(
     materialized (it is the scan's small side — ~16 B/row; the caller
     projects the corpus down to it first)."""
     thin = thin.materialize()
+    base = thin.schema().base_schema
+    if isinstance(base, pa.Schema):
+        id_type = base.field(id_col).type
+    else:  # pandas-block source: numpy dtypes
+        id_type = pa.from_numpy_dtype(dict(zip(base.names, base.types))[id_col])
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            (n_col, pa.int64()),
+            ("tok_start", pa.int64()),
+            ("pack_first", pa.int64()),
+            ("pack_last", pa.int64()),
+        ]
+    )
+    if thin.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     r = n_ranges or max(8, 2 * cpus)
     # rank-uniform boundaries; exactness never depends on them
@@ -112,12 +128,6 @@ def pack_spans(
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.float64)
         return b.append_column("range_id", pa.array(_range_ids(ids, bd), pa.int64()))
 
-    base = thin.schema().base_schema
-    if isinstance(base, pa.Schema):
-        id_type = base.field(id_col).type
-    else:  # pandas-block source: numpy dtypes
-        id_type = pa.from_numpy_dtype(dict(zip(base.names, base.types))[id_col])
-
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         bs = ray.get(base_ref)
         df = df.sort_values(["range_id", id_col], kind="mergesort", ignore_index=True)
@@ -142,15 +152,7 @@ def pack_spans(
         thin.map_batches(tag, batch_format="pyarrow"),
         scan,
         key="range_id",
-        out_schema=pa.schema(
-            [
-                (id_col, id_type),
-                (n_col, pa.int64()),
-                ("tok_start", pa.int64()),
-                ("pack_first", pa.int64()),
-                ("pack_last", pa.int64()),
-            ]
-        ),
+        out_schema=out_schema,
     )
 
 

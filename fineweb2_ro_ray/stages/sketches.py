@@ -437,6 +437,9 @@ def quantile_sketch(
         return pd.DataFrame({"v": vals, "w": wts.astype(np.int64)})
 
     merged = hash_exchange_map_groups(partials, merge, key="salt").to_pandas()
+    if len(merged) == 0 or "v" not in merged.columns:
+        # empty (or all-NaN) input stream: no summary points exist
+        return pd.DataFrame({"q": [float(q) for q in qs], "value": np.nan})
     vals, wts = _prune_summary(
         merged["v"].to_numpy(), merged["w"].to_numpy().astype(np.int64), 4 * m
     )

@@ -2267,3 +2267,21 @@ def test_pack_spans_scan_exact(ray_session):
     one = ray.data.from_pandas(pd.DataFrame({"doc_id": [42], "n_tok": [5]}))
     got = pack_spans(one, budget=4).to_pandas()
     assert got.iloc[0].tolist() == [42, 5, 0, 0, 1]
+
+    # empty input: typed empty dataset, no crash (Ray's to_pandas drops
+    # columns of a fully empty dataset, but schema() keeps the contract)
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                      "n_tok": pd.Series([], dtype=np.int64)})
+    )
+    es = pack_spans(empty, budget=8)
+    assert es.count() == 0
+    assert set(es.schema().names) == {
+        "doc_id", "n_tok", "tok_start", "pack_first", "pack_last",
+    }
+
+    # empty stream through the sketch: NaN quantiles, no crash
+    from fineweb2_ro_ray.stages.sketches import quantile_sketch
+
+    qdf = quantile_sketch(empty, "n_tok", [25.0, 75.0])
+    assert qdf["q"].tolist() == [25.0, 75.0] and qdf["value"].isna().all()
