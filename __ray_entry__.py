@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigram": P.q_doc_top_bigram,
         "doc_chunks": P.q_doc_chunks,
         "user_first_last": P.q_user_first_last,
+        "doc_shuffle_order": P.q_doc_shuffle_order,
         "events_funnel": P.q_events_funnel,
         "supplier_dominant_parts": P.q_supplier_dominant_parts,
         "disjunctive_revenue": P.q_disjunctive_revenue,
@@ -593,6 +594,16 @@ def oracle_sql() -> dict[str, str]:
                    tok_start // 2048 AS pack_first,
                    (tok_start + n_tok - 1) // 2048 AS pack_last
             FROM c
+        """,
+        "doc_shuffle_order": """
+            WITH d AS (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+                FROM documents
+            )
+            SELECT doc_id, shuffle_key,
+                   CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT)
+                       AS pos
+            FROM d
         """,
         "events_funnel": """
             WITH v AS (

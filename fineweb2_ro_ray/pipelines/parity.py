@@ -2758,3 +2758,16 @@ def q_doc_pack_spans(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return pack_spans(doc_token_counts(docs), budget=PACK_BUDGET)
+
+
+def q_doc_shuffle_order(sf_dir: str):
+    """Deterministic global shuffle: each document's exact 0-based
+    position under md5(doc_id) order — the reproducible corpus shuffle
+    before training (same input => same order at any parallelism,
+    unlike random_shuffle). Rides the ordered prefix-scan with unit
+    summands (``stages/packing.py::shuffle_positions``): the md5's
+    leading 8 bytes give the numeric range surrogate, in-partition
+    ordering uses the full hex key."""
+    from ..stages.packing import shuffle_positions
+
+    return shuffle_positions(_read(sf_dir, "documents", ["doc_id"]))

@@ -29,11 +29,18 @@ distributed scan (Blelloch) restated over Ray Data:
    partition sorts ITS ranges by id and adds ``base[range_id]`` to a
    local cumsum — exact global offsets with nothing sequential left.
 
-Bytes moved: the 16-byte-per-row thin projection, twice; the text
-column never leaves the read stage. Assumption (documented contract):
-``id_col`` values are unique and numerically ordered — ties would make
+Bytes moved: the thin projection (~16 B/row + any passenger columns),
+twice; the text column never leaves the read stage. Assumption
+(documented contract): the ordering key is unique — ties would make
 "the previous document" undefined (DuckDB's ``ORDER BY doc_id`` window
 has the same requirement for a deterministic answer).
+
+``sort_col`` supports NON-numeric total orders (e.g. a deterministic
+md5 shuffle): ``id_col`` is then a numeric ORDER SURROGATE (monotone
+non-strict in ``sort_col`` — e.g. the md5's leading 8 bytes) used only
+for range assignment; rows within a partition sort by the exact
+``sort_col``. Equal surrogates always land in one range (searchsorted
+is consistent), so the cross-range order stays exact.
 """
 
 from __future__ import annotations
@@ -56,31 +63,41 @@ def _range_ids(ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     return np.searchsorted(bounds, ids, side="left").astype(np.int64)
 
 
+def _arrow_type(base, name: str) -> pa.DataType:
+    if isinstance(base, pa.Schema):
+        return base.field(name).type
+    # pandas-block source: numpy dtypes
+    dt = dict(zip(base.names, base.types))[name]
+    if dt == object:
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
 def pack_spans(
     thin: ray.data.Dataset,
     *,
     budget: int,
     id_col: str = "doc_id",
     n_col: str = "n_tok",
+    sort_col: str | None = None,
     n_ranges: int | None = None,
 ) -> ray.data.Dataset:
-    """Exact global scan over a thin ``(id_col, n_col)`` Dataset.
+    """Exact global scan over a thin Dataset carrying ``id_col`` (a
+    numeric order key / surrogate), ``n_col`` (the summand) and any
+    passenger columns.
 
-    Returns a Dataset with columns ``(id_col, n_col, tok_start,
+    Returns a Dataset with every ``thin`` column plus ``(tok_start,
     pack_first, pack_last)`` where ``tok_start`` is the sum of
-    ``n_col`` over all rows with smaller ``id_col``. ``thin`` is
-    materialized (it is the scan's small side — ~16 B/row; the caller
-    projects the corpus down to it first)."""
+    ``n_col`` over all rows earlier in the total order (``sort_col``
+    if given, else ``id_col``). ``thin`` is materialized (it is the
+    scan's small side; the caller projects the corpus down to it
+    first)."""
     thin = thin.materialize()
     base = thin.schema().base_schema
-    if isinstance(base, pa.Schema):
-        id_type = base.field(id_col).type
-    else:  # pandas-block source: numpy dtypes
-        id_type = pa.from_numpy_dtype(dict(zip(base.names, base.types))[id_col])
+    names = list(base.names)
     out_schema = pa.schema(
-        [
-            (id_col, id_type),
-            (n_col, pa.int64()),
+        [(c, _arrow_type(base, c)) for c in names]
+        + [
             ("tok_start", pa.int64()),
             ("pack_first", pa.int64()),
             ("pack_last", pa.int64()),
@@ -119,9 +136,10 @@ def pack_spans(
     if len(partials):
         agg = partials.groupby("range_id")["s"].sum()
         totals[agg.index.to_numpy()] = agg.to_numpy()
-    base = np.zeros_like(totals)
-    np.cumsum(totals[:-1], out=base[1:])  # exclusive prefix over ranges
-    base_ref = ray.put(base)
+    bases = np.zeros_like(totals)
+    np.cumsum(totals[:-1], out=bases[1:])  # exclusive prefix over ranges
+    base_ref = ray.put(bases)
+    order_col = sort_col or id_col
 
     def tag(b: pa.Table) -> pa.Table:
         bd = ray.get(bounds_ref)
@@ -130,7 +148,7 @@ def pack_spans(
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         bs = ray.get(base_ref)
-        df = df.sort_values(["range_id", id_col], kind="mergesort", ignore_index=True)
+        df = df.sort_values(["range_id", order_col], kind="mergesort", ignore_index=True)
         n = df[n_col].to_numpy(np.int64)
         cum = np.cumsum(n) - n  # exclusive local cumsum
         rid = df["range_id"].to_numpy(np.int64)
@@ -138,15 +156,12 @@ def pack_spans(
         starts = np.flatnonzero(np.diff(rid, prepend=rid[0] - 1))
         cum = cum - np.repeat(cum[starts], np.diff(np.append(starts, len(rid))))
         tok_start = cum + bs[rid]
-        return pd.DataFrame(
-            {
-                id_col: df[id_col],
-                n_col: n,
-                "tok_start": tok_start,
-                "pack_first": tok_start // budget,
-                "pack_last": (tok_start + n - 1) // budget,
-            }
-        )
+        out = df[names].copy()
+        out[n_col] = n
+        out["tok_start"] = tok_start
+        out["pack_first"] = tok_start // budget
+        out["pack_last"] = (tok_start + n - 1) // budget
+        return out
 
     return hash_exchange_map_groups(
         thin.map_batches(tag, batch_format="pyarrow"),
@@ -177,3 +192,52 @@ def doc_token_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.D
         )
 
     return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def shuffle_positions(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Deterministic global shuffle: every row's EXACT 0-based position
+    under ``md5(id)`` order — the reproducible corpus shuffle a
+    training run needs (same input ⇒ same order on any cluster layout,
+    unlike ``random_shuffle``). A unit-summand instance of the scan:
+    the md5 hex is the total order (``sort_col``), its leading 8 bytes
+    the numeric range surrogate, n≡1 makes ``tok_start`` the row's
+    global rank. Returns ``(id_col, shuffle_key, pos)``."""
+    import hashlib
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b[id_col].cast(pa.string()).to_pylist()
+        hexes = [hashlib.md5(s.encode()) if s is not None else None for s in ids]
+        hx = [h.hexdigest() if h is not None else None for h in hexes]
+        sur = np.array(
+            [int.from_bytes(h.digest()[:8], "big") if h is not None else 0 for h in hexes],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "shuffle_key": pa.array(hx, pa.string()),
+                "_sur": pa.array(sur, pa.float64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    spans = pack_spans(
+        ds.map_batches(key, batch_format="pyarrow"),
+        budget=1,
+        id_col="_sur",
+        n_col="n",
+        sort_col="shuffle_key",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "shuffle_key": b["shuffle_key"],
+                "pos": b["tok_start"],
+            }
+        )
+
+    return spans.map_batches(finish, batch_format="pyarrow")
