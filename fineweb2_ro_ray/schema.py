@@ -84,6 +84,22 @@ def from_pandas_clean(df, **kwargs) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def from_pandas_like(df, like: pa.Table, **kwargs) -> pa.Table:
+    """``from_pandas_clean`` with column types PINNED to ``like`` for
+    every column the two share. Guards the all-null-key batch: a block
+    whose (say) string key column is entirely null round-trips through
+    pandas as all-NaN object, which Arrow re-infers as ``double`` — and
+    the first schema-mismatched block poisons any downstream exchange
+    concat. Columns absent from ``like`` (derived aggregates) keep
+    their inferred type."""
+    t = from_pandas_clean(df, **kwargs)
+    fields = []
+    for f in t.schema:
+        idx = like.schema.get_field_index(f.name)
+        fields.append(f if idx < 0 else pa.field(f.name, like.schema.field(idx).type))
+    return t.cast(pa.schema(fields))
+
+
 def strip_metadata(t: pa.Table) -> pa.Table:
     """Zero-copy schema-metadata strip — applied at every Parquet read
     boundary (files written by pandas embed the ``b'pandas'`` blob in

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
-from ..schema import from_pandas_clean
+from ..schema import from_pandas_clean, from_pandas_like
 
 # canonical BPE-ish token pattern (letters | digits | single symbol) —
 # matches DuckDB regexp_extract_all for the oracle
@@ -111,7 +111,9 @@ def grouped_counts(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
             .size()
             .rename(columns={"size": "partial_n"})
         )
-        return from_pandas_clean(out)
+        # pin key types to the block's (an all-null key batch would
+        # otherwise re-infer as double and poison the exchange concat)
+        return from_pandas_like(out, b)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # the residual after the combiner is tiny (batches × distinct key
@@ -309,7 +311,7 @@ def grouped_top_k(
     def local(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df.sort_values([col, tiebreak], ascending=asc, kind="mergesort")
-        return from_pandas_clean(df.groupby(keys, dropna=False).head(k))
+        return from_pandas_like(df.groupby(keys, dropna=False).head(k), b)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([col, tiebreak], ascending=asc, kind="mergesort")
@@ -547,7 +549,7 @@ def grouped_mode(
             .size()
             .rename(columns={"size": "n"})
         )
-        return from_pandas_clean(out)
+        return from_pandas_like(out, b)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -778,7 +780,7 @@ def top_k(
     def local(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df.sort_values([col, tiebreak], ascending=[not descending, True]).head(k)
-        return from_pandas_clean(df)
+        return from_pandas_like(df, b)
 
     cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values([col, tiebreak], ascending=[not descending, True]).head(k)

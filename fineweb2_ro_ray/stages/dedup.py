@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Min
-from ..schema import from_pandas_clean
+from ..schema import from_pandas_clean, from_pandas_like
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -49,9 +49,10 @@ def _batch_min_by_key(batch: pa.Table, key: str, id_col: str) -> pa.Table:
     batch — thins the shuffle input (ray_guide 'pre-aggregate first').
     dropna=False: the NULL-text group is a real group (SQL GROUP BY
     keeps it; so does Ray's groupby)."""
-    df = batch.select([key, id_col]).to_pandas()
+    sel = batch.select([key, id_col])
+    df = sel.to_pandas()
     out = df.groupby(key, as_index=False, dropna=False)[id_col].min()
-    return from_pandas_clean(out)
+    return from_pandas_like(out, sel)  # all-null-key batch: keep key type
 
 
 def dedup_exact(
@@ -97,14 +98,15 @@ def dedup_keep_best(
     from .exchange import hash_exchange_map_groups
 
     def best_per_batch(b: pa.Table) -> pa.Table:
-        df = add_md5(b, text_col, "text_md5").select(
+        sel = add_md5(b, text_col, "text_md5").select(
             ["text_md5", id_col, score_col]
-        ).to_pandas()
+        )
+        df = sel.to_pandas()
         df = df.sort_values(
             [score_col, id_col], ascending=[False, True], kind="mergesort"
         )
         df = df.groupby("text_md5", as_index=False, dropna=False).head(1)
-        return from_pandas_clean(df)
+        return from_pandas_like(df, sel)
 
     def best_per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -427,7 +429,7 @@ def lsh_candidate_pairs(
     # is globally distinct).
     def batch_unique(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
-        return from_pandas_clean(df)
+        return from_pandas_like(df, b)
 
     pairs = pairs.map_batches(batch_unique, batch_format="pyarrow")
     if not distinct:

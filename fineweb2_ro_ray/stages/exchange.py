@@ -129,9 +129,12 @@ def _reduce_partition(
     out = fn(t.to_pandas())
     if out_schema is not None:
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
-    from ..schema import from_pandas_clean
+    from ..schema import from_pandas_like
 
-    return from_pandas_clean(out)
+    # pin columns shared with the input partition to its types: a
+    # partition whose string key is entirely null would re-infer as
+    # double and poison any downstream concat/to_pandas
+    return from_pandas_like(out, t)
 
 
 def hash_exchange_map_groups(

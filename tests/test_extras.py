@@ -470,3 +470,60 @@ def test_new_shapes_edge_inputs(tmp_path):
         a = got[cols].astype(str).sort_values(cols, ignore_index=True)
         b = want[cols].astype(str).sort_values(cols, ignore_index=True)
         assert a.equals(b), f"{name}:\n{a}\nvs\n{b}"
+
+
+def test_adaptive_filter_and_retention_null_edges(tmp_path):
+    """filter_adaptive and user_retention on hand-built null-heavy
+    tables, pinned vs their DuckDB oracles: NULL lang (never joins back
+    in SQL => always dropped), NULL n_chars (NULL comparison => drop),
+    a singleton language (p05=p95=its only value => kept), and events
+    with NULL ts (excluded from cohorts)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "lang": ["ro", "ro", "ro", "ro", None, "xx", "ro"],
+            "n_chars": pd.array([10, 100, 1000, 10000, 50, 7, None],
+                                dtype="Int64"),
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["view"] * 5,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00", "2024-01-03 09:00", "2024-01-03 23:00",
+                    "2024-02-01 00:00", None,
+                ]
+            ),
+        }
+    )
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    ev.to_parquet(f"{sf}/events.parquet", index=False)
+
+    con = duckdb.connect()
+    for name in ["documents", "events"]:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf}/{name}.parquet')"
+        )
+    Q, O = E.queries(), E.oracle_sql()
+    for name in ["filter_adaptive", "user_retention"]:
+        res = Q[name](sf)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = con.execute(O[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        cols = sorted(got.columns)
+        a = got[cols].astype(str).sort_values(cols, ignore_index=True)
+        b = want[cols].astype(str).sort_values(cols, ignore_index=True)
+        assert a.equals(b), f"{name}:\n{a}\nvs\n{b}"
+    # sanity of the fixture itself: null lang + null n_chars dropped,
+    # singleton language survives its own degenerate bounds
+    kept = con.execute(O["filter_adaptive"]).df()
+    assert 5 not in kept["doc_id"].tolist() and 7 not in kept["doc_id"].tolist()
+    assert 6 in kept["doc_id"].tolist()
