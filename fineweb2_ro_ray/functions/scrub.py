@@ -136,9 +136,25 @@ class Scrubber:
         f_tox = pc.match_substring_regex(sub_arr, _TOX_TRIGGER).to_numpy(
             zero_copy_only=False
         )
-        subset = sub_arr.to_pylist()
-        repl = []
-        for k, (j, t) in enumerate(zip(idx, subset)):
+        # EMAIL-ONLY fast path: rows where no other family trigger fired
+        # are scrubbed entirely in Arrow — EMAIL_RE is RE2-safe and
+        # property-tested byte-equal to Python re.subn on it, so these
+        # rows never round-trip to Python strings. Typically the single
+        # largest family (~40% of triggered rows on the synth corpus).
+        email_only = f_email & ~(f_iban | f_cnp | f_phone | f_tox)
+        eo = np.flatnonzero(email_only)
+        rest = np.flatnonzero(~email_only)
+        repl_all = np.empty(len(idx), dtype=object)
+        if len(eo):
+            sub_eo = sub_arr.take(pa.array(eo))
+            repl_all[eo] = pc.replace_substring_regex(
+                sub_eo, pattern=EMAIL_RE.pattern, replacement="<EMAIL>"
+            ).to_numpy(zero_copy_only=False)
+            pii[idx[eo]] = pc.count_substring_regex(
+                sub_eo, EMAIL_RE.pattern
+            ).to_numpy(zero_copy_only=False)
+        subset = sub_arr.take(pa.array(rest)).to_pylist()
+        for k, t in zip(rest, subset):
             s, p, x = scrub_text(
                 t,
                 iban=bool(f_iban[k]),
@@ -147,12 +163,12 @@ class Scrubber:
                 phone=bool(f_phone[k]),
                 tox=bool(f_tox[k]),
             )
-            repl.append(s)
-            pii[j] = p
-            tox[j] = x
+            repl_all[k] = s
+            pii[idx[k]] = p
+            tox[idx[k]] = x
         # only trigger rows leave Arrow: clean rows are spliced through
         # replace_with_mask, never round-tripped to Python strings
-        out = pc.replace_with_mask(text, pa.array(hits), pa.array(repl, pa.string()))
+        out = pc.replace_with_mask(text, pa.array(hits), pa.array(repl_all, pa.string()))
         return (
             batch.append_column("scrubbed_text", out)
             .append_column("pii_hits", pa.array(pii, pa.int32()))

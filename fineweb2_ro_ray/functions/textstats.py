@@ -62,12 +62,18 @@ def _segment_sums(values: np.ndarray, lens: np.ndarray, how: str) -> np.ndarray:
         return out
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
-    # clamp offsets of trailing empty rows into range
-    offsets = np.minimum(offsets, len(values) - 1)
+    # rows whose offset == len(values) (trailing run of 0-length rows)
+    # are excluded rather than clamped: a clamp would shorten the
+    # PREVIOUS row's reduceat segment. The last kept row's segment then
+    # runs to the end of values — exactly its true extent, since every
+    # excluded row is empty. Mid-array 0-length rows pick up a
+    # neighbour's value via reduceat's empty-segment semantics and are
+    # zeroed by the lens==0 mask below.
+    ok = offsets < len(values)
     if how == "sum":
-        out = np.add.reduceat(values.astype(np.int64), offsets)
+        out[ok] = np.add.reduceat(values.astype(np.int64, copy=False), offsets[ok])
     elif how == "max":
-        out = np.maximum.reduceat(values, offsets)
+        out[ok] = np.maximum.reduceat(values, offsets[ok])
     else:
         raise ValueError(how)
     out[lens == 0] = 0
@@ -182,6 +188,197 @@ def byte_stats(text: pa.Array) -> dict[str, np.ndarray]:
     return {"n_newlines": per_row(nl_pos), "n_sym": n_sym, "n_dia": n_dia}
 
 
+# --- fused tokenizer + classifier kernel -------------------------------------
+# ``utf8_split_whitespace`` materializes a 1.5M-entry list-of-slices
+# array per 4k-row batch and a second full pass computes per-token
+# codepoint lengths — together the largest share of the stats stage.
+# This kernel derives token SPANS, per-row word stats and the
+# byte_stats counts from ONE ``bytes.translate`` classification pass,
+# then compacts the token bytes with a single boolean gather so only
+# the (cheap, hash-based) dictionary encode ever sees token strings.
+#
+# Whitespace must match Arrow's utf8_split_whitespace == Python
+# ``str.split()`` EXACTLY (the canonical tokenization is pinned to
+# Python semantics and property-tested against the oracle). Both use
+# the same set, derived empirically over all codepoints:
+#   1-byte: 09-0D, 1C-1F, 20
+#   2-byte: U+0085 (C2 85), U+00A0 (C2 A0)
+#   3-byte: U+1680, U+2000-200A, U+2028, U+2029, U+202F, U+205F, U+3000
+_F_WS = 1  # whitespace byte (token separator; multi-byte ws set at runtime)
+_F_NL = 2  # newline (0x0A)
+_F_SYM = 4  # codepoint start that matches SYMBOL_PATTERN for certain
+_F_DIA = 8  # C3/C4/C8 lead: trail byte decides diacritic vs symbol
+_F_WSL = 16  # C2/E1/E2/E3 lead: always a symbol; trail(s) decide ws
+_F_CONT = 32  # UTF-8 continuation byte (for codepoint-length math)
+
+_FLAGS = np.zeros(256, dtype=np.uint8)
+_FLAGS[:0x80] = _F_SYM  # default ASCII: symbol…
+for _c in b"0123456789":
+    _FLAGS[_c] = 0  # …unless allowed
+_FLAGS[ord("A") : ord("Z") + 1] = 0
+_FLAGS[ord("a") : ord("z") + 1] = 0
+for _c in (0x09, 0x0C, 0x0D, 0x20):
+    _FLAGS[_c] = _F_WS  # allowed whitespace: not a symbol
+_FLAGS[0x0A] = _F_WS | _F_NL
+for _c in (0x0B, 0x1C, 0x1D, 0x1E, 0x1F):
+    _FLAGS[_c] = _F_WS | _F_SYM  # splits tokens AND counts as symbol
+_FLAGS[0x80:0xC0] = _F_CONT
+_FLAGS[0xC0:0x100] = _F_SYM  # non-ASCII codepoint starts: symbol…
+for _c in (0xC3, 0xC4, 0xC8):
+    _FLAGS[_c] = _F_DIA  # …or maybe a Romanian diacritic
+for _c in (0xC2, 0xE1, 0xE2, 0xE3):
+    _FLAGS[_c] = _F_SYM | _F_WSL  # …or maybe (also) whitespace
+_FLAGS_TABLE = _FLAGS.tobytes()
+
+# 3-byte whitespace sequences packed (b0<<16)|(b1<<8)|b2
+_WS3_KEYS = np.sort(
+    np.array(
+        [int.from_bytes(chr(cp).encode("utf-8"), "big") for cp in
+         [0x1680, *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000]],
+        dtype=np.uint32,
+    )
+)
+
+
+def _byte_tokens(text: pa.Array) -> dict:
+    """One-pass tokenize + classify. Returns per-row ``n_words``,
+    ``sum_word_len``/``max_word_len`` (codepoints), the byte_stats
+    counts (``n_newlines``/``n_sym``/``n_dia``) and ``tok_arr`` — the
+    flat nonempty-token string array in row-major order (identical
+    content to ``list_flatten(utf8_split_whitespace(text))`` minus the
+    zero-length boundary tokens, which no consumer uses)."""
+    flat, lens = utf8_flat_view(text)
+    n = len(lens)
+    m = len(flat)
+    zeros = lambda: np.zeros(n, dtype=np.int64)  # noqa: E731
+    out = {
+        "n_words": zeros(),
+        "sum_word_len": zeros(),
+        "max_word_len": zeros(),
+        "n_newlines": zeros(),
+        "n_sym": zeros(),
+        "n_dia": zeros(),
+        "tok_arr": pa.array([], pa.string()),
+    }
+    if m == 0:
+        return out
+    ends = np.cumsum(lens)
+    cls = np.frombuffer(flat.tobytes().translate(_FLAGS_TABLE), np.uint8)
+    ws = (cls & _F_WS) > 0
+    # ONE flatnonzero finds every non-plain byte (newline / symbol /
+    # dia-candidate / ws-lead-candidate / continuation) — two separate
+    # scans for special-vs-continuation measured ~17 ms slower per 4k
+    # rows; per-kind subsets are cheap slices of the shared positions
+    # != 0 first: numpy's nonzero has a fast path for bool input
+    # (measured 2x over uint8) that pays for the extra compare pass
+    special = np.flatnonzero((cls & (_F_NL | _F_SYM | _F_DIA | _F_CONT)) != 0)
+    c = cls[special]
+
+    def per_row(*position_arrays: np.ndarray) -> np.ndarray:
+        outp = np.zeros(n, dtype=np.int64)
+        for pos in position_arrays:
+            cum = np.searchsorted(pos, ends, side="left")
+            outp += np.diff(cum, prepend=0)
+        return outp
+
+    nl_pos = special[(c & _F_NL) > 0]
+    cand = special[(c & _F_DIA) > 0]
+    sym_pos = special[(c & _F_SYM) > 0]
+    cont_pos = special[(c & _F_CONT) > 0]
+    if len(cand):
+        trail = flat[np.minimum(cand + 1, m - 1)]
+        ok = _DIA_PAIR_LUT[(flat[cand].astype(np.uint16) << 8) | trail]
+        # a lead at its row's last byte (invalid UTF-8) can't pair across rows
+        row = np.searchsorted(ends, cand, side="right")
+        ok &= ends[row] >= cand + 2
+        n_dia = per_row(cand[ok])
+        n_sym = per_row(sym_pos, cand[~ok])
+    else:
+        n_dia = zeros()
+        n_sym = per_row(sym_pos)
+    wsl = special[(c & _F_WSL) > 0]
+    if len(wsl):
+        row = np.searchsorted(ends, wsl, side="right")
+        rend = ends[row]
+        b0 = flat[wsl]
+        b1 = flat[np.minimum(wsl + 1, m - 1)]
+        b2 = flat[np.minimum(wsl + 2, m - 1)]
+        two = (b0 == 0xC2) & ((b1 == 0x85) | (b1 == 0xA0)) & (rend >= wsl + 2)
+        key = (
+            (b0.astype(np.uint32) << 16) | (b1.astype(np.uint32) << 8) | b2
+        )
+        three = np.isin(key, _WS3_KEYS) & (rend >= wsl + 3)
+        p2 = wsl[two]
+        p3 = wsl[three]
+        if len(p2):
+            ws[p2] = True
+            ws[p2 + 1] = True
+        if len(p3):
+            ws[p3] = True
+            ws[p3 + 1] = True
+            ws[p3 + 2] = True
+
+    nws = ~ws
+    prev_ws = np.empty(m, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    row_starts = ends - lens
+    prev_ws[row_starts[row_starts < m]] = True  # rows never merge tokens
+    starts = np.flatnonzero(nws & prev_ws)
+    next_ws = np.empty(m, dtype=bool)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    last_bytes = ends[lens > 0] - 1
+    next_ws[last_bytes] = True
+    tok_last = np.flatnonzero(nws & next_ws)
+    blens = tok_last - starts + 1
+
+    nw = np.diff(np.searchsorted(starts, ends, side="left"), prepend=0)
+    if len(cont_pos):
+        # codepoint len = byte len − continuation bytes inside the span.
+        # Search the (fewer) continuation positions into the token
+        # starts — the reverse direction measured ~5x slower — and
+        # bincount per token; continuation bytes of multi-byte
+        # WHITESPACE/symbol chars fall outside every token span and are
+        # masked out by the end-bound check.
+        tok_of = np.searchsorted(starts, cont_pos, side="right") - 1
+        inside = (tok_of >= 0) & (cont_pos <= tok_last[np.maximum(tok_of, 0)])
+        ncont = np.bincount(tok_of[inside], minlength=len(starts))
+        cp_lens = blens - ncont
+    else:
+        cp_lens = blens
+    out["n_words"] = nw
+    out["sum_word_len"] = _segment_sums(cp_lens, nw, "sum")
+    out["max_word_len"] = _segment_sums(cp_lens, nw, "max")
+    out["n_newlines"] = per_row(nl_pos)
+    out["n_sym"] = n_sym
+    out["n_dia"] = n_dia
+
+    # compact the token bytes (every non-ws byte belongs to exactly one
+    # token) with Arrow's SIMD filter kernel — ~2x the numpy boolean
+    # gather; packbits converts the mask to an Arrow bitmap zero-copy-ish
+    flat_arr = pa.Array.from_buffers(pa.uint8(), m, [None, pa.py_buffer(flat)])
+    mask = pa.Array.from_buffers(
+        pa.bool_(), m, [None, pa.py_buffer(np.packbits(nws, bitorder="little"))]
+    )
+    filtered = pc.filter(flat_arr, mask)
+    data = filtered.buffers()[1]
+    off = np.empty(len(blens) + 1, dtype=np.int64)
+    off[0] = 0
+    np.cumsum(blens, out=off[1:])
+    if off[-1] < 2**31:
+        out["tok_arr"] = pa.Array.from_buffers(
+            pa.string(),
+            len(blens),
+            [None, pa.py_buffer(off.astype(np.int32)), data],
+        )
+    else:
+        out["tok_arr"] = pa.Array.from_buffers(
+            pa.large_string(), len(blens), [None, pa.py_buffer(off), data]
+        )
+    return out
+
+
 _STOPWORDS_ARR = None  # built lazily (module import order safety)
 
 
@@ -234,38 +431,34 @@ def compute_text_stats(
     text = pc.fill_null(text, "")  # null text == empty turn
 
     n_chars = pc.utf8_length(text).cast(pa.int64())
-    bs = byte_stats(text)
-    n_lines = pa.array(bs["n_newlines"] + 1, pa.int64())
     nc = n_chars.to_numpy(zero_copy_only=False)
-    n_sym = bs["n_sym"]
-
-    words = pc.utf8_split_whitespace(text)
-    raw_lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = pc.list_flatten(words)
-    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-    nonempty = (flat_len > 0).astype(np.int64)
-
-    n_words = _segment_sums(nonempty, raw_lens, "sum")
-    sum_word_len = _segment_sums(flat_len, raw_lens, "sum")
-    max_word_len = _segment_sums(flat_len, raw_lens, "max")
+    # fused kernel: token spans, word stats and the byte_stats counts
+    # from one classification pass (replaces utf8_split_whitespace +
+    # per-token utf8_length + a separate byte_stats scan)
+    bk = _byte_tokens(text)
+    n_lines = pa.array(bk["n_newlines"] + 1, pa.int64())
+    n_sym = bk["n_sym"]
+    n_words = bk["n_words"]
+    sum_word_len = bk["sum_word_len"]
+    max_word_len = bk["max_word_len"]
 
     # lower+trim+lookup run on UNIQUE tokens only (dictionary encode):
     # natural text repeats tokens heavily, so this cuts the stopword
     # chain roughly in half (measured 62.6 → 35.1 ms on an 800k-token
     # batch); per-instance results come back via index gather
-    dic = flat.dictionary_encode()
+    dic = bk["tok_arr"].dictionary_encode()
     toks_u = pc.utf8_trim(pc.utf8_lower(dic.dictionary), PUNCT)
     stop_u = pc.is_in(toks_u, value_set=_stopword_set()).to_numpy(zero_copy_only=False)
     tok_idx = dic.indices.to_numpy(zero_copy_only=False)
     stop_mask = stop_u[tok_idx]
-    n_stop = _segment_sums(stop_mask.astype(np.int64), raw_lens, "sum")
+    n_stop = _segment_sums(stop_mask.astype(np.int64), n_words, "sum")
 
     with np.errstate(divide="ignore", invalid="ignore"):
         mean_word_len = np.where(n_words > 0, sum_word_len / np.maximum(n_words, 1), 0.0)
         stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
         sym_ratio = np.where(nc > 0, n_sym / np.maximum(nc, 1), 0.0)
 
-    dup = _dup_line_fracs(text, bs["n_newlines"] + 1)
+    dup = _dup_line_fracs(text, bk["n_newlines"] + 1)
 
     out = (
         batch.append_column("n_chars", n_chars)
@@ -281,13 +474,16 @@ def compute_text_stats(
         shared = {
             "tok_dict": toks_u,  # trimmed/lowered UNIQUE raw tokens
             "tok_idx": tok_idx,  # per-instance index into tok_dict
-            "raw_lens": raw_lens,  # tokens per row (incl. empty tokens)
+            "raw_lens": n_words,  # tokens per row (nonempty only)
             "n_words": n_words,
-            "n_dia": bs["n_dia"],
+            "n_dia": bk["n_dia"],
         }
         return out, shared
     if share_tokens:
         toks = toks_u.take(dic.indices)
-        toks_list = pa.ListArray.from_arrays(words.offsets, toks)
+        row_off = np.empty(len(n_words) + 1, dtype=np.int64)
+        row_off[0] = 0
+        np.cumsum(n_words, out=row_off[1:])
+        toks_list = pa.LargeListArray.from_arrays(row_off, toks)
         out = out.append_column("_toks", toks_list)
     return out

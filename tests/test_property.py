@@ -115,6 +115,36 @@ def test_byte_stats_matches_re2(texts):
     assert (bs["n_dia"] == dia).all()
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=150), min_size=1, max_size=10))
+def test_byte_tokens_matches_arrow_split(texts):
+    """The fused tokenizer kernel must produce exactly the nonempty
+    tokens of ``utf8_split_whitespace`` (== Python ``str.split()``),
+    the same per-row counts / codepoint length stats, and byte_stats'
+    counts — on arbitrary Unicode including multi-byte whitespace."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fineweb2_ro_ray.functions.textstats import _byte_tokens, byte_stats
+
+    arr = pa.array(texts, pa.string())
+    bk = _byte_tokens(arr)
+    bs = byte_stats(arr)
+    for k in ("n_newlines", "n_sym", "n_dia"):
+        assert (bk[k] == bs[k]).all(), k
+    rows = [([] if t is None else t.split()) for t in texts]
+    ref_toks = [tok for r in rows for tok in r]
+    assert bk["tok_arr"].to_pylist() == ref_toks
+    assert (bk["n_words"] == np.array([len(r) for r in rows])).all()
+    assert (
+        bk["sum_word_len"] == np.array([sum(len(t) for t in r) for r in rows])
+    ).all()
+    assert (
+        bk["max_word_len"]
+        == np.array([max((len(t) for t in r), default=0) for r in rows])
+    ).all()
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.lists(
