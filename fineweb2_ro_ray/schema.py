@@ -96,7 +96,21 @@ def from_pandas_like(df, like: pa.Table, **kwargs) -> pa.Table:
     fields = []
     for f in t.schema:
         idx = like.schema.get_field_index(f.name)
-        fields.append(f if idx < 0 else pa.field(f.name, like.schema.field(idx).type))
+        if idx < 0:
+            fields.append(f)
+            continue
+        # pin ONLY where the pandas round-trip is ambiguous — an
+        # all-null/empty column (object all-NaN re-infers as double) or
+        # an integer column upcast to float by null padding. A column
+        # the function deliberately re-typed (e.g. strftime to string)
+        # must keep its new type, not be cast back.
+        lt = like.schema.field(idx).type
+        col = t.column(f.name)
+        all_null = col.null_count == len(t)
+        lossy = pa.types.is_null(f.type) or (
+            pa.types.is_floating(f.type) and pa.types.is_integer(lt)
+        )
+        fields.append(pa.field(f.name, lt) if (all_null or lossy) else f)
     return t.cast(pa.schema(fields))
 
 
