@@ -527,3 +527,41 @@ def test_adaptive_filter_and_retention_null_edges(tmp_path):
     kept = con.execute(O["filter_adaptive"]).df()
     assert 5 not in kept["doc_id"].tolist() and 7 not in kept["doc_id"].tolist()
     assert 6 in kept["doc_id"].tolist()
+
+
+def test_from_pandas_like_pins_only_lossy_columns():
+    """The type pin must restore all-null / int-upcast columns to the
+    source block's types but NOT undo a deliberate re-type (e.g. a
+    strftime'd timestamp — the events_rolling regression)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from fineweb2_ro_ray.schema import from_pandas_like
+
+    like = pa.table(
+        {
+            "k": pa.array(["a", "b"], pa.string()),
+            "n": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }
+    )
+    df = pd.DataFrame(
+        {
+            "k": [None, None],  # all-null object -> must pin back to string
+            "n": [1.0, np.nan],  # int null-padded to float -> pin to int64
+            "ts": ["2024-01-17 14:58:50", "2024-01-18 00:00:00"],  # re-typed
+            "extra": [0.5, 1.5],  # not in like -> keep inferred
+        }
+    )
+    t = from_pandas_like(df, like)
+    assert t.schema.field("k").type == pa.string()
+    assert t.schema.field("n").type == pa.int64()
+    assert t.schema.field("ts").type == pa.string()  # NOT cast back
+    assert t.schema.field("extra").type == pa.float64()
+    assert t.column("ts").to_pylist() == ["2024-01-17 14:58:50", "2024-01-18 00:00:00"]
+
+    # empty frame: every shared column pins to the source type
+    t0 = from_pandas_like(df.iloc[:0], like)
+    assert t0.schema.field("k").type == pa.string()
+    assert t0.schema.field("n").type == pa.int64()
