@@ -61,10 +61,19 @@ _PAIR_DT = np.dtype([("g1", "<u8"), ("g2", "<u8")])
 
 
 def _word_hashes(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    obj = flat.to_numpy(zero_copy_only=False)
-    h1 = pd.util.hash_array(obj, hash_key=_H1_KEY, categorize=True)
-    h2 = pd.util.hash_array(obj, hash_key=_H2_KEY, categorize=True)
-    return h1.astype(np.uint64), h2.astype(np.uint64)
+    # hash UNIQUE words only (dictionary encode) and gather per
+    # instance — hash_array is elementwise-deterministic so the values
+    # are identical to hashing every instance, but natural text repeats
+    # words heavily: the object conversion + two hash passes shrink
+    # from the full word stream to the vocabulary (~600 -> ~55 ms per
+    # 1.5M-word batch). flat never contains nulls (split of a non-null
+    # string; null texts produce null LISTS, which list_flatten skips).
+    dic = flat.dictionary_encode()
+    uobj = dic.dictionary.to_numpy(zero_copy_only=False)
+    idx = dic.indices.to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(uobj, hash_key=_H1_KEY, categorize=False).astype(np.uint64)
+    h2 = pd.util.hash_array(uobj, hash_key=_H2_KEY, categorize=False).astype(np.uint64)
+    return h1[idx], h2[idx]
 
 
 def _poly_windows(h: np.ndarray, k: int, base: np.uint64) -> np.ndarray:
