@@ -62,17 +62,30 @@ def _part_codes(t: pa.Table, keys: list[str], n_reducers: int) -> np.ndarray:
 
 
 @ray.remote
-def _split_block(t, n_reducers: int, key: str | list[str]) -> tuple:
-    """Map side: one task per upstream block; returns ``n_reducers``
-    table slices. A single STRING key routes via the engine-pinned
-    crc32 partition hash (computed per *unique* key — cheap for
-    multi-turn conversations); other keys via the canonical hash.
+def _split_block(n_reducers: int, key: str | list[str], *blocks) -> tuple:
+    """Map side: one task per GROUP of upstream blocks (the driver
+    coalesces small blocks to ~64 MB per task — an actor-pool stage
+    emits one ~batch-sized block per call, and splitting each of ~1500
+    such blocks into P slices floods the object store with M x P tiny
+    objects; grouping cuts both the object count and the reduce-side
+    concat fan-in ~an order of magnitude). Returns ``n_reducers`` table
+    slices. A single STRING key routes via the engine-pinned crc32
+    partition hash (computed per *unique* key — cheap for multi-turn
+    conversations); other keys via the canonical hash.
 
-    Accepts a pandas-backed block too (Ray stores ``from_pandas`` /
+    Accepts pandas-backed blocks too (Ray stores ``from_pandas`` /
     pandas-map_groups outputs as DataFrames): converted to Arrow here,
     metadata-stripped."""
-    if isinstance(t, pd.DataFrame):
-        t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
+    tabs = [
+        pa.Table.from_pandas(b, preserve_index=False).replace_schema_metadata(None)
+        if isinstance(b, pd.DataFrame)
+        else b
+        for b in blocks
+    ]
+    live = [t for t in tabs if t.num_rows > 0]
+    # Ray 2.49 map operators emit 0-row blocks with an EMPTY schema (no
+    # key column to hash) — drop them unless everything is empty
+    t = pa.concat_tables(live).combine_chunks() if live else tabs[0]
     if t.num_rows == 0:
         # Ray 2.49 map operators emit 0-row blocks with an EMPTY schema
         # (no key column to hash); route an empty slice everywhere —
@@ -169,11 +182,30 @@ def hash_exchange_map_groups(
     # materialize() until every split ran (peak object-store residency
     # ~1x the exchanged bytes, not 2x). The reduce barrier below is
     # unchanged: it is inherent to any hash exchange.
-    splits = [
-        _split_block.options(num_returns=p).remote(r, p, key)
-        for bundle in ds.iter_internal_ref_bundles()
-        for r in bundle.block_refs
-    ]
+    # coalesce the upstream stream into ~64 MB map tasks: each split
+    # task still launches as soon as its group fills, preserving the
+    # map/compute overlap, but the exchange's object count drops from
+    # (upstream blocks x P) to (bytes/64MB x P)
+    import os
+
+    target = int(os.environ.get("FW2_EXCHANGE_SPLIT_BYTES", str(64 << 20)))
+    splits, pend, pend_bytes = [], [], 0
+
+    def _flush() -> None:
+        nonlocal pend, pend_bytes
+        if pend:
+            splits.append(
+                _split_block.options(num_returns=p).remote(p, key, *pend)
+            )
+            pend, pend_bytes = [], 0
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for r, meta in zip(bundle.block_refs, bundle.metadata):
+            pend.append(r)
+            pend_bytes += meta.size_bytes or 0
+            if pend_bytes >= target or len(pend) >= 128:
+                _flush()
+    _flush()
     if not splits:
         # zero bundles yielded: empty input. Preserve the output schema
         # when pinned; else fall back to the (empty, cheap) plan.
