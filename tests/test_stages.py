@@ -2285,3 +2285,72 @@ def test_pack_spans_scan_exact(ray_session):
 
     qdf = quantile_sketch(empty, "n_tok", [25.0, 75.0])
     assert qdf["q"].tolist() == [25.0, 75.0] and qdf["value"].isna().all()
+
+
+def test_hash_exchange_coalesced_split_groups(ray_session):
+    """The map-side block coalescing must be invisible: many tiny
+    upstream blocks (smaller than the 64MB target, forcing real
+    grouping), interleaved 0-row blocks, and a pandas-backed upstream
+    all reduce to the same grouped result as a driver-side pandas
+    groupby."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for i in range(40):  # 40 tiny blocks, some empty
+        m = 0 if i % 7 == 3 else int(rng.integers(1, 50))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "k": [f"g{int(x)}" for x in rng.integers(0, 13, m)],
+                    "v": rng.integers(0, 100, m).astype(np.int64),
+                }
+            )
+        )
+    # from_pandas keeps per-frame blocks; override_num_blocks not needed
+    ds = rd.from_pandas(frames)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False)["v"].sum()
+
+    got = (
+        hash_exchange_map_groups(ds, per_part, key="k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.concat(frames)
+        .groupby("k", as_index=False)["v"]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_exchange_split_bytes_env_override(ray_session, monkeypatch):
+    """FW2_EXCHANGE_SPLIT_BYTES=0 degenerates to one split task per
+    upstream block — result identical."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    monkeypatch.setenv("FW2_EXCHANGE_SPLIT_BYTES", "0")
+    frames = [
+        pd.DataFrame({"k": ["a", "b"], "v": [i, 2 * i]}) for i in range(6)
+    ]
+    ds = rd.from_pandas(frames)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False)["v"].sum()
+
+    got = (
+        hash_exchange_map_groups(ds, per_part, key="k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("list") == {"k": ["a", "b"], "v": [15, 30]}
