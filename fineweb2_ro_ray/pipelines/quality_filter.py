@@ -49,6 +49,18 @@ def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(path, schema=clean_parquet_schema(first))
 
 
+def read_transcripts_pruned(path: str | list[str], columns: list[str]) -> ray.data.Dataset:
+    """S1 with column projection pushed INTO the Parquet scan — only the
+    named columns leave storage (prune-at-the-read rule; the flagship
+    never consumes ``tool``)."""
+    from ..schema import clean_parquet_schema
+
+    first = path[0] if isinstance(path, list) else path
+    sch = clean_parquet_schema(first)
+    pruned = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=pruned, columns=columns)
+
+
 def _default_pool() -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the cluster: three scorer
     pools must coexist with the task stages, so each pool may grow to
@@ -485,6 +497,11 @@ def run_flagship(
         ]
     )
     ds = annotate(
-        read_transcripts(input_path), cfg, batch_size=batch_size, project=project
+        read_transcripts_pruned(
+            input_path, ["conv_id", "turn_idx", "role", "text", "ts"]
+        ),
+        cfg,
+        batch_size=batch_size,
+        project=project,
     )
     return reassemble(ds, input_schema=ann_schema)
