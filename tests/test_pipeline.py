@@ -193,3 +193,30 @@ def test_flagship_has_exactly_one_shuffle():
         b = out2.to_pandas().sort_values("conv_id", ignore_index=True)
         pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
         assert len(a) == 40
+
+
+def test_unfused_annotate_matches_fused(ray_session, tmp_path):
+    """annotate(fused=False) — the stage-per-operator layout whose LID
+    stage consumes the transient ``_toks`` column — must produce rows
+    identical to the fused actor chain (same keep/drop, scores and
+    scrubbed text for every turn)."""
+    from fineweb2_ro_ray.pipelines.quality_filter import annotate, read_transcripts
+    from fineweb2_ro_ray.sources.synth import write_transcripts
+
+    d = str(tmp_path / "uf_in")
+    write_transcripts(d, 120, seed=23)
+    cols = ["conv_id", "turn_idx", "keep", "drop_reason", "lang", "lang_score",
+            "ppl", "pii_hits", "tox_hits", "scrubbed_text", "n_words",
+            "stopword_ratio", "symbol_ratio"]
+
+    def get(fused):
+        df = annotate(read_transcripts(d), fused=fused).to_pandas()
+        return (
+            df[cols]
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    a, b = get(True), get(False)
+    assert "_toks" not in b.columns
+    pd.testing.assert_frame_equal(a, b)
