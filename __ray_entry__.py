@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_search": _q_multimodal_search,
         "train_distill": P.q_train_distill,
+        "lm_bigram_counts": P.q_lm_bigram_counts,
+        "doc_lm_ppl": P.q_doc_lm_ppl,
     }
 
 
@@ -1287,5 +1289,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM r WHERE rnk <= 10
+        """,
+        "lm_bigram_counts": """
+            WITH w AS (
+                SELECT doc_id, w,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS ord
+                    FROM documents
+                )
+                WHERE len(w) > 0
+            )
+            SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n
+            FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
     }

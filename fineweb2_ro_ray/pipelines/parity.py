@@ -2771,3 +2771,27 @@ def q_doc_shuffle_order(sf_dir: str):
     from ..stages.packing import shuffle_positions
 
     return shuffle_positions(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def q_lm_bigram_counts(sf_dir: str):
+    """Corpus-trained LM fit surface (CCNet-style; arXiv:1911.00359):
+    exact in-document adjacent word-bigram counts ≥ 2 over the corpus —
+    per-batch Arrow group_by partials summed on one thin keyed
+    exchange; only (gram, count) rows shuffle, never the text."""
+    from ..stages.lm import bigram_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_counts(docs, min_count=2)
+
+
+def q_doc_lm_ppl(sf_dir: str):
+    """Fit the word-bigram LM on the corpus and score every document's
+    add-alpha perplexity under it (the CCNet self-ppl diagnostic; the
+    quality-filter flow scores a TARGET corpus with the same broadcast
+    model). Rows-only: per-doc float log-prob sums are reduceat-order
+    deterministic but not SQL-reproducible; exactness is pytest-gated
+    against a pure-Python oracle."""
+    from ..stages.lm import lm_ppl_pipeline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_ppl_pipeline(docs, min_count=2)

@@ -2354,3 +2354,67 @@ def test_hash_exchange_split_bytes_env_override(ray_session, monkeypatch):
         .reset_index(drop=True)
     )
     assert got.to_dict("list") == {"k": ["a", "b"], "v": [15, 30]}
+
+
+def test_lm_ppl_matches_pure_python_oracle(ray_session):
+    """The corpus-trained word-bigram LM: fit counts are exact, and
+    every document's add-alpha perplexity matches an independent
+    pure-Python recompute; results are identical across batch sizes
+    (per-doc fixed-order reduction)."""
+    import math
+
+    from fineweb2_ro_ray.stages.lm import fit_word_bigram_counts, lm_ppl_pipeline
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts, ids = [], []
+    for i in range(80):
+        k = int(rng.integers(0, 9))
+        words = [vocab[int(x)] for x in rng.integers(0, len(vocab), k)]
+        t = " ".join(words)
+        if i % 11 == 4:
+            t += "  "  # doubled separator: empty word must be dropped
+        texts.append(t if i % 17 else None)
+        ids.append(i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    # pure-Python oracle
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    docs_words = []
+    for txt in texts:
+        ws = [w for w in (txt or "").split(" ") if w]
+        docs_words.append(ws)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    min_count, alpha = 2, 1.0
+    V = sum(1 for w, c in uni.items() if c >= min_count)
+    vv = {w for w, c in uni.items() if c >= min_count}
+    bi_kept = {p: c for p, c in bi.items() if c >= min_count and p[0] in vv and p[1] in vv}
+
+    def oracle_ppl(ws):
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            return 0.0
+        s = 0.0
+        for w1, w2 in pairs:
+            c2 = bi_kept.get((w1, w2), 0) if (w1 in vv and w2 in vv) else 0
+            c1 = uni[w1] if w1 in vv else 0
+            s += math.log(c2 + alpha) - math.log(c1 + alpha * (V + 1))
+        return math.exp(-s / len(pairs))
+
+    for bs in (7, 80):
+        ds = rd.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=bs
+        )
+        model = fit_word_bigram_counts(ds, min_count=min_count, alpha=alpha)
+        assert len(model["vocab"]) == V
+        got = (
+            lm_ppl_pipeline(ds, min_count=min_count, alpha=alpha)
+            .to_pandas()
+            .sort_values("doc_id")["lm_ppl"]
+            .to_numpy()
+        )
+        want = np.array([oracle_ppl(ws) for ws in docs_words])
+        assert np.allclose(got, want, rtol=1e-12), np.abs(got - want).max()
