@@ -334,7 +334,7 @@ def _byte_tokens(text: pa.Array) -> dict:
     blens = tok_last - starts + 1
 
     nw = np.diff(np.searchsorted(starts, ends, side="left"), prepend=0)
-    if len(cont_pos):
+    if len(cont_pos) and len(starts):
         # codepoint len = byte len − continuation bytes inside the span.
         # Search the (fewer) continuation positions into the token
         # starts — the reverse direction measured ~5x slower — and

@@ -145,6 +145,22 @@ def test_byte_tokens_matches_arrow_split(texts):
     ).all()
 
 
+def test_byte_tokens_all_whitespace_with_multibyte_ws():
+    """Regression: a batch with zero tokens but multi-byte whitespace
+    (NBSP / U+3000) used to IndexError in the continuation-byte branch
+    (``starts`` empty while ``cont_pos`` non-empty)."""
+    from fineweb2_ro_ray.functions.textstats import _byte_tokens, compute_text_stats
+
+    for texts in ([" "], ["　"], [" 　  "], ["", " "]):
+        arr = pa.array(texts, pa.string())
+        bk = _byte_tokens(arr)
+        assert bk["tok_arr"].to_pylist() == []
+        assert (bk["n_words"] == 0).all()
+        t = _mini(texts)
+        out = compute_text_stats(t)
+        assert out["n_words"].to_pylist() == [0] * len(texts)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.lists(
