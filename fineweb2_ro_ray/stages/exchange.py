@@ -1,4 +1,4 @@
-"""Raw-Ray two-stage hash exchange for keyed map_groups.
+"""Raw-Ray tree-merged hash exchange for keyed map_groups.
 
 This is the engine's one deliberate drop below the Dataset API (the
 "raw tasks only where Dataset can't express it" rule): Ray Data 2.49
@@ -11,32 +11,60 @@ the flagship wall (Sort 51 s vs 19 s of scoring compute at sf-bench,
 scripts/profile_flagship.py), and a multi-second fixed floor per
 groupby on small inputs (sampling pass + sort tasks + merge).
 
-Shape (classic push-based hash shuffle, the same exchange the
-reference delegates to its external dedup/shuffle tooling for):
+Shape (push-based hash shuffle with a tree-merge reduce fan-in, the
+same exchange the reference delegates to its external dedup/shuffle
+tooling for):
 
-    M map tasks    — split each upstream block into P slices by a
-                     canonical 64-bit key hash (``schema.hash_key_u64``
-                     per key column, splitmix64-combined; single string
-                     keys use the engine-pinned crc32 of
-                     ``state.checkpoint.add_partition_column``);
-    P reduce tasks — concat their M slices, run ONE vectorized
-                     reduce_fn over the whole partition (every key's
-                     rows are now co-located), emit an Arrow block.
+    M map tasks     — split each ~64 MB group of upstream blocks into
+                      P slices by a canonical 64-bit key hash
+                      (``schema.hash_key_u64`` per key column,
+                      splitmix64-combined; single string keys use the
+                      engine-pinned crc32 of
+                      ``state.checkpoint.add_partition_column``);
+    merge levels    — per reduce partition, slices are concatenated in
+                      a tree with fan-in F (default 64): M slices →
+                      ⌈M/F⌉ merged chunks → … until ≤ F chunks remain.
+                      With M ≤ F (every local run) the tree is empty
+                      and the wiring is identical to a flat exchange.
+    P reduce tasks  — concat their ≤ F chunks, run ONE vectorized
+                      reduce_fn over the whole partition (every key's
+                      rows are now co-located), emit an Arrow block.
 
 vs the sort-based groupby: no sampling pass, no per-block sort, no
-merge heap; each byte crosses the object store exactly once. Object
-count is M x P — the same as the sort's shuffle-block count. Both are
-all-to-all pipeline BARRIERS (the input materializes either way).
+merge heap. Both are all-to-all pipeline BARRIERS (the input
+materializes either way — no reducer can finish before every map ran).
 
-Scale notes (100 TB): pick ``n_reducers`` ~ input_bytes / 256 MB so a
-reduce partition fits a worker's heap; skewed keys skew only their
-partition (a key's rows must land in one reducer — thinning partitions
-is the lever). Map outputs are plain object-store objects, so Ray
-spills them to disk under memory pressure exactly as it spills sort
-blocks."""
+Reducer count ``P`` auto-sizes from the STREAMED input bytes:
+``P = clamp(bytes / FW2_EXCHANGE_PARTITION_BYTES, min = max(8,
+2 x cluster CPUs), max = FW2_EXCHANGE_MAX_REDUCERS)`` with a 256 MB
+default partition target, so a reduce partition fits a worker heap at
+any input size instead of scaling with driver-visible CPU count.
+Callers with key-cardinality knowledge can still pass ``n_reducers``.
+
+Scale notes (100 TB, 256 MB partitions → P ≈ 4e5, M ≈ 1.6e6 map
+groups): the tree merge bounds every task's ref fan-in at F (the flat
+exchange handed each reducer all M slice refs — ~1.6e6 task args — and
+concatenated them in one go). The driver still transiently holds the
+M x P slice-ref matrix while wiring the first merge level; collapsing
+that needs shuffle-segment files outside the object store
+(Magnet-style), which no object-store exchange — Ray's own sort
+included — avoids. Skewed keys skew only their partition (a key's rows
+must land in one reducer — thinning partitions is the lever, and
+byte-based P sizing does exactly that). Map outputs are plain
+object-store objects, so Ray spills them to disk under memory pressure
+exactly as it spills sort blocks.
+
+Fault tolerance: split / merge / reduce are stateless idempotent tasks
+(``max_retries`` applies, default 3). A worker death re-runs the dead
+task; a LOST intermediate slice is rebuilt by Ray's lineage
+reconstruction re-running its producer split. Proven by
+``tests/test_exchange_faults.py`` (SIGKILL of a split worker and of a
+reduce worker mid-run → byte-identical output).
+"""
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -45,6 +73,50 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+
+def _concat_named(tabs: list[pa.Table], where: str) -> pa.Table:
+    """``pa.concat_tables`` that, on schema drift between blocks (a
+    producer that bypassed ``from_pandas_like`` type pinning), fails
+    with the mismatching schemas named instead of a bare Arrow error —
+    the coalesced map side concats up to 128 upstream blocks, so the
+    failure needs enough context to find the odd producer."""
+    try:
+        return pa.concat_tables(tabs)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        try:
+            return pa.concat_tables(tabs, promote_options="permissive")
+        except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+            uniq: list[str] = []
+            for t in tabs:
+                s = str(t.schema)
+                if s not in uniq:
+                    uniq.append(s)
+            raise ValueError(
+                f"exchange {where}: schema drift across {len(tabs)} blocks "
+                f"({len(uniq)} distinct schemas, not permissively unifiable):\n"
+                + "\n---\n".join(uniq[:4])
+            ) from e
+
+
+# Test-only fault injection: set to ("split"|"merge"|"reduce",
+# marker_path) and the FIRST task of that stage to run SIGKILLs its
+# worker (atomically claimed via O_EXCL on the marker, so exactly one
+# instance dies and its retry proceeds). Read driver-side at wiring
+# time and shipped into tasks as a plain argument — no env plumbing.
+# Exercised by tests/test_exchange_faults.py to prove the exchange's
+# task-retry / lineage-reconstruction semantics.
+_TEST_FAILPOINT: tuple[str, str] | None = None
+
+
+def _maybe_die(failpoint: tuple[str, str] | None, stage: str) -> None:
+    if failpoint is not None and failpoint[0] == stage:
+        try:
+            fd = os.open(failpoint[1], os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            return  # this stage already died once; the retry proceeds
+        os.kill(os.getpid(), 9)
 
 
 def _part_codes(t: pa.Table, keys: list[str], n_reducers: int) -> np.ndarray:
@@ -62,7 +134,12 @@ def _part_codes(t: pa.Table, keys: list[str], n_reducers: int) -> np.ndarray:
 
 
 @ray.remote
-def _split_block(n_reducers: int, key: str | list[str], *blocks) -> tuple:
+def _split_block(
+    n_reducers: int,
+    key: str | list[str],
+    failpoint: tuple[str, str] | None,
+    *blocks,
+) -> tuple:
     """Map side: one task per GROUP of upstream blocks (the driver
     coalesces small blocks to ~64 MB per task — an actor-pool stage
     emits one ~batch-sized block per call, and splitting each of ~1500
@@ -76,6 +153,7 @@ def _split_block(n_reducers: int, key: str | list[str], *blocks) -> tuple:
     Accepts pandas-backed blocks too (Ray stores ``from_pandas`` /
     pandas-map_groups outputs as DataFrames): converted to Arrow here,
     metadata-stripped."""
+    _maybe_die(failpoint, "split")
     tabs = [
         pa.Table.from_pandas(b, preserve_index=False).replace_schema_metadata(None)
         if isinstance(b, pd.DataFrame)
@@ -85,11 +163,10 @@ def _split_block(n_reducers: int, key: str | list[str], *blocks) -> tuple:
     live = [t for t in tabs if t.num_rows > 0]
     # Ray 2.49 map operators emit 0-row blocks with an EMPTY schema (no
     # key column to hash) — drop them unless everything is empty
-    t = pa.concat_tables(live).combine_chunks() if live else tabs[0]
+    t = _concat_named(live, "map-side split").combine_chunks() if live else tabs[0]
     if t.num_rows == 0:
-        # Ray 2.49 map operators emit 0-row blocks with an EMPTY schema
-        # (no key column to hash); route an empty slice everywhere —
-        # the reduce side drops row-less chunks before concat
+        # route an empty slice everywhere — the reduce side drops
+        # row-less chunks before concat
         return tuple(t for _ in range(n_reducers))
     if isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
         from ..state.checkpoint import add_partition_column
@@ -119,23 +196,39 @@ def _num_rows(t: pa.Table) -> int:
 
 
 @ray.remote
+def _merge_slices(failpoint: tuple[str, str] | None, *chunks: pa.Table) -> pa.Table:
+    """Intermediate tree-merge level: concatenate up to F same-partition
+    slices into one object. Pure data movement — no reduce_fn — so it
+    is trivially idempotent/retryable and keeps per-task ref fan-in at
+    F however many map groups ran."""
+    _maybe_die(failpoint, "merge")
+    live = [c for c in chunks if c.num_rows > 0]
+    if not live:
+        return chunks[0]
+    return _concat_named(live, "tree merge").combine_chunks()
+
+
+@ray.remote
 def _reduce_partition(
     fn: Callable,
     out_schema: pa.Schema | None,
     batch_format: str,
+    failpoint: tuple[str, str] | None,
     *chunks: pa.Table,
 ) -> pa.Table:
-    """Reduce side: all of one partition's slices → one vectorized
-    ``fn`` call → one Arrow block. ``out_schema`` pins the output type
-    so an empty partition emits a schema-identical empty block (pandas
-    would otherwise upcast empty columns to object/float64)."""
+    """Reduce side: all of one partition's (merged) chunks → one
+    vectorized ``fn`` call → one Arrow block. ``out_schema`` pins the
+    output type so an empty partition emits a schema-identical empty
+    block (pandas would otherwise upcast empty columns to
+    object/float64)."""
+    _maybe_die(failpoint, "reduce")
     live = [c for c in chunks if c.num_rows > 0]
     if not live:
         # every upstream slice was a 0-row (possibly empty-SCHEMA) block
         if out_schema is not None:
             return out_schema.empty_table()
         return chunks[0]  # degenerate; pruned by the 0-row filter below
-    t = pa.concat_tables(live).combine_chunks()
+    t = _concat_named(live, "reduce concat").combine_chunks()
     if batch_format == "pyarrow":
         out_t = fn(t)
         return out_t.cast(out_schema) if out_schema is not None else out_t
@@ -148,6 +241,19 @@ def _reduce_partition(
     # partition whose string key is entirely null would re-infer as
     # double and poison any downstream concat/to_pandas
     return from_pandas_like(out, t)
+
+
+def _auto_reducers(total_bytes: int, cpus: int) -> int:
+    """Byte-based reducer count: one reducer per
+    ``FW2_EXCHANGE_PARTITION_BYTES`` (default 256 MB) of map input, so
+    a reduce partition fits a worker heap at any scale, clamped below
+    by the parallelism floor ``max(8, 2 x CPUs)`` (small inputs) and
+    above by ``FW2_EXCHANGE_MAX_REDUCERS`` (ref-matrix guard)."""
+    part_bytes = int(os.environ.get("FW2_EXCHANGE_PARTITION_BYTES", str(256 << 20)))
+    cap = int(os.environ.get("FW2_EXCHANGE_MAX_REDUCERS", str(1 << 16)))
+    floor = max(8, 2 * cpus)
+    by_bytes = -(-total_bytes // part_bytes) if total_bytes > 0 else 0
+    return max(2, min(cap, max(floor, by_bytes)))
 
 
 def hash_exchange_map_groups(
@@ -170,52 +276,74 @@ def hash_exchange_map_groups(
     EVERY row of each key in the partition (a pandas frame, or an
     Arrow table with ``batch_format="pyarrow"``) and groups
     internally. Unlike ``map_groups`` it is called once per PARTITION,
-    not per key — no bucket pre-binning column needed."""
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    p = n_reducers or max(8, 2 * cpus)
-    p = max(2, p)  # num_returns>=2 so _split_block returns a tuple of refs
-    # Map side consumes the upstream STREAM: split tasks launch as the
-    # executor yields each block, overlapping the exchange's map phase
-    # with upstream compute, and — because the driver drops each block
-    # ref once its split task holds it — letting Ray free upstream
-    # blocks incrementally instead of pinning the whole input in a
-    # materialize() until every split ran (peak object-store residency
-    # ~1x the exchanged bytes, not 2x). The reduce barrier below is
-    # unchanged: it is inherent to any hash exchange.
-    # coalesce the upstream stream into ~64 MB map tasks: each split
-    # task still launches as soon as its group fills, preserving the
-    # map/compute overlap, but the exchange's object count drops from
-    # (upstream blocks x P) to (bytes/64MB x P)
-    import os
+    not per key — no bucket pre-binning column needed.
 
+    ``n_reducers=None`` auto-sizes from the streamed input bytes (see
+    ``_auto_reducers``); pass it explicitly only when key cardinality
+    is known to be small."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # Consume the upstream STREAM, coalescing blocks into ~64 MB map
+    # groups, and measure total bytes as we go — the byte count sizes
+    # the reducer fleet, so map tasks launch after the stream drains.
+    # That launch deferral costs no reduce-side wall time (the exchange
+    # is a barrier either way: no reducer can start until every split
+    # ran) and only delays split CPU work that previously competed
+    # with the upstream stage for the same cores; the driver drops each
+    # block ref once its group is recorded, so upstream blocks are
+    # freed/spilled incrementally as splits consume them.
     target = int(os.environ.get("FW2_EXCHANGE_SPLIT_BYTES", str(64 << 20)))
-    splits, pend, pend_bytes = [], [], 0
+    groups: list[list] = []
+    pend: list = []
+    pend_bytes = 0
+    total_bytes = 0
 
     def _flush() -> None:
         nonlocal pend, pend_bytes
         if pend:
-            splits.append(
-                _split_block.options(num_returns=p).remote(p, key, *pend)
-            )
+            groups.append(pend)
             pend, pend_bytes = [], 0
 
     for bundle in ds.iter_internal_ref_bundles():
         for r, meta in zip(bundle.block_refs, bundle.metadata):
             pend.append(r)
-            pend_bytes += meta.size_bytes or 0
+            b = meta.size_bytes or 0
+            pend_bytes += b
+            total_bytes += b
             if pend_bytes >= target or len(pend) >= 128:
                 _flush()
     _flush()
-    if not splits:
+    if not groups:
         # zero bundles yielded: empty input. Preserve the output schema
         # when pinned; else fall back to the (empty, cheap) plan.
         if out_schema is not None:
             return ray.data.from_arrow(out_schema.empty_table())
         return ds.materialize()
-    outs = [
-        _reduce_partition.remote(fn, out_schema, batch_format, *[s[i] for s in splits])
-        for i in range(p)
+    p = n_reducers or _auto_reducers(total_bytes, cpus)
+    p = max(2, p)  # num_returns>=2 so _split_block returns a tuple of refs
+    fp = _TEST_FAILPOINT
+    splits = [
+        _split_block.options(num_returns=p).remote(p, key, fp, *g) for g in groups
     ]
+    del groups
+    # Tree-merge each partition's slice column with bounded fan-in F:
+    # with M <= F (every local-scale run) no merge task is created and
+    # the wiring degenerates to the flat exchange; beyond that, each
+    # level collapses F refs into one object until a reducer's argument
+    # list fits F. Slice refs are dropped level by level, so Ray frees
+    # consumed intermediate objects as the tree drains.
+    fanin = max(2, int(os.environ.get("FW2_EXCHANGE_MERGE_FANIN", "64")))
+    outs = []
+    for i in range(p):
+        refs = [s[i] for s in splits]
+        while len(refs) > fanin:
+            refs = [
+                _merge_slices.remote(fp, *refs[j : j + fanin])
+                for j in range(0, len(refs), fanin)
+            ]
+        outs.append(
+            _reduce_partition.remote(fn, out_schema, batch_format, fp, *refs)
+        )
+    del splits
     # drop 0-row partitions: Ray's map operators emit an EMPTY-SCHEMA
     # block for a 0-row input block (observed on 2.49), which then
     # poisons any downstream keyed stage with a KeyError; the exchange

@@ -12,11 +12,24 @@ and filter a target corpus by perplexity.
 Shape:
 
 - **fit** — ONE ``map_batches`` pass emits per-batch Arrow ``group_by``
-  count partials (unigrams and in-document adjacent bigrams); a thin
-  keyed exchange sums them exactly (integer counts, order-free). Only
-  (gram, count) rows ever shuffle — never the corpus. The driver pulls
-  the PRUNED model (``min_count`` floors both tables), which is then a
+  count partials for unigrams AND in-document adjacent bigrams as one
+  union table (``w2`` null ⇒ unigram row); ONE thin keyed exchange
+  sums them exactly (integer counts, order-free). Only (gram, count)
+  rows ever shuffle — never the corpus. ``total_tokens`` and the
+  ``min_count`` prune are computed DISTRIBUTED on the summed counts;
+  the driver pulls only the pruned tables, which are then a
   broadcast-sized artifact like any other frozen scorer state.
+- **artifact** — :func:`save_lm_artifact` persists the pruned counts
+  as hash-partitioned Parquet (``part=K/counts.parquet`` + meta.json,
+  the ``stages.incremental`` layout) WITHOUT the counts ever visiting
+  the driver — the 100-TB fit path, where even the pruned bigram table
+  can reach tens of GB. :func:`score_word_bigram_artifact` routes by
+  artifact size: under ``max_broadcast_bytes`` it loads once and
+  broadcasts (``ray.put``); above, a ``WordBigramScorer`` actor pool
+  loads the artifact once per actor in ``__init__`` (bounded by
+  ``max_actor_bytes`` — past that, score via a keyed exchange join of
+  packed pair keys against the partitioned counts; not yet needed at
+  any min_count-pruned size we can produce).
 - **score** — the model is ``ray.put`` once; each batch maps words to
   vocab ids via ONE ``index_in`` against the model vocabulary (exact,
   no hashing — OOV becomes the UNK id), packs adjacent in-document id
@@ -136,34 +149,84 @@ def bigram_counts(
     return out
 
 
-def fit_word_bigram_counts(
-    ds: ray.data.Dataset,
-    *,
-    text_col: str = "text",
-    min_count: int = 2,
-    alpha: float = 1.0,
+_GRAM_SCHEMA = pa.schema(
+    [("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]
+)  # w2 null ⇒ unigram row
+
+
+def gram_counts(
+    ds: ray.data.Dataset, *, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Fused ONE-pass fit surface: exact corpus-wide unigram AND
+    in-document adjacent bigram counts as one (w1, w2, n) table —
+    ``w2`` null marks a unigram row. One ``map_batches`` over the
+    corpus, one thin keyed exchange (null keys hash to a fixed
+    sentinel, so unigram rows co-locate per word like any other key)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat, parents = _batch_words(t, text_col)
+        if len(flat) == 0:
+            return _GRAM_SCHEMA.empty_table()
+        gu = pa.table({"w1": flat}).group_by("w1").aggregate([("w1", "count")])
+        uni = pa.table(
+            {
+                "w1": gu["w1"],
+                "w2": pa.nulls(gu.num_rows, pa.string()),
+                "n": gu["w1_count"].cast(pa.int64()),
+            }
+        )
+        same = parents[:-1] == parents[1:]
+        idx = np.flatnonzero(same)
+        if len(idx) == 0:
+            return uni
+        g = (
+            pa.table(
+                {
+                    "w1": flat.take(pa.array(idx, pa.int64())),
+                    "w2": flat.take(pa.array(idx + 1, pa.int64())),
+                }
+            )
+            .group_by(["w1", "w2"])
+            .aggregate([("w1", "count")])
+        )
+        bi = pa.table(
+            {"w1": g["w1"], "w2": g["w2"], "n": g["w1_count"].cast(pa.int64())}
+        )
+        return pa.concat_tables([uni, bi])
+
+    return hash_exchange_map_groups(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        _sum_counts(["w1", "w2"]),
+        key=["w1", "w2"],
+        out_schema=_GRAM_SCHEMA,
+        batch_format="pyarrow",
+    )
+
+
+def _total_tokens(grams: ray.data.Dataset) -> int:
+    """Distributed sum of UNPRUNED unigram counts — a thin per-batch
+    partial + scalar aggregate; the unpruned table never visits the
+    driver."""
+
+    def part(t: pa.Table) -> pa.Table:
+        s = pc.sum(t.filter(pc.is_null(t["w2"]))["n"]).as_py() or 0
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    return int(grams.map_batches(part, batch_format="pyarrow").sum("s") or 0)
+
+
+def _build_model(
+    uni_t: pa.Table, bi_t: pa.Table, total_tokens: int, alpha: float
 ) -> dict:
-    """Train the LM: exact corpus-wide unigram + in-document-adjacent
-    bigram counts, pruned at ``min_count``. Returns the model dict
-    consumed by :func:`score_word_bigram` (broadcast it via
-    ``ray.put``). At 100 TB, ``min_count`` is the driver-exposure lever:
-    the pulled tables hold only grams seen >= min_count times."""
-    uni = unigram_counts(ds, text_col=text_col)
-    bi = bigram_counts(ds, text_col=text_col, min_count=min_count)
-    uni_t = pa.concat_tables(
-        b for b in uni.iter_batches(batch_format="pyarrow")
-    ) if uni.count() else _COUNT1_SCHEMA.empty_table()
-    total_tokens = int(pc.sum(uni_t["n"]).as_py() or 0)
-    uni_t = uni_t.filter(pc.greater_equal(uni_t["n"], min_count))
+    """Canonical model dict from PRUNED (w, n) / (w1, w2, n) tables —
+    shared by the in-memory fit and the artifact load, so both paths
+    produce bit-identical scorer state."""
     # canonical vocab order = sorted strings; UNK id = V (one past)
     order = pc.sort_indices(uni_t, sort_keys=[("w", "ascending")])
     uni_t = uni_t.take(order)
     vocab = uni_t["w"].combine_chunks()
     uni_counts = uni_t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-    bi_t = pa.concat_tables(
-        b for b in bi.iter_batches(batch_format="pyarrow")
-    ) if bi.count() else _COUNT2_SCHEMA.empty_table()
     id1 = pc.index_in(bi_t["w1"], value_set=vocab)
     id2 = pc.index_in(bi_t["w2"], value_set=vocab)
     in_vocab = pc.and_(pc.is_valid(id1), pc.is_valid(id2))
@@ -184,6 +247,86 @@ def fit_word_bigram_counts(
     }
 
 
+def fit_word_bigram_counts(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+    alpha: float = 1.0,
+) -> dict:
+    """Train the LM: exact corpus-wide unigram + in-document-adjacent
+    bigram counts, pruned at ``min_count``. Returns the model dict
+    consumed by :func:`score_word_bigram` (broadcast it via
+    ``ray.put``). ONE corpus read (fused :func:`gram_counts` pass);
+    ``total_tokens`` and the prune are distributed, so at 100 TB the
+    driver only ever holds grams seen >= min_count times —
+    ``min_count`` is the driver-exposure lever, and past it use
+    :func:`save_lm_artifact` (no driver pull at all)."""
+    grams = gram_counts(ds, text_col=text_col)
+    total_tokens = _total_tokens(grams)
+    pruned = grams.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow",
+    )
+    tabs = [b for b in pruned.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(tabs) if tabs else _GRAM_SCHEMA.empty_table()
+    is_uni = pc.is_null(t["w2"])
+    uni_t = pa.table(
+        {"w": t.filter(is_uni)["w1"], "n": t.filter(is_uni)["n"]}
+    )
+    bi_t = t.filter(pc.invert(is_uni)).select(["w1", "w2", "n"])
+    return _build_model(uni_t, bi_t, total_tokens, alpha)
+
+
+def _score_batch(
+    t: pa.Table, model: dict, text_col: str, out_col: str
+) -> pa.Table:
+    """Per-batch ppl kernel (shared by the broadcast and artifact
+    scorer paths): exp(-mean add-alpha bigram log-prob) per document.
+    Deterministic across batch sizes: each doc's pairs reduce in
+    position order over its own segment only."""
+    vocab: pa.Array = model["vocab"]
+    V = len(vocab)
+    uni_ext = np.zeros(V + 1, dtype=np.int64)
+    uni_ext[:V] = model["uni_counts"]  # UNK unigram count = 0
+    alpha = model["alpha"]
+    n_docs = t.num_rows
+    out = np.zeros(n_docs, dtype=np.float64)
+    flat, parents = _batch_words(t, text_col)
+    if len(flat) >= 2:
+        ids = pc.index_in(flat, value_set=vocab)
+        ids = (
+            pc.fill_null(ids, V).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        same = parents[:-1] == parents[1:]
+        pos = np.flatnonzero(same)
+        if len(pos):
+            k = ids[pos] * np.int64(V + 1) + ids[pos + 1]
+            loc = np.searchsorted(model["bigram_keys"], k)
+            loc_c = np.minimum(loc, len(model["bigram_keys"]) - 1)
+            if len(model["bigram_keys"]):
+                hit = model["bigram_keys"][loc_c] == k
+                c2 = np.where(hit, model["bigram_counts"][loc_c], 0)
+            else:
+                c2 = np.zeros(len(k), dtype=np.int64)
+            lp = np.log(c2 + alpha) - np.log(
+                uni_ext[ids[pos]] + alpha * (V + 1)
+            )
+            doc_of = parents[pos]
+            npairs = np.bincount(doc_of, minlength=n_docs)
+            valid = npairs >= 1
+            starts = np.searchsorted(doc_of, np.flatnonzero(valid))
+            sums = np.zeros(n_docs, dtype=np.float64)
+            # pairs of one doc are contiguous in pos order, so plain
+            # reduceat over the valid docs' start offsets is exact
+            sums[valid] = np.add.reduceat(lp, starts)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(
+                    valid, np.exp(-(sums / np.maximum(npairs, 1))), 0.0
+                )
+    return t.append_column(out_col, pa.array(out, pa.float64()))
+
+
 def score_word_bigram(
     ds: ray.data.Dataset,
     model_ref,
@@ -191,56 +334,189 @@ def score_word_bigram(
     text_col: str = "text",
     out_col: str = "lm_ppl",
 ) -> ray.data.Dataset:
-    """Append ``out_col``: exp(-mean add-alpha bigram log-prob) per
-    document under the fitted model (``model_ref`` = ``ray.put(model)``
-    — fetched zero-copy once per task). Deterministic across batch
-    sizes: each doc's pairs reduce in position order over its own
-    segment only."""
+    """Append ``out_col`` under the fitted model (``model_ref`` =
+    ``ray.put(model)`` — fetched zero-copy once per task)."""
 
     def score(t: pa.Table) -> pa.Table:
         model = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
-        vocab: pa.Array = model["vocab"]
-        V = len(vocab)
-        uni_ext = np.zeros(V + 1, dtype=np.int64)
-        uni_ext[:V] = model["uni_counts"]  # UNK unigram count = 0
-        alpha = model["alpha"]
-        n_docs = t.num_rows
-        out = np.zeros(n_docs, dtype=np.float64)
-        flat, parents = _batch_words(t, text_col)
-        if len(flat) >= 2:
-            ids = pc.index_in(flat, value_set=vocab)
-            ids = (
-                pc.fill_null(ids, V).to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            same = parents[:-1] == parents[1:]
-            pos = np.flatnonzero(same)
-            if len(pos):
-                k = ids[pos] * np.int64(V + 1) + ids[pos + 1]
-                loc = np.searchsorted(model["bigram_keys"], k)
-                loc_c = np.minimum(loc, len(model["bigram_keys"]) - 1)
-                if len(model["bigram_keys"]):
-                    hit = model["bigram_keys"][loc_c] == k
-                    c2 = np.where(hit, model["bigram_counts"][loc_c], 0)
-                else:
-                    c2 = np.zeros(len(k), dtype=np.int64)
-                lp = np.log(c2 + alpha) - np.log(
-                    uni_ext[ids[pos]] + alpha * (V + 1)
-                )
-                doc_of = parents[pos]
-                npairs = np.bincount(doc_of, minlength=n_docs)
-                valid = npairs >= 1
-                starts = np.searchsorted(doc_of, np.flatnonzero(valid))
-                sums = np.zeros(n_docs, dtype=np.float64)
-                # pairs of one doc are contiguous in pos order, so plain
-                # reduceat over the valid docs' start offsets is exact
-                sums[valid] = np.add.reduceat(lp, starts)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    out = np.where(
-                        valid, np.exp(-(sums / np.maximum(npairs, 1))), 0.0
-                    )
-        return t.append_column(out_col, pa.array(out, pa.float64()))
+        return _score_batch(t, model, text_col, out_col)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Partitioned on-disk LM artifact — the 100-TB fit path
+# ---------------------------------------------------------------------------
+
+_LM_META = "meta.json"
+
+
+def save_lm_artifact(
+    ds: ray.data.Dataset,
+    path: str,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+    alpha: float = 1.0,
+    n_parts: int = 16,
+) -> dict:
+    """Fit the word-bigram LM and persist the PRUNED counts as a
+    hash-partitioned Parquet artifact (``part=K/counts.parquet`` +
+    ``meta.json``) — the counts never visit the driver: the fused
+    gram pass, the prune, and the per-partition writes all run inside
+    the exchange. Partitioning is by the engine-pinned crc32 of ``w1``
+    (``state.checkpoint.add_partition_column``), so any (w1, w2) pair's
+    count is answerable from exactly one partition. Writes are atomic
+    (temp + rename) and idempotent (one deterministic file per
+    partition — a retried reduce task overwrites its own output).
+    Returns (and writes) the meta dict."""
+    import os
+
+    from ..state.checkpoint import add_partition_column
+    from .incremental import _atomic_write
+
+    os.makedirs(path, exist_ok=True)
+    grams = gram_counts(ds, text_col=text_col)
+    total_tokens = _total_tokens(grams)
+    pruned = grams.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: add_partition_column(t, n_parts, key="w1"),
+        batch_format="pyarrow",
+    )
+
+    def write_parts(t: pa.Table) -> pa.Table:
+        # this reducer owns every row of each part value it sees; one
+        # sorted deterministic file per part
+        parts = pc.unique(t["part"]).to_pylist()
+        rows = []
+        for p in sorted(parts):
+            sub = t.filter(pc.equal(t["part"], p)).select(["w1", "w2", "n"])
+            sub = sub.take(
+                pc.sort_indices(
+                    sub, sort_keys=[("w1", "ascending"), ("w2", "ascending")]
+                )
+            )
+            d = os.path.join(path, f"part={int(p):05d}")
+            os.makedirs(d, exist_ok=True)
+            _atomic_write(sub, os.path.join(d, "counts.parquet"))
+            rows.append((int(p), sub.num_rows))
+        return pa.table(
+            {
+                "part": pa.array([r[0] for r in rows], pa.int64()),
+                "rows": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    stats_schema = pa.schema([("part", pa.int64()), ("rows", pa.int64())])
+    stats = hash_exchange_map_groups(
+        pruned,
+        write_parts,
+        key="part",
+        out_schema=stats_schema,
+        batch_format="pyarrow",
+    ).to_pandas()
+    meta = {
+        "total_tokens": total_tokens,
+        "alpha": float(alpha),
+        "min_count": int(min_count),
+        "n_parts": int(n_parts),
+        "n_rows": int(stats["rows"].sum()) if len(stats) else 0,
+        "text_col": text_col,
+    }
+    import json
+
+    with open(os.path.join(path, _LM_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lm_artifact_nbytes(path: str) -> int:
+    import glob
+    import os
+
+    return sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "part=*", "*.parquet"))
+    )
+
+
+def load_lm_model(path: str) -> dict:
+    """Read the artifact back into the canonical scorer dict —
+    bit-identical to :func:`fit_word_bigram_counts` on the same corpus
+    (pytest-pinned): partition files are already (w1, w2)-sorted and
+    :func:`_build_model` re-canonicalizes vocab order anyway."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, _LM_META)) as f:
+        meta = json.load(f)
+    files = sorted(glob.glob(os.path.join(path, "part=*", "*.parquet")))
+    t = (
+        pq.read_table(files)
+        if files
+        else _GRAM_SCHEMA.empty_table()
+    )
+    is_uni = pc.is_null(t["w2"])
+    uni_t = pa.table({"w": t.filter(is_uni)["w1"], "n": t.filter(is_uni)["n"]})
+    bi_t = t.filter(pc.invert(is_uni)).select(["w1", "w2", "n"])
+    return _build_model(uni_t, bi_t, meta["total_tokens"], meta["alpha"])
+
+
+class WordBigramScorer:
+    """Actor-pool ppl scorer: loads the on-disk artifact ONCE per actor
+    in ``__init__`` (not per batch), then scores batches with the shared
+    kernel. Use when the model exceeds broadcast size but fits a worker
+    heap; ``map_batches(WordBigramScorer, fn_constructor_kwargs=...,
+    concurrency=N)``."""
+
+    def __init__(self, path: str, *, text_col: str = "text", out_col: str = "lm_ppl"):
+        self.model = load_lm_model(path)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return _score_batch(t, self.model, self.text_col, self.out_col)
+
+
+def score_word_bigram_artifact(
+    ds: ray.data.Dataset,
+    path: str,
+    *,
+    text_col: str = "text",
+    out_col: str = "lm_ppl",
+    max_broadcast_bytes: int = 1 << 30,
+    max_actor_bytes: int = 16 << 30,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Score against a saved artifact, routing by its on-disk size:
+    under ``max_broadcast_bytes`` load once + ``ray.put`` (zero-copy
+    per task — today's path); up to ``max_actor_bytes`` a
+    :class:`WordBigramScorer` actor pool loads per-actor; beyond that
+    the model no longer fits a worker heap and scoring must become a
+    keyed exchange join of packed pair keys against the partitioned
+    counts — unreachable at any min_count-pruned size we can generate,
+    so left unimplemented rather than untested."""
+    nbytes = lm_artifact_nbytes(path)
+    if nbytes <= max_broadcast_bytes:
+        ref = ray.put(load_lm_model(path))
+        return score_word_bigram(ds, ref, text_col=text_col, out_col=out_col)
+    if nbytes <= max_actor_bytes:
+        return ds.map_batches(
+            WordBigramScorer,
+            fn_constructor_kwargs={"path": path, "text_col": text_col, "out_col": out_col},
+            concurrency=concurrency,
+            batch_format="pyarrow",
+        )
+    raise NotImplementedError(
+        f"LM artifact is {nbytes} bytes > max_actor_bytes={max_actor_bytes}: "
+        "score via a keyed exchange join against the partitioned counts "
+        "(raise max_actor_bytes if the worker heap allows)"
+    )
 
 
 def lm_ppl_pipeline(

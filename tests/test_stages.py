@@ -2356,6 +2356,164 @@ def test_hash_exchange_split_bytes_env_override(ray_session, monkeypatch):
     assert got.to_dict("list") == {"k": ["a", "b"], "v": [15, 30]}
 
 
+def test_hash_exchange_tree_merge_equals_flat(ray_session, monkeypatch):
+    """Forcing the tree path (fan-in 2, one split per upstream block →
+    3+ merge levels over 40 map groups) must produce the exact same
+    result as the default flat wiring, on string AND multi-column keys,
+    empty blocks included."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(40):
+        m = 0 if i % 9 == 2 else int(rng.integers(1, 40))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "k": [f"g{int(x)}" for x in rng.integers(0, 17, m)],
+                    "j": rng.integers(0, 3, m).astype(np.int64),
+                    "v": rng.integers(0, 100, m).astype(np.int64),
+                }
+            )
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["k", "j"], as_index=False)["v"].sum()
+
+    def run() -> pd.DataFrame:
+        ds = rd.from_pandas(frames)
+        return (
+            hash_exchange_map_groups(ds, per_part, key=["k", "j"])
+            .to_pandas()
+            .sort_values(["k", "j"])
+            .reset_index(drop=True)
+        )
+
+    def run_str() -> pd.DataFrame:
+        ds = rd.from_pandas(frames)
+        return (
+            hash_exchange_map_groups(
+                ds, lambda df: df.groupby("k", as_index=False)["v"].sum(), key="k"
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    flat, flat_str = run(), run_str()
+    monkeypatch.setenv("FW2_EXCHANGE_SPLIT_BYTES", "0")  # M = 40 map groups
+    monkeypatch.setenv("FW2_EXCHANGE_MERGE_FANIN", "2")  # log2(40) merge levels
+    tree, tree_str = run(), run_str()
+    pd.testing.assert_frame_equal(tree, flat)
+    pd.testing.assert_frame_equal(tree_str, flat_str)
+    want = (
+        pd.concat(frames)
+        .groupby(["k", "j"], as_index=False)["v"]
+        .sum()
+        .sort_values(["k", "j"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(tree, want)
+
+
+def test_exchange_auto_reducers_byte_sizing():
+    """Reducer count follows input bytes past the CPU floor and is
+    clamped by the max-reducers guard."""
+    from fineweb2_ro_ray.stages.exchange import _auto_reducers
+
+    floor = max(8, 2 * 32)
+    assert _auto_reducers(0, 32) == floor
+    assert _auto_reducers(10 << 20, 32) == floor  # small input: CPU floor
+    assert _auto_reducers(floor * (256 << 20), 32) == floor  # exactly at floor
+    assert _auto_reducers(1000 * (256 << 20), 32) == 1000  # byte-sized
+    assert _auto_reducers(1 << 60, 32) == 1 << 16  # clamped
+    assert _auto_reducers(1, 1) == 8  # min floor
+
+
+def test_exchange_schema_drift_names_schemas():
+    """A non-unifiable schema drift across coalesced blocks fails with
+    the distinct schemas in the message (not a bare Arrow error)."""
+    import pytest
+
+    from fineweb2_ro_ray.stages.exchange import _concat_named
+
+    a = pa.table({"k": pa.array(["x"]), "v": pa.array([1], pa.int64())})
+    b = pa.table({"k": pa.array(["y"]), "w": pa.array([2], pa.int64())})
+    # promotable drift (int32 vs int64) unifies permissively
+    c = pa.table({"k": pa.array(["z"]), "v": pa.array([3], pa.int32())})
+    merged = _concat_named([a, c], "test")
+    assert merged.num_rows == 2
+    with pytest.raises(ValueError, match="schema drift"):
+        # differing column SETS: permissive promote fills nulls — force
+        # a true conflict with same-name different non-promotable types
+        d = pa.table({"k": pa.array(["x"]), "v": pa.array([[1]], pa.list_(pa.int64()))})
+        _concat_named([a, d], "test")
+
+
+def test_lm_artifact_roundtrip_and_scorer_paths(ray_session, tmp_path):
+    """save_lm_artifact → load_lm_model must equal the in-memory fit
+    exactly (vocab, counts, packed keys, total_tokens), and the
+    broadcast / per-actor scorer paths must produce identical ppl."""
+    from fineweb2_ro_ray.stages.lm import (
+        fit_word_bigram_counts,
+        lm_artifact_nbytes,
+        load_lm_model,
+        save_lm_artifact,
+        score_word_bigram,
+        score_word_bigram_artifact,
+    )
+
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [
+        " ".join(vocab[int(x)] for x in rng.integers(0, len(vocab), int(k)))
+        for k in rng.integers(0, 12, 120)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = rd.from_arrow(t)
+
+    fit = fit_word_bigram_counts(ds, min_count=2)
+    meta = save_lm_artifact(ds, str(tmp_path / "lm"), min_count=2, n_parts=5)
+    assert meta["total_tokens"] == fit["total_tokens"]
+    loaded = load_lm_model(str(tmp_path / "lm"))
+    assert loaded["vocab"].equals(fit["vocab"])
+    assert (loaded["uni_counts"] == fit["uni_counts"]).all()
+    assert (loaded["bigram_keys"] == fit["bigram_keys"]).all()
+    assert (loaded["bigram_counts"] == fit["bigram_counts"]).all()
+    assert lm_artifact_nbytes(str(tmp_path / "lm")) > 0
+
+    import ray as _ray
+
+    base = (
+        score_word_bigram(ds, _ray.put(fit))
+        .to_pandas()
+        .sort_values("doc_id")["lm_ppl"]
+        .to_numpy()
+    )
+    for kwargs in (
+        {},  # broadcast route (artifact is tiny)
+        {"max_broadcast_bytes": 0, "concurrency": 2},  # force actor route
+    ):
+        got = (
+            score_word_bigram_artifact(ds, str(tmp_path / "lm"), **kwargs)
+            .to_pandas()
+            .sort_values("doc_id")["lm_ppl"]
+            .to_numpy()
+        )
+        assert (got == base).all()
+    # past the actor bound: explicit refusal, not a silent driver pull
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        score_word_bigram_artifact(
+            ds, str(tmp_path / "lm"), max_broadcast_bytes=0, max_actor_bytes=0
+        )
+
+
 def test_lm_ppl_matches_pure_python_oracle(ray_session):
     """The corpus-trained word-bigram LM: fit counts are exact, and
     every document's add-alpha perplexity matches an independent
