@@ -25,6 +25,7 @@ from functools import partial
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -342,12 +343,163 @@ def _reassemble_partition_combined(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _as_array(ca) -> pa.Array:
+    """ChunkedArray → single Array (empty-safe)."""
+    if isinstance(ca, pa.Array):
+        return ca
+    ca = ca.combine_chunks()
+    return ca if isinstance(ca, pa.Array) else (
+        ca.chunk(0) if ca.num_chunks else pa.array([], ca.type)
+    )
+
+
+def _segment_starts(conv: pa.Array) -> np.ndarray:
+    """Start offsets of equal-conv_id runs in a (conv_id, …)-sorted
+    array."""
+    n = len(conv)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+    change = np.concatenate(
+        [[True], pc.fill_null(neq, True).to_numpy(zero_copy_only=False)]
+    )
+    return np.flatnonzero(change).astype(np.int64)
+
+
+def _reassemble_partition_combined_arrow(t: pa.Table) -> pa.Table:
+    """Arrow-native rewrite of :func:`_reassemble_partition_combined`
+    (same input/output contract, equivalence pytest-pinned): one
+    ``sort_indices`` + run-boundary numpy over the kept side, with the
+    per-conversation text join done by the single vectorized
+    ``binary_join`` kernel over a ListArray view — no pandas object
+    columns, no per-group Python. Boolean reindex/selection logic uses
+    Kleene kernels to match pandas NA semantics bit-for-bit."""
+    is_meta = pc.is_null(t["turn_idx"])
+    meta = t.filter(is_meta)
+    kept = t.filter(pc.invert(is_meta))
+    ti_type = t.schema.field("turn_idx").type
+    ts_type = t.schema.field("ts").type
+    cid_type = t.schema.field("conv_id").type
+    empty_c = pa.array([], cid_type)
+
+    # ---- kept side: one sort, run boundaries, list-view text join ----
+    if kept.num_rows:
+        kept = kept.take(
+            pc.sort_indices(
+                kept,
+                sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+            )
+        )
+        conv = _as_array(kept["conv_id"])
+        starts = _segment_starts(conv)
+        k_convs = conv.take(pa.array(starts, pa.int64()))
+        k_n = np.diff(np.append(starts, len(conv))).astype(np.int64)
+        offsets = np.append(starts, len(conv))
+        txt = _as_array(kept["scrubbed_text"])
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), txt)
+        k_text = pc.binary_join(lst, "\n")
+        # ts boundaries over the NON-NULL-ts kept rows only (pandas
+        # first()/last() skip nulls); rows stay (conv, turn_idx)-sorted
+        knn = kept.filter(pc.is_valid(kept["ts"]))
+        conv_nn = _as_array(knn["conv_id"])
+        s_nn = _segment_starts(conv_nn)
+        e_nn = np.append(s_nn[1:], len(conv_nn)) - 1
+        knn_convs = conv_nn.take(pa.array(s_nn, pa.int64()))
+        k_min_ti = _as_array(knn["turn_idx"]).take(pa.array(s_nn, pa.int64()))
+        k_min_ts = _as_array(knn["ts"]).take(pa.array(s_nn, pa.int64()))
+        k_max_ti = _as_array(knn["turn_idx"]).take(pa.array(e_nn, pa.int64()))
+        k_max_ts = _as_array(knn["ts"]).take(pa.array(e_nn, pa.int64()))
+    else:
+        k_convs, k_n, k_text = empty_c, np.zeros(0, np.int64), pa.array([], pa.string())
+        knn_convs = empty_c
+        k_min_ti = k_max_ti = pa.array([], ti_type)
+        k_min_ts = k_max_ts = pa.array([], ts_type)
+
+    # ---- meta side: merge per-batch dropped partials ----
+    if meta.num_rows:
+        g = meta.group_by("conv_id").aggregate([("d_n", "sum")])
+        m_convs = _as_array(g["conv_id"])
+        m_n = _as_array(g["d_n_sum"]).cast(pa.int64())
+        # min: nulls sort last, take first row per run (row-wise
+        # null-together d_*_ti/d_*_ts — see _precombine_dropped)
+        ms = meta.take(
+            pc.sort_indices(
+                meta,
+                sort_keys=[("conv_id", "ascending"), ("d_min_ti", "ascending")],
+                null_placement="at_end",
+            )
+        )
+        cmin = _as_array(ms["conv_id"])
+        smin = _segment_starts(cmin)
+        m_min_convs = cmin.take(pa.array(smin, pa.int64()))
+        m_min_ti = _as_array(ms["d_min_ti"]).take(pa.array(smin, pa.int64()))
+        m_min_ts = _as_array(ms["d_min_ts"]).take(pa.array(smin, pa.int64()))
+        # max: nulls sort FIRST, take last row per run
+        mx = meta.take(
+            pc.sort_indices(
+                meta,
+                sort_keys=[("conv_id", "ascending"), ("d_max_ti", "ascending")],
+                null_placement="at_start",
+            )
+        )
+        cmax = _as_array(mx["conv_id"])
+        smax = _segment_starts(cmax)
+        emax = np.append(smax[1:], len(cmax)) - 1
+        m_max_convs = cmax.take(pa.array(smax, pa.int64()))
+        m_max_ti = _as_array(mx["d_max_ti"]).take(pa.array(emax, pa.int64()))
+        m_max_ts = _as_array(mx["d_max_ts"]).take(pa.array(emax, pa.int64()))
+    else:
+        m_convs, m_n = empty_c, pa.array([], pa.int64())
+        m_min_convs = m_max_convs = empty_c
+        m_min_ti = m_max_ti = pa.array([], ti_type)
+        m_min_ts = m_max_ts = pa.array([], ts_type)
+
+    # ---- union + reindex (index_in: absent conv → null → null take) ----
+    u = pc.unique(pa.concat_arrays([k_convs.cast(cid_type), m_convs.cast(cid_type)]))
+    convs = u.take(pc.sort_indices(u))
+
+    def rx(src: pa.Array, vals: pa.Array) -> pa.Array:
+        if len(src) == 0:
+            return pa.nulls(len(convs), vals.type)
+        return vals.take(pc.index_in(convs, value_set=src))
+
+    k_n_u = pc.fill_null(rx(k_convs, pa.array(k_n, pa.int64())), 0)
+    m_n_u = pc.fill_null(rx(m_convs, m_n), 0)
+    n_turns = pc.add(k_n_u, m_n_u)
+    kmin_ti_u = rx(knn_convs, k_min_ti)
+    kmax_ti_u = rx(knn_convs, k_max_ti)
+    dmin_ti_u = rx(m_min_convs, m_min_ti)
+    dmax_ti_u = rx(m_max_convs, m_max_ti)
+    use_k_min = pc.or_kleene(
+        pc.is_null(dmin_ti_u),
+        pc.and_kleene(pc.is_valid(kmin_ti_u), pc.less_equal(kmin_ti_u, dmin_ti_u)),
+    )
+    use_k_max = pc.or_kleene(
+        pc.is_null(dmax_ti_u),
+        pc.and_kleene(pc.is_valid(kmax_ti_u), pc.greater_equal(kmax_ti_u, dmax_ti_u)),
+    )
+    first_ts = pc.if_else(use_k_min, rx(knn_convs, k_min_ts), rx(m_min_convs, m_min_ts))
+    last_ts = pc.if_else(use_k_max, rx(knn_convs, k_max_ts), rx(m_max_convs, m_max_ts))
+    return pa.table(
+        {
+            "conv_id": convs,
+            "n_turns": n_turns,
+            "n_kept": k_n_u,
+            "conv_keep": pc.greater(k_n_u, 0),
+            "text": pc.fill_null(rx(k_convs, k_text), ""),
+            "first_ts": first_ts,
+            "last_ts": last_ts,
+        }
+    )
+
+
 def reassemble(
     ds: ray.data.Dataset,
     n_partitions: int = 4096,
     precombine: bool = True,
     exchange: str = "hash",
     input_schema: pa.Schema | None = None,
+    reduce_impl: str = "arrow",
 ) -> ray.data.Dataset:
     """Conversation reassembly: the only all-to-all exchange in the
     pipeline. Conversations are hash-partitioned by ``conv_id`` (crc32,
@@ -394,6 +546,13 @@ def reassemble(
         ds = ds.select_columns(needed)
     if precombine:
         ds = ds.map_batches(_precombine_dropped, batch_format="pyarrow")
+    # ``reduce_impl``: "arrow" (default) = Arrow-native reduce
+    # (_reassemble_partition_combined_arrow — sort_indices + run
+    # boundaries + one binary_join kernel, no pandas round-trip);
+    # "pandas" = the original groupby reduce, kept for the pinned
+    # equivalence tests and as the A/B reference (BASELINE.md records
+    # the measured delta). Only the precombined hash path has the Arrow
+    # variant — it is the flagship hot path.
     fn = _reassemble_partition_combined if precombine else _reassemble_partition
     if exchange == "hash":
         from ..stages.exchange import hash_exchange_map_groups
@@ -409,6 +568,14 @@ def reassemble(
                 pa.field("last_ts", ts_type),
             ]
         )
+        if precombine and reduce_impl == "arrow":
+            return hash_exchange_map_groups(
+                ds,
+                _reassemble_partition_combined_arrow,
+                key="conv_id",
+                out_schema=out_schema,
+                batch_format="pyarrow",
+            )
         return hash_exchange_map_groups(
             ds, fn, key="conv_id", out_schema=out_schema
         )

@@ -166,12 +166,41 @@ def percentiles_from_counts(
     return out
 
 
-def exact_percentiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> pd.DataFrame:
+def exact_percentiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    max_distinct: int = 1_000_000,
+) -> pd.DataFrame:
     """G3 — the reference's threshold-driving global percentiles
     (``quantiles_fetcher.py:53-65``), as histogram-partials + driver
     interpolation. Exact for integer/bounded-cardinality columns.
-    Returns columns (q, value)."""
-    vc = value_counts(ds, col)
+    Returns columns (q, value).
+
+    The value histogram is unbounded on continuous doubles (distinct
+    count ~ row count), so the DISTRIBUTED histogram's row count is
+    checked before the driver pull: past ``max_distinct`` the call
+    auto-routes to ``sketches.quantile_sketch`` (deterministic
+    mergeable summary, rank error ≲ 3/m, one extra corpus pass) and
+    logs the switch with both numbers — exactness is traded only when
+    exactness would not fit a driver."""
+    hist = grouped_counts(ds.select_columns([col]), [col])
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
+        import logging
+
+        from .sketches import quantile_sketch
+
+        logging.getLogger(__name__).warning(
+            "exact_percentiles(%s): %d distinct values > max_distinct=%d; "
+            "routing to quantile_sketch (approximate, rank error <= 3/m)",
+            col,
+            n_distinct,
+            max_distinct,
+        )
+        return quantile_sketch(ds, col, qs)
+    vc = hist.to_pandas().sort_values(col).reset_index(drop=True)
     res = percentiles_from_counts(vc[col].to_numpy(), vc["n"].to_numpy(), qs)
     return pd.DataFrame({"q": list(res.keys()), "value": list(res.values())})
 

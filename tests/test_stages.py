@@ -1086,6 +1086,67 @@ def test_reassemble_precombine_null_ts_parity():
     pd.testing.assert_frame_equal(a, b)
     assert str(b.loc[0, "first_ts"])[:10] == "2025-01-02"  # null ts skipped
     assert pd.isna(b.loc[1, "first_ts"])  # all-null conv -> NaT
+    # three-way: the pandas combined reduce must also match
+    c = (reassemble(ds, precombine=True, reduce_impl="pandas").to_pandas()
+         .sort_values("conv_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_reassemble_arrow_reduce_matches_pandas_randomized():
+    """Kernel-level parity of the Arrow-native combined reduce vs the
+    pandas one on randomized partitions: multi-batch precombine partials
+    per conversation, null timestamps, all-dropped and all-kept convs,
+    unsorted arrival order."""
+    from fineweb2_ro_ray.pipelines.quality_filter import (
+        _precombine_dropped,
+        _reassemble_partition_combined,
+        _reassemble_partition_combined_arrow,
+    )
+
+    rng = np.random.default_rng(31)
+    for trial in range(8):
+        rows = []
+        for c in range(rng.integers(1, 12)):
+            n = int(rng.integers(1, 9))
+            for ti in range(n):
+                rows.append(
+                    {
+                        "conv_id": f"c{c:02d}",
+                        "turn_idx": ti,
+                        "ts": None
+                        if rng.random() < 0.3
+                        else pd.Timestamp("2025-01-01")
+                        + pd.Timedelta(minutes=int(rng.integers(0, 5000))),
+                        "keep": bool(rng.random() < 0.55),
+                        "scrubbed_text": f"t{c}-{ti}",
+                    }
+                )
+        rng.shuffle(rows)
+        df = pd.DataFrame(rows)
+        t = pa.Table.from_pandas(df, preserve_index=False).set_column(
+            1, "turn_idx", pa.array(df["turn_idx"], pa.int32())
+        )
+        # several precombine batches, concatenated = one exchange partition
+        nb = int(rng.integers(1, 4))
+        cuts = np.linspace(0, t.num_rows, nb + 1).astype(int)
+        parts = [
+            _precombine_dropped(t.slice(cuts[i], cuts[i + 1] - cuts[i]))
+            for i in range(nb)
+            if cuts[i + 1] > cuts[i]
+        ]
+        part_t = pa.concat_tables(parts).combine_chunks()
+        want = (
+            _reassemble_partition_combined(part_t.to_pandas())
+            .sort_values("conv_id", ignore_index=True)
+        )
+        got = (
+            _reassemble_partition_combined_arrow(part_t)
+            .to_pandas()
+            .sort_values("conv_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes.to_dict()), want, check_dtype=False
+        )
 
 
 def test_decontamination_flags_and_filter():
@@ -2450,6 +2511,36 @@ def test_exchange_schema_drift_names_schemas():
         # a true conflict with same-name different non-promotable types
         d = pa.table({"k": pa.array(["x"]), "v": pa.array([[1]], pa.list_(pa.int64()))})
         _concat_named([a, d], "test")
+
+
+def test_exact_percentiles_routes_high_cardinality_to_sketch(
+    ray_session, caplog
+):
+    """A continuous float column past max_distinct must auto-route to
+    the quantile sketch (logged), with rank error within the sketch
+    bound; under the bound the exact path is untouched."""
+    import logging
+
+    from fineweb2_ro_ray.stages.analysis import exact_percentiles
+
+    rng = np.random.default_rng(23)
+    vals = rng.normal(50.0, 10.0, 4000)  # ~all distinct
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    qs = [10.0, 50.0, 90.0]
+
+    exact = exact_percentiles(ds, "x", qs)  # default bound: exact path
+    want = {q: float(np.percentile(vals, q)) for q in qs}
+    for q, v in zip(exact["q"], exact["value"]):
+        assert abs(v - want[q]) < 1e-9
+
+    with caplog.at_level(logging.WARNING, "fineweb2_ro_ray.stages.analysis"):
+        approx = exact_percentiles(ds, "x", qs, max_distinct=100)
+    assert any("quantile_sketch" in r.message for r in caplog.records)
+    srt = np.sort(vals)
+    for q, v in zip(approx["q"], approx["value"]):
+        # rank error <= 3/m (m=256) of n=4000 → ~47 ranks; assert loose
+        rank = np.searchsorted(srt, v)
+        assert abs(rank - q / 100.0 * len(srt)) < 0.05 * len(srt)
 
 
 def test_lm_artifact_roundtrip_and_scorer_paths(ray_session, tmp_path):
