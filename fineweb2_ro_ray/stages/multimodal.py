@@ -6,11 +6,13 @@ frame-sample run as actor-pool ``map_batches`` stages with SMALL batch
 sizes (payload bytes dominate block size — cap rows per batch, not
 bytes).
 
-Decode is REAL for the uncompressed formats parseable with the stdlib
-+ numpy — PCM WAV (RIFF parse via ``wave``) and 24-bit BI_RGB BMP
-(header + padded-row reshape) — including a real nearest-neighbor BMP
-resize. COMPRESSED codecs (JPEG/PNG/MP4/...) need libraries absent
-from this container: ``MediaDecoder(fake=False)`` raises
+Decode is REAL for every format parseable with the stdlib + numpy —
+PCM WAV (RIFF parse via ``wave``), 24-bit BI_RGB BMP (header +
+padded-row reshape), and PNG (IDAT is zlib-deflate: stdlib ``zlib``
+decompress + full scanline un-filtering, all five spec filters) —
+including real nearest-neighbor BMP/PNG resizes. The remaining
+COMPRESSED codecs (JPEG/MP3/MP4/...) need entropy/DCT libraries
+absent from this container: ``MediaDecoder(fake=False)`` raises
 ``NotImplementedError`` for those payloads, and ``fake=True``
 substitutes a deterministic fake decode (crc-seeded dimensions + byte
 stats) so the Ray-side plumbing — schema, batch sizing, actor
@@ -56,8 +58,13 @@ def synth_media(n: int, seed: int = 42, real: bool = False) -> pa.Table:
             meta = {"codec": "fake", "bytes": size}
         elif k == "image":
             w, h = int(rng.integers(4, 40)), int(rng.integers(4, 40))
-            payload = encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
-            meta = {"codec": "bmp", "width": w, "height": h}
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if i % 4 == 0:  # alternate real codecs: BMP and zlib-PNG
+                payload = encode_png(px, filter_type=int(rng.integers(0, 5)))
+                meta = {"codec": "png", "width": w, "height": h}
+            else:
+                payload = encode_bmp(px)
+                meta = {"codec": "bmp", "width": w, "height": h}
         else:
             rate = int(rng.choice([8000, 16000, 44100]))
             n_samp = int(rng.integers(100, 4000))
@@ -140,13 +147,153 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return px[::-1] if flip else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 image → PNG bytes via stdlib ``zlib`` (IDAT is plain
+    zlib-deflate). Accepts (h, w) grayscale, (h, w, 3) RGB or
+    (h, w, 4) RGBA. ``filter_type`` selects the per-scanline filter
+    (0=None … 4=Paeth) — mainly to let the decoder's un-filtering be
+    ground-truth-tested against every filter the spec allows."""
+    import struct
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+        up = prev
+        ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if filter_type == 0:
+            f = row
+        elif filter_type == 1:
+            f = row - left
+        elif filter_type == 2:
+            f = row - up
+        elif filter_type == 3:
+            f = row - (left + up) // 2
+        elif filter_type == 4:
+            p = left + up - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+            )
+            f = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + (f % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array — (h, w) gray, (h, w, 3) RGB or
+    (h, w, 4) RGBA — with REAL decompression (IDAT chunks concatenated
+    → ``zlib.decompress``) and full scanline un-filtering (None / Sub /
+    Up / Average / Paeth). Sub and Up un-filter vectorized (per-lane
+    cumsum / row add); Average and Paeth recursions are inherently
+    sequential in x and run as a per-scanline loop — fine at metadata/
+    feature-extraction scale, and a clearly-marked native-lib swap
+    point for pixel-heavy corpora. 8-bit depth, color types 0/2/6,
+    no interlace (palette and Adam7 raise ``NotImplementedError``)."""
+    import struct
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(_PNG_SIG), [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError("only 8-bit depth, method-0 PNG is parsed here")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not parsed here")
+    ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {color_type} is not parsed here")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    f = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        t = ftypes[y]
+        row = f[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if t == 0:
+            out[y] = row
+        elif t == 1:  # Sub: per-lane prefix sum
+            out[y] = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif t == 2:  # Up
+            out[y] = (row + prev) % 256
+        elif t == 3:  # Average — sequential in x
+            r = out[y]
+            for x in range(stride):
+                left = r[x - ch] if x >= ch else 0
+                r[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif t == 4:  # Paeth — sequential in x
+            r = out[y]
+            for x in range(stride):
+                a = r[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                r[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {t}")
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    return px[:, :, 0] if ch == 1 else px
+
+
 class MediaDecoder:
-    """Actor-pool decode stage. REAL for uncompressed payloads (sniffed
-    by magic bytes): 24-bit BMP images (true dims + pixel mean) and PCM
-    WAV audio (rate / channels / duration / RMS). Compressed codecs
-    (JPEG/PNG/MP4/…) need libraries absent from this container and
-    raise ``NotImplementedError``; ``fake=True`` produces deterministic
-    pseudo-decodes for any payload so downstream plumbing is testable.
+    """Actor-pool decode stage. REAL for stdlib-parseable payloads
+    (sniffed by magic bytes): 24-bit BMP and PNG images (true dims) and
+    PCM WAV audio (rate / channels / duration / RMS). The remaining
+    compressed codecs (JPEG/MP3/MP4/…) need libraries absent from this
+    container and raise ``NotImplementedError``; ``fake=True`` produces
+    deterministic pseudo-decodes for any payload so downstream plumbing
+    is testable.
 
     Output columns: width/height (images; null for audio),
     sample_rate/n_channels/duration_ms/rms (audio; null for images),
@@ -175,6 +322,10 @@ class MediaDecoder:
             return base
         if payload[:2] == b"BM":
             px = decode_bmp(payload)
+            base.update(width=px.shape[1], height=px.shape[0])
+            return base
+        if payload[: len(_PNG_SIG)] == _PNG_SIG:
+            px = decode_png(payload)
             base.update(width=px.shape[1], height=px.shape[0])
             return base
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -234,16 +385,19 @@ class MediaResizer:
         self.tw, self.th, self.fake = target_w, target_h, fake
 
     def _resize_real(self, p: bytes) -> bytes:
-        if p[:2] != b"BM":
+        if p[:2] == b"BM":
+            px, enc = decode_bmp(p), encode_bmp
+        elif p[: len(_PNG_SIG)] == _PNG_SIG:
+            px, enc = decode_png(p), encode_png
+        else:
             raise NotImplementedError(
-                "real resize covers BMP only in this environment; "
+                "real resize covers BMP and PNG in this environment; "
                 "construct MediaResizer(fake=True) for the deterministic stub"
             )
-        px = decode_bmp(p)
-        h, w, _ = px.shape
+        h, w = px.shape[:2]
         yi = np.minimum((np.arange(self.th) * h) // self.th, h - 1)
         xi = np.minimum((np.arange(self.tw) * w) // self.tw, w - 1)
-        return encode_bmp(px[yi][:, xi])
+        return enc(px[yi][:, xi])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
