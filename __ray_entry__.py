@@ -195,11 +195,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": P.q_events_percent_rank,
         "customer_order_counts": P.q_customer_order_counts,
         "lang_source_rollup": P.q_lang_source_rollup,
-        "orders_exists_late": P.q_orders_exists_late,
         "promo_revenue_ratio": P.q_promo_revenue_ratio,
-        "small_qty_revenue": P.q_small_qty_revenue,
-        "orders_big_qty": P.q_orders_big_qty,
         "user_event_paths": P.q_user_event_paths,
+        # round-4 window rotation (VERDICT r3 #8): three newest operator
+        # families promoted into the graded window — corpus-trained LM
+        # fit (fused gram exchange), per-line boilerplate cleaning, and
+        # corpus tf-idf top-terms; the displaced orders_exists_late /
+        # small_qty_revenue / orders_big_qty are shape-adjacent to
+        # orders_semi_join / promo_revenue_ratio / customer_order_counts
+        # and stay value-exact via scripts/check_oracle.py + pytest
+        "lm_bigram_counts": P.q_lm_bigram_counts,
+        "doc_line_clean": P.q_doc_line_clean,
+        "doc_top_terms": P.q_doc_top_terms,
         # window slot: doc_pack_spans (distributed ordered prefix-scan /
         # training-sample packing — a shape nothing else in the window
         # covers); user_first_last (FIRST/LAST_VALUE combiner, shape-
@@ -213,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
         # value-exact via scripts/check_oracle.py + pytest) ---
         "orders_anti_join": P.q_orders_anti_join,
+        "orders_exists_late": P.q_orders_exists_late,
+        "small_qty_revenue": P.q_small_qty_revenue,
+        "orders_big_qty": P.q_orders_big_qty,
         "score_confusion": P.q_score_confusion,
         "sample_stratified": P.q_sample_stratified,
         "user_retention": P.q_user_retention,
@@ -223,7 +233,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized": P.q_doc_normalized,
         "dedup_spans_exchange": P.q_dedup_spans_exchange,
         "doc_stopword_counts": P.q_doc_stopword_counts,
-        "doc_line_clean": P.q_doc_line_clean,
         "doc_top_bigram": P.q_doc_top_bigram,
         "doc_chunks": P.q_doc_chunks,
         "user_first_last": P.q_user_first_last,
@@ -256,7 +265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_exchange": P.q_orders_semi_exchange,
         "orders_anti_exchange": P.q_orders_anti_exchange,
         "dedup_incremental_update": P.q_dedup_incremental_update,
-        "doc_top_terms": P.q_doc_top_terms,
         "doc_boilerplate_scrub_exchange": P.q_doc_boilerplate_scrub_exchange,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
@@ -282,7 +290,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_search": _q_multimodal_search,
         "train_distill": P.q_train_distill,
-        "lm_bigram_counts": P.q_lm_bigram_counts,
         "doc_lm_ppl": P.q_doc_lm_ppl,
     }
 
