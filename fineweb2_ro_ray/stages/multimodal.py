@@ -8,15 +8,17 @@ bytes).
 
 Decode is REAL for every format parseable with the stdlib + numpy —
 PCM WAV (RIFF parse via ``wave``), 24-bit BI_RGB BMP (header +
-padded-row reshape), and PNG (IDAT is zlib-deflate: stdlib ``zlib``
-decompress + full scanline un-filtering, all five spec filters) —
-including real nearest-neighbor BMP/PNG resizes. The remaining
-COMPRESSED codecs (JPEG/MP3/MP4/...) need entropy/DCT libraries
-absent from this container: ``MediaDecoder(fake=False)`` raises
-``NotImplementedError`` for those payloads, and ``fake=True``
-substitutes a deterministic fake decode (crc-seeded dimensions + byte
-stats) so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — stays testable for every modality.
+padded-row reshape), PNG (IDAT is zlib-deflate: stdlib ``zlib``
+decompress + full scanline un-filtering, all five spec filters), and
+baseline JPEG (``stages.jpeg``: marker parse, stream-embedded Huffman
+tables, dequant + numpy IDCT, chroma upsampling, restart markers) —
+including real nearest-neighbor BMP/PNG/JPEG resizes. The remaining
+codecs (MP3/MP4/progressive JPEG/...) stay honestly env-gated:
+``MediaDecoder(fake=False)`` raises ``NotImplementedError`` for those
+payloads, and ``fake=True`` substitutes a deterministic fake decode
+(crc-seeded dimensions + byte stats) so the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — stays testable
+for every modality.
 """
 
 from __future__ import annotations
@@ -59,9 +61,14 @@ def synth_media(n: int, seed: int = 42, real: bool = False) -> pa.Table:
         elif k == "image":
             w, h = int(rng.integers(4, 40)), int(rng.integers(4, 40))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if i % 4 == 0:  # alternate real codecs: BMP and zlib-PNG
+            if i % 6 == 0:  # rotate real codecs: BMP, zlib-PNG, JPEG
                 payload = encode_png(px, filter_type=int(rng.integers(0, 5)))
                 meta = {"codec": "png", "width": w, "height": h}
+            elif i % 6 == 2:
+                from .jpeg import encode_jpeg
+
+                payload = encode_jpeg(px, quality=100)
+                meta = {"codec": "jpeg", "width": w, "height": h}
             else:
                 payload = encode_bmp(px)
                 meta = {"codec": "bmp", "width": w, "height": h}
@@ -288,12 +295,12 @@ def decode_png(data: bytes) -> np.ndarray:
 
 class MediaDecoder:
     """Actor-pool decode stage. REAL for stdlib-parseable payloads
-    (sniffed by magic bytes): 24-bit BMP and PNG images (true dims) and
-    PCM WAV audio (rate / channels / duration / RMS). The remaining
-    compressed codecs (JPEG/MP3/MP4/…) need libraries absent from this
-    container and raise ``NotImplementedError``; ``fake=True`` produces
-    deterministic pseudo-decodes for any payload so downstream plumbing
-    is testable.
+    (sniffed by magic bytes): 24-bit BMP, PNG and baseline JPEG images
+    (true dims) and PCM WAV audio (rate / channels / duration / RMS).
+    The remaining codecs (MP3/MP4/progressive JPEG/…) need libraries
+    absent from this container and raise ``NotImplementedError``;
+    ``fake=True`` produces deterministic pseudo-decodes for any payload
+    so downstream plumbing is testable.
 
     Output columns: width/height (images; null for audio),
     sample_rate/n_channels/duration_ms/rms (audio; null for images),
@@ -326,6 +333,12 @@ class MediaDecoder:
             return base
         if payload[: len(_PNG_SIG)] == _PNG_SIG:
             px = decode_png(payload)
+            base.update(width=px.shape[1], height=px.shape[0])
+            return base
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
             base.update(width=px.shape[1], height=px.shape[0])
             return base
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -389,10 +402,15 @@ class MediaResizer:
             px, enc = decode_bmp(p), encode_bmp
         elif p[: len(_PNG_SIG)] == _PNG_SIG:
             px, enc = decode_png(p), encode_png
+        elif p[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg, encode_jpeg
+
+            px, enc = decode_jpeg(p), encode_jpeg
         else:
             raise NotImplementedError(
-                "real resize covers BMP and PNG in this environment; "
-                "construct MediaResizer(fake=True) for the deterministic stub"
+                "real resize covers BMP, PNG and baseline JPEG in this "
+                "environment; construct MediaResizer(fake=True) for the "
+                "deterministic stub"
             )
         h, w = px.shape[:2]
         yi = np.minimum((np.arange(self.th) * h) // self.th, h - 1)

@@ -2135,7 +2135,7 @@ def test_multimodal_real_wav_bmp_decode():
     )
     metas = [json.loads(m) for m in t["meta"].to_pylist()]
     for i, m in enumerate(metas):
-        if m["codec"] in ("bmp", "png"):
+        if m["codec"] in ("bmp", "png", "jpeg"):
             assert (out.loc[i, "width"], out.loc[i, "height"]) == (m["width"], m["height"])
             assert np.isnan(out.loc[i, "sample_rate"])
         else:
@@ -2159,12 +2159,64 @@ def test_multimodal_real_wav_bmp_decode():
         )
         .to_pandas()
     )
+    from fineweb2_ro_ray.stages.jpeg import decode_jpeg
     from fineweb2_ro_ray.stages.multimodal import decode_png
 
-    assert all(
-        (decode_png(p) if p[:4] == b"\x89PNG" else decode_bmp(p)).shape == (4, 5, 3)
-        for p in imgs["payload"]
-    )
+    def _any_decode(p: bytes) -> np.ndarray:
+        if p[:4] == b"\x89PNG":
+            return decode_png(p)
+        if p[:2] == b"\xff\xd8":
+            return decode_jpeg(p)
+        return decode_bmp(p)
+
+    assert all(_any_decode(p).shape == (4, 5, 3) for p in imgs["payload"])
+
+
+def test_jpeg_codec_ground_truth_recovery():
+    """Real baseline JPEG decode (pure numpy Huffman + IDCT): exact on
+    flat single-block images, ±2/channel on 4:4:4 quality-100 round
+    trips (DCT rounding only), bounded loss under 4:2:0 subsampling and
+    coarse quantization, restart-marker streams, grayscale; honest
+    refusal for progressive (SOF2)."""
+    import struct
+
+    import pytest
+
+    from fineweb2_ro_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(41)
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat)) == flat).all()
+
+    x, y = np.linspace(0, 255, 37), np.linspace(0, 255, 23)
+    img = np.stack(
+        [np.add.outer(y, x) / 2, np.tile(x, (23, 1)), np.tile(y[:, None], (1, 37))],
+        -1,
+    ).astype(np.uint8)
+    err = lambda d: np.abs(d.astype(int) - img.astype(int)).max()  # noqa: E731
+    assert err(decode_jpeg(encode_jpeg(img, quality=100))) <= 2
+    assert err(decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))) <= 12
+    assert err(decode_jpeg(encode_jpeg(img, quality=100, restart_interval=2))) <= 2
+    assert err(decode_jpeg(encode_jpeg(img, quality=70))) <= 24
+
+    noise = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(d.astype(int) - noise.astype(int)).max() <= 2
+
+    g = np.add.outer(np.arange(19), np.arange(31)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=100))
+    assert dg.shape == (19, 31) and (dg == g).all()
+
+    # progressive refusal: rewrite the SOF0 marker to SOF2
+    payload = bytearray(encode_jpeg(flat))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # not-a-jpeg refusal
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    _ = struct  # imported for parity with sibling codec test
 
 
 def test_png_codec_ground_truth_recovery():
