@@ -417,12 +417,30 @@ def save_lm_artifact(
         out_schema=stats_schema,
         batch_format="pyarrow",
     ).to_pandas()
+    # V (pruned vocab size) — needed by the exchange-join scorer's
+    # add-alpha denominator; distributed count over the (materialized-
+    # refs) pruned stream, so still no driver pull
+    n_unigrams = int(
+        pruned.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": pa.array(
+                        [pc.sum(pc.is_null(t["w2"]).cast(pa.int64())).as_py() or 0],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        or 0
+    )
     meta = {
         "total_tokens": total_tokens,
         "alpha": float(alpha),
         "min_count": int(min_count),
         "n_parts": int(n_parts),
         "n_rows": int(stats["rows"].sum()) if len(stats) else 0,
+        "n_unigrams": n_unigrams,
         "text_col": text_col,
     }
     import json
@@ -514,8 +532,176 @@ def score_word_bigram_artifact(
         )
     raise NotImplementedError(
         f"LM artifact is {nbytes} bytes > max_actor_bytes={max_actor_bytes}: "
-        "score via a keyed exchange join against the partitioned counts "
-        "(raise max_actor_bytes if the worker heap allows)"
+        "this scorer appends a column in place, which needs the model "
+        "resident; use score_word_bigram_exchange (keyed exchange join "
+        "against the partitioned counts, returns (id, ppl)) at that scale"
+    )
+
+
+def score_word_bigram_exchange(
+    ds: ray.data.Dataset,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lm_ppl",
+) -> ray.data.Dataset:
+    """The past-any-heap scoring path: ppl via a KEYED EXCHANGE JOIN
+    against the partitioned artifact — no task ever holds more than one
+    count partition, so the model can be arbitrarily large. Returns
+    ``(id_col, out_col)`` (per-doc result, not an appended column —
+    appending in place is exactly what requires a resident model).
+
+    Shape: one corpus pass emits (doc, w1, w2) adjacency rows; an
+    exchange keyed on ``w1`` (the artifact's own crc32 partitioning, so
+    each reduce task co-locates its pair rows with exactly ONE
+    ``part=K/counts.parquet`` file it reads locally) computes add-alpha
+    log-probs and collapses them to per-doc (Σlp, n) partials; a second
+    thin exchange keyed on the doc id merges partials with zero-seeds
+    (every doc scores, pair-less docs get the 0.0 convention). Equal to
+    the broadcast scorer up to float summation order (rtol 1e-9,
+    pytest-pinned) — the fixed-order reduceat guarantee is the
+    broadcast paths' property only."""
+    import json
+    import os
+    import zlib as _zlib
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, _LM_META)) as f:
+        meta = json.load(f)
+    n_parts, V, alpha = int(meta["n_parts"]), int(meta["n_unigrams"]), meta["alpha"]
+    if n_parts < 2:
+        raise ValueError("exchange-join scoring needs an artifact with n_parts >= 2")
+    id_type = ds.schema().base_schema.field(id_col).type
+    pairs_schema = pa.schema(
+        [("doc", id_type), ("w1", pa.string()), ("w2", pa.string())]
+    )
+    part_schema = pa.schema(
+        [("doc", id_type), ("lp", pa.float64()), ("n", pa.int64())]
+    )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        flat, parents = _batch_words(t, text_col)
+        if len(flat) < 2:
+            return pairs_schema.empty_table()
+        same = parents[:-1] == parents[1:]
+        pos = np.flatnonzero(same)
+        if len(pos) == 0:
+            return pairs_schema.empty_table()
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table(
+            {
+                "doc": ids.take(pa.array(parents[pos], pa.int64())),
+                "w1": flat.take(pa.array(pos, pa.int64())),
+                "w2": flat.take(pa.array(pos + 1, pa.int64())),
+            },
+            schema=pairs_schema,
+        )
+
+    def seeds(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc": t[id_col],
+                "lp": pa.array(np.zeros(t.num_rows), pa.float64()),
+                "n": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    def _arr(ca) -> pa.Array:
+        if isinstance(ca, pa.ChunkedArray):
+            ca = ca.combine_chunks()
+            return ca if isinstance(ca, pa.Array) else (
+                ca.chunk(0) if ca.num_chunks else pa.array([], ca.type)
+            )
+        return ca
+
+    def lookup(tt: pa.Table) -> pa.Table:
+        # every row here shares crc32(w1) % n_parts — read that ONE
+        # artifact partition (unigrams for c1 AND w1-keyed bigrams for
+        # c2 live in it by construction)
+        part = _zlib.crc32(tt["w1"][0].as_py().encode("utf-8")) % n_parts
+        f = os.path.join(path, f"part={part:05d}", "counts.parquet")
+        grams = (
+            pq.read_table(f) if os.path.exists(f) else _GRAM_SCHEMA.empty_table()
+        )
+        is_uni = pc.is_null(grams["w2"])
+        uni = grams.filter(is_uni)
+        bi = grams.filter(pc.invert(is_uni))
+        w1 = _arr(tt["w1"])
+        w2 = _arr(tt["w2"])
+        c1_idx = pc.index_in(w1, value_set=_arr(uni["w1"]))
+        c1 = pc.fill_null(
+            _arr(uni["n"]).take(c1_idx) if uni.num_rows else pa.nulls(len(w1), pa.int64()),
+            0,
+        ).to_numpy(zero_copy_only=False)
+        # exact (w1, w2) match via a shared local code space (no
+        # separator-composition collisions)
+        vocab_all = pc.unique(
+            pa.concat_arrays(
+                [_arr(bi["w1"]), _arr(bi["w2"]), w1.cast(pa.string()), w2.cast(pa.string())]
+            )
+        )
+        L = np.int64(len(vocab_all) + 1)
+        b1 = pc.index_in(_arr(bi["w1"]), value_set=vocab_all).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b2 = pc.index_in(_arr(bi["w2"]), value_set=vocab_all).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bkeys = b1 * L + b2
+        order = np.argsort(bkeys, kind="stable")
+        bkeys_s = bkeys[order]
+        bn = _arr(bi["n"]).to_numpy(zero_copy_only=False)[order]
+        q1 = pc.index_in(w1, value_set=vocab_all).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        q2 = pc.index_in(w2, value_set=vocab_all).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qk = q1 * L + q2
+        if len(bkeys_s):
+            loc = np.searchsorted(bkeys_s, qk)
+            loc_c = np.minimum(loc, len(bkeys_s) - 1)
+            hit = bkeys_s[loc_c] == qk
+            c2 = np.where(hit, bn[loc_c], 0)
+        else:
+            c2 = np.zeros(len(qk), dtype=np.int64)
+        lp = np.log(c2 + alpha) - np.log(c1 + alpha * (V + 1))
+        out = (
+            pa.table({"doc": tt["doc"], "lp": pa.array(lp, pa.float64())})
+            .group_by("doc")
+            .aggregate([("lp", "sum"), ("lp", "count")])
+        )
+        return pa.table(
+            {
+                "doc": out["doc"],
+                "lp": out["lp_sum"],
+                "n": out["lp_count"].cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc").aggregate([("lp", "sum"), ("n", "sum")])
+        lp = g["lp_sum"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.where(n > 0, np.exp(-(lp / np.maximum(n, 1))), 0.0)
+        return pa.table(
+            {id_col: g["doc"], out_col: pa.array(ppl, pa.float64())},
+            schema=pa.schema([(id_col, id_type), (out_col, pa.float64())]),
+        )
+
+    pair_ds = ds.map_batches(pair_rows, batch_format="pyarrow")
+    seed_ds = ds.select_columns([id_col]).map_batches(seeds, batch_format="pyarrow")
+    partials = hash_exchange_map_groups(
+        pair_ds,
+        lookup,
+        key="w1",
+        n_reducers=n_parts,
+        out_schema=part_schema,
+        batch_format="pyarrow",
+    )
+    return hash_exchange_map_groups(
+        partials.union(seed_ds),
+        per_doc,
+        key="doc",
+        out_schema=pa.schema([(id_col, id_type), (out_col, pa.float64())]),
+        batch_format="pyarrow",
     )
 
 

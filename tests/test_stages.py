@@ -2714,13 +2714,44 @@ def test_lm_artifact_roundtrip_and_scorer_paths(ray_session, tmp_path):
             .to_numpy()
         )
         assert (got == base).all()
-    # past the actor bound: explicit refusal, not a silent driver pull
+    # past the actor bound: the in-place scorer refuses (appending a
+    # column needs a resident model)...
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
         score_word_bigram_artifact(
             ds, str(tmp_path / "lm"), max_broadcast_bytes=0, max_actor_bytes=0
         )
+    # ...and the exchange-join path scores without any resident model:
+    # each reduce task reads exactly one artifact partition. Equal to
+    # the broadcast scorer up to float summation order; OOV-only,
+    # empty and None docs hit the 0.0 convention identically.
+    from fineweb2_ro_ray.stages.lm import score_word_bigram_exchange
+
+    texts2 = texts[:]
+    texts2[3] = None
+    texts2[5] = ""
+    texts2[7] = "zzz qqq xxx"  # OOV-only
+    t2 = pa.table(
+        {"doc_id": pa.array(range(len(texts2)), pa.int64()), "text": pa.array(texts2)}
+    )
+    ds2 = rd.from_arrow(t2)
+    fit2 = fit_word_bigram_counts(ds2, min_count=2)
+    save_lm_artifact(ds2, str(tmp_path / "lm2"), min_count=2, n_parts=5)
+    b2 = (
+        score_word_bigram(ds2, _ray.put(fit2))
+        .to_pandas()
+        .sort_values("doc_id")["lm_ppl"]
+        .to_numpy()
+    )
+    e2 = (
+        score_word_bigram_exchange(ds2, str(tmp_path / "lm2"))
+        .to_pandas()
+        .sort_values("doc_id")["lm_ppl"]
+        .to_numpy()
+    )
+    assert len(e2) == len(b2)
+    assert np.allclose(e2, b2, rtol=1e-9)
 
 
 def test_lm_ppl_matches_pure_python_oracle(ray_session):
