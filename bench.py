@@ -157,6 +157,9 @@ def run_bench() -> dict:
         ("sample_stratified", P.q_sample_stratified),
         ("dedup_clusters", P.q_dedup_clusters),
         ("orders_top_revenue", P.q_orders_top_revenue),
+        # round-4 operator: corpus-trained LM fit (fused one-pass gram
+        # exchange) + per-doc perplexity over the documents table
+        ("doc_lm_ppl", P.q_doc_lm_ppl),
         # round-3 continuation: cross-snapshot dedup at transcript scale
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
         # round-3 continuation: duplicate-span removal at transcript scale

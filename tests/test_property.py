@@ -366,7 +366,15 @@ def test_setops_match_python_set_algebra(a_rows, b_rows):
             st.none(),
             st.lists(
                 st.text(
-                    alphabet=st.characters(blacklist_characters="\n"),
+                    # exclude \n (the unit separator) and lone UTF-16
+                    # surrogates (category Cs): a surrogate cannot be
+                    # UTF-8-encoded, so it cannot exist in an Arrow
+                    # string column or any parquet input — it fails at
+                    # pa.array() in the FIXTURE, never reaching the
+                    # engine
+                    alphabet=st.characters(
+                        blacklist_characters="\n", blacklist_categories=("Cs",)
+                    ),
                     min_size=0,
                     max_size=6,
                 ),
