@@ -344,10 +344,18 @@ def hash_exchange_map_groups(
             _reduce_partition.remote(fn, out_schema, batch_format, fp, *refs)
         )
     del splits
-    # drop 0-row partitions: Ray's map operators emit an EMPTY-SCHEMA
-    # block for a 0-row input block (observed on 2.49), which then
-    # poisons any downstream keyed stage with a KeyError; the exchange
-    # is a barrier anyway, so this row-count sync costs nothing extra
+    if out_schema is not None:
+        # empty partitions emit schema-correct empty blocks
+        # (out_schema.empty_table() / cast), which downstream stages
+        # skip harmlessly — no row-count sync needed, saving P tasks +
+        # a driver barrier per exchange (P ~ 4e5 at the 100-TB point)
+        return ray.data.from_arrow_refs(outs)
+    # no pinned schema: drop 0-row partitions — Ray's map operators
+    # emit an EMPTY-SCHEMA block for a 0-row input block (observed on
+    # 2.49), and a fully-empty partition propagates that degenerate
+    # block (see _reduce_partition), which poisons any downstream keyed
+    # stage with a KeyError; the exchange is a barrier anyway, so this
+    # row-count sync costs nothing extra here
     counts = ray.get([_num_rows.remote(o) for o in outs])
     keep = [o for o, n in zip(outs, counts) if n > 0]
     return ray.data.from_arrow_refs(keep or outs[:1])
