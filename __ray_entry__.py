@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_search": _q_multimodal_search,
         "train_distill": P.q_train_distill,
         "doc_lm_ppl": P.q_doc_lm_ppl,
+        "doc_lm_ppl_artifact": P.q_doc_lm_ppl_artifact,
     }
 
 

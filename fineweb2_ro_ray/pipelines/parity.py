@@ -2795,3 +2795,25 @@ def q_doc_lm_ppl(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return lm_ppl_pipeline(docs, min_count=2)
+
+
+def q_doc_lm_ppl_artifact(sf_dir: str):
+    """The 100-TB LM flow end to end: fit + persist the pruned counts
+    as a hash-partitioned on-disk artifact (counts never visit the
+    driver), then score per-doc ppl via the KEYED EXCHANGE JOIN path
+    (no resident model anywhere — each reduce task reads exactly one
+    artifact partition). Rows-only; equality with the broadcast scorer
+    is pytest-pinned at rtol 1e-9."""
+    import os
+    import shutil
+
+    from ..stages.lm import save_lm_artifact, score_word_bigram_exchange
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    art = os.path.join(
+        "/tmp/fineweb2_ro_lm_artifact",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(art, ignore_errors=True)
+    save_lm_artifact(docs, art, min_count=2, n_parts=8)
+    return score_word_bigram_exchange(docs, art)
