@@ -226,13 +226,14 @@ def decode_png(data: bytes) -> np.ndarray:
     cumsum / row add); Average and Paeth recursions are inherently
     sequential in x and run as a per-scanline loop — fine at metadata/
     feature-extraction scale, and a clearly-marked native-lib swap
-    point for pixel-heavy corpora. 8-bit depth, color types 0/2/6,
-    no interlace (palette and Adam7 raise ``NotImplementedError``)."""
+    point for pixel-heavy corpora. 8-bit depth, color types 0/2/3/6
+    (palette via PLTE lookup → RGB), no interlace (Adam7 raises
+    ``NotImplementedError``)."""
     import struct
 
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = len(_PNG_SIG), [], None
+    pos, idat, ihdr, plte = len(_PNG_SIG), [], None, None
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         typ = data[pos + 4 : pos + 8]
@@ -240,6 +241,8 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -251,9 +254,11 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError("only 8-bit depth, method-0 PNG is parsed here")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG is not parsed here")
-    ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
     if ch is None:
         raise NotImplementedError(f"PNG color type {color_type} is not parsed here")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -290,6 +295,11 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG filter {t}")
     px = out.astype(np.uint8).reshape(h, w, ch)
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette PNG index out of PLTE range")
+        return plte[idx]  # (h, w, 3) RGB via palette lookup
     return px[:, :, 0] if ch == 1 else px
 
 

@@ -2268,16 +2268,25 @@ def test_png_codec_ground_truth_recovery():
     )
     assert (decode_png(two) == px).all()
 
-    # honest refusals: palette color type, interlaced
-    ihdr_pal = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
-    pal_png = sig + _png_chunk(b"IHDR", ihdr_pal) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(pal_png)
+    # palette (color type 3): indices through PLTE recover exact RGB
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (5, 9), dtype=np.uint8)
+    lines = b"".join(b"\x00" + idx[r].tobytes() for r in range(5))
+    ihdr_pal = struct.pack(">IIBBBBB", 9, 5, 8, 3, 0, 0, 0)
+    pal_png = (
+        sig
+        + _png_chunk(b"IHDR", ihdr_pal)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(pal_png)
+    assert got.shape == (5, 9, 3) and (got == pal[idx]).all()
+    # honest refusal: interlaced
     ihdr_int = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
     int_png = sig + _png_chunk(b"IHDR", ihdr_int) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(int_png)
-    _ = _z  # silence linters: zlib imported for parity with module
 
 
 def test_adaptive_threshold_filter_bounds_and_nulls():
