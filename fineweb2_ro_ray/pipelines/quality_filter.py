@@ -645,6 +645,7 @@ def run_flagship(
     cfg: FilterConfig | None = None,
     *,
     batch_size: int = 4096,
+    reduce_impl: str = "arrow",
 ) -> ray.data.Dataset:
     """read → annotate → reassemble. Returns the conversation-level
     Dataset (lazy; caller consumes). The fused annotate stage projects
@@ -671,4 +672,4 @@ def run_flagship(
         batch_size=batch_size,
         project=project,
     )
-    return reassemble(ds, input_schema=ann_schema)
+    return reassemble(ds, input_schema=ann_schema, reduce_impl=reduce_impl)
