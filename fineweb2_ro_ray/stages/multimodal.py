@@ -12,8 +12,11 @@ padded-row reshape), PNG (IDAT is zlib-deflate: stdlib ``zlib``
 decompress + full scanline un-filtering, all five spec filters), and
 baseline JPEG (``stages.jpeg``: marker parse, stream-embedded Huffman
 tables, dequant + numpy IDCT, chroma upsampling, restart markers) —
-including real nearest-neighbor BMP/PNG/JPEG resizes. The remaining
-codecs (MP3/MP4/progressive JPEG/...) stay honestly env-gated:
+including real nearest-neighbor BMP/PNG/JPEG resizes. MP3 and MP4
+get REAL header-level metadata probes (``stages.mediaprobe``:
+frame-walked duration/rate/bitrate, mvhd duration) with sample decode
+env-gated. The remaining full decodes (MP3/MP4 samples, progressive
+JPEG) stay honestly env-gated:
 ``MediaDecoder(fake=False)`` raises ``NotImplementedError`` for those
 payloads, and ``fake=True`` substitutes a deterministic fake decode
 (crc-seeded dimensions + byte stats) so the Ray-side plumbing —
@@ -350,6 +353,24 @@ class MediaDecoder:
 
             px = decode_jpeg(payload)
             base.update(width=px.shape[1], height=px.shape[0])
+            return base
+        if payload[:3] == b"ID3" or (
+            len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+        ):
+            # MP3: header-walk metadata probe (duration/rate exact from
+            # frame math); SAMPLE decode stays env-gated, so rms is null
+            from .mediaprobe import probe_mp3
+
+            info = probe_mp3(payload)
+            base.update(
+                sample_rate=info["sample_rate"], duration_ms=info["duration_ms"]
+            )
+            return base
+        if payload[4:8] == b"ftyp":
+            from .mediaprobe import probe_mp4
+
+            info = probe_mp4(payload)
+            base.update(duration_ms=info["duration_ms"])
             return base
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             rate, ch, samples = decode_wav(payload)

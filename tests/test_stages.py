@@ -2172,6 +2172,63 @@ def test_multimodal_real_wav_bmp_decode():
     assert all(_any_decode(p).shape == (4, 5, 3) for p in imgs["payload"])
 
 
+def test_mediaprobe_mp3_mp4_ground_truth():
+    """Header-level MP3/MP4 metadata probes recover synthesized ground
+    truth exactly: frame-walked MP3 duration/rate/bitrate (with and
+    without a leading ID3v2 tag), mvhd duration at both box versions,
+    64-bit largesize boxes; the MediaDecoder routes both and leaves rms
+    null (no sample decode is claimed)."""
+    import pytest
+
+    from fineweb2_ro_ray.stages.mediaprobe import (
+        encode_mp3_silence,
+        encode_mp4_stub,
+        probe_mp3,
+        probe_mp4,
+    )
+    from fineweb2_ro_ray.stages.multimodal import MediaDecoder
+
+    for id3 in (False, True):
+        mp3 = encode_mp3_silence(50, rate=44100, bitrate_kbps=128, id3=id3)
+        info = probe_mp3(mp3)
+        assert info["n_frames"] == 50
+        assert info["sample_rate"] == 44100
+        # 50 frames x 1152 samples @ 44100 Hz = 1306.1 ms
+        assert abs(info["duration_ms"] - round(50 * 1152 / 44100 * 1000)) <= 1
+        assert info["bitrate_kbps"] == 128
+    info = probe_mp3(encode_mp3_silence(30, rate=32000, bitrate_kbps=64))
+    assert info["sample_rate"] == 32000 and info["n_frames"] == 30
+    with pytest.raises(ValueError):
+        probe_mp3(b"\x00" * 64)
+
+    for version in (0, 1):
+        mp4 = encode_mp4_stub(7500, timescale=600, version=version)
+        info = probe_mp4(mp4)
+        assert info["duration_ms"] == 7500
+        assert info["timescale"] == 600
+        assert info["brand"] == "isom"
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x08free")
+
+    dec = MediaDecoder(fake=False)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "conv_id": ["c", "c"],
+            "kind": ["audio", "video"],
+            "payload": pa.array(
+                [encode_mp3_silence(25), encode_mp4_stub(3200)], pa.binary()
+            ),
+            "meta": ["{}", "{}"],
+        }
+    )
+    out = dec(t).to_pandas()
+    assert out.loc[0, "sample_rate"] == 44100
+    assert abs(out.loc[0, "duration_ms"] - round(25 * 1152 / 44100 * 1000)) <= 1
+    assert pd.isna(out.loc[0, "rms"])  # no sample decode claimed
+    assert out.loc[1, "duration_ms"] == 3200
+
+
 def test_jpeg_codec_ground_truth_recovery():
     """Real baseline JPEG decode (pure numpy Huffman + IDCT): exact on
     flat single-block images, ±2/channel on 4:4:4 quality-100 round
