@@ -94,8 +94,9 @@ def _q_multimodal(sf_dir: str):
     n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000}.get(
         os.path.basename(os.path.normpath(sf_dir)), 60
     )
-    # REAL decode path: BMP + PCM-WAV payloads parsed for true dims /
-    # rate / duration / RMS (compressed codecs stay env-gated)
+    # REAL decode path: BMP / PNG / baseline-JPEG / PCM-WAV payloads
+    # parsed for true dims / rate / duration / RMS (MP3+MP4 metadata
+    # probes are real too; their sample decode stays env-gated)
     ds = ray.data.from_arrow(synth_media(n, real=True))
     out = decode_and_featurize(ds, fake=False).drop_columns(["payload"])
     return out
