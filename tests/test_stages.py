@@ -2677,6 +2677,74 @@ def test_exchange_auto_reducers_byte_sizing():
     assert _auto_reducers(1, 1) == 8  # min floor
 
 
+def test_exchange_byte_sized_reducers_end_to_end(ray_session, monkeypatch):
+    """Byte-dominated reducer sizing (1-byte partition target, capped
+    at a non-power-of-2 23) produces identical results to the default
+    CPU-floor sizing — covering many mostly-empty reduce partitions
+    flowing through from_arrow_refs with a pinned schema (no row-count
+    sync) and without one."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.exchange import hash_exchange_map_groups
+
+    rng = np.random.default_rng(13)
+    frames = [
+        pd.DataFrame(
+            {
+                "k": [f"g{int(x)}" for x in rng.integers(0, 7, 40)],
+                "v": rng.integers(0, 100, 40).astype(np.int64),
+            }
+        )
+        for _ in range(6)
+    ]
+    out_schema = pa.schema([("k", pa.string()), ("v", pa.int64())])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("v", "sum")])
+        return pa.table({"k": g["k"], "v": g["v_sum"]})
+
+    def run() -> pd.DataFrame:
+        return (
+            hash_exchange_map_groups(
+                rd.from_pandas(frames),
+                per_part,
+                key="k",
+                out_schema=out_schema,
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    def run_noschema() -> pd.DataFrame:
+        return (
+            hash_exchange_map_groups(
+                rd.from_pandas(frames),
+                lambda df: df.groupby("k", as_index=False)["v"].sum(),
+                key="k",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    base, base_ns = run(), run_noschema()
+    monkeypatch.setenv("FW2_EXCHANGE_PARTITION_BYTES", "1")
+    monkeypatch.setenv("FW2_EXCHANGE_MAX_REDUCERS", "23")
+    wide, wide_ns = run(), run_noschema()
+    pd.testing.assert_frame_equal(wide, base)
+    pd.testing.assert_frame_equal(wide_ns, base_ns)
+    want = (
+        pd.concat(frames)
+        .groupby("k", as_index=False)["v"]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(wide, want)
+
+
 def test_exchange_schema_drift_names_schemas():
     """A non-unifiable schema drift across coalesced blocks fails with
     the distinct schemas in the message (not a bare Arrow error)."""
