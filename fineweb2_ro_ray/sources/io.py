@@ -204,11 +204,31 @@ def publish_dataset(
     return manifest
 
 
-def read_transcripts_json(path: str | list[str]) -> ray.data.Dataset:
+def _json_read_kwargs(path: str | list[str], compression: str | None) -> dict:
+    """Stream-decompression kwargs for ``read_json``: web corpora ship
+    ``.jsonl.gz`` shards, and Arrow's JSON reader needs the codec named
+    explicitly — infer it from the extension when not given
+    (gzip/bz2 are stdlib-backed; zstd only if the wheel carries it)."""
+    if compression is None:
+        first = path[0] if isinstance(path, list) else path
+        for ext, codec in ((".gz", "gzip"), (".bz2", "bz2"), (".zst", "zstd")):
+            if str(first).endswith(ext):
+                compression = codec
+                break
+    if compression is None:
+        return {}
+    return {"arrow_open_stream_args": {"compression": compression}}
+
+
+def read_transcripts_json(
+    path: str | list[str], *, compression: str | None = None
+) -> ray.data.Dataset:
     """S4: JSON shard loader (``/root/reference/small_model_inference/
     shard_manager.py:52-58``) — Ray-native: one call reads a directory
-    of shards with file-level parallelism."""
-    return ray.data.read_json(path)
+    of shards with file-level parallelism. Compressed shards
+    (``.jsonl.gz`` etc.) decompress in-stream per file — never a
+    driver-side unpack."""
+    return ray.data.read_json(path, **_json_read_kwargs(path, compression))
 
 
 def write_sharded_parquet(
@@ -221,11 +241,17 @@ def write_sharded_parquet(
     ds.write_parquet(path, min_rows_per_file=rows_per_file)
 
 
-def json_to_parquet(src: str, dst: str, columns: list[str] | None = None) -> None:
+def json_to_parquet(
+    src: str,
+    dst: str,
+    columns: list[str] | None = None,
+    *,
+    compression: str | None = None,
+) -> None:
     """S6: streaming JSON→Parquet converter (``small_model_inference/
     parquet.py:8-35``) — a read + optional projection + write; the
     streaming executor handles incremental batching."""
-    ds = ray.data.read_json(src)
+    ds = ray.data.read_json(src, **_json_read_kwargs(src, compression))
     if columns:
         ds = ds.select_columns(columns)
     ds.write_parquet(dst)

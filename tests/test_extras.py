@@ -99,6 +99,22 @@ def test_io_roundtrip(tmp_path):
     write_sharded_parquet(rd.read_parquet(dst), dst2, rows_per_file=4)
     assert rd.read_parquet(dst2).count() == 10
 
+    # gzip'd jsonl shards: codec inferred from the extension, streamed
+    # decompress per file
+    import gzip
+
+    from fineweb2_ro_ray.sources.io import read_transcripts_json
+
+    gz_dir = tmp_path / "gz"
+    gz_dir.mkdir()
+    with gzip.open(gz_dir / "shard0.jsonl.gz", "wt") as fh:
+        fh.write("\n".join(json.dumps(r) for r in rows))
+    got = read_transcripts_json(str(gz_dir / "shard0.jsonl.gz")).to_pandas()
+    assert sorted(got["text"]) == sorted(r["text"] for r in rows)
+    dst3 = str(tmp_path / "pq_gz")
+    json_to_parquet(str(gz_dir / "shard0.jsonl.gz"), dst3, columns=["id"])
+    assert rd.read_parquet(dst3).count() == 10
+
 
 def test_derived_ppl_threshold(golden_path):
     from fineweb2_ro_ray.pipelines.quality_filter import (
