@@ -42,17 +42,28 @@ from ..functions.textstats import SYMBOL_PATTERN
 from ..schema import from_pandas_clean
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    filter=None,
+) -> ray.data.Dataset:
     # clean schema AT the read: pandas-written parquet embeds a
     # b'pandas' schema blob that makes Arrow schemas unhashable in
     # Ray's block unification (warning spam + slow path), including
     # inside the fused ReadParquet operator where a post-read strip
     # can't reach (schema.clean_parquet_schema)
+    # ``filter``: a pyarrow.dataset expression pushed INTO the scan —
+    # row-group statistics prune whole groups and surviving groups are
+    # row-filtered before any block enters the object store (the
+    # prune-at-the-read rule for selective predicates, not just
+    # columns). Callers keep their in-batch filter too, so semantics
+    # never depend on pushdown support.
     from ..schema import clean_parquet_schema
 
     path = f"{sf_dir}/{table}.parquet"
     return ray.data.read_parquet(
-        path, schema=clean_parquet_schema(path, columns), columns=columns
+        path, schema=clean_parquet_schema(path, columns), columns=columns, filter=filter
     )
 
 
@@ -380,8 +391,18 @@ def q_supplier_nations(sf_dir: str):
 
 
 def q_orders_priority(sf_dir: str):
-    """M2-style date-range filter + G1 count (TPC-H Q4 shape)."""
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    """M2-style date-range filter + G1 count (TPC-H Q4 shape). The date
+    predicate is ALSO pushed into the parquet scan (row-group pruning +
+    pre-block row filter)."""
+    import pyarrow.dataset as pds
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderpriority", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+        & (pds.field("o_orderdate") < pd.Timestamp("1997-01-01")),
+    )
 
     def f(t: pa.Table) -> pa.Table:
         lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
@@ -1121,7 +1142,14 @@ def q_orders_top_revenue(sf_dir: str):
         )
     )
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    import pyarrow.dataset as pds
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pds.field("o_orderdate") < pd.Timestamp(cutoff),
+    )
 
     def keep_orders(b: pa.Table) -> pa.Table:
         t = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
@@ -1150,7 +1178,12 @@ def q_orders_top_revenue(sf_dir: str):
 
     bm = build_id_bloom(o, ["o_orderkey"])
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_shipdate") > pd.Timestamp(cutoff),
+    )
 
     def li_revenue(b: pa.Table) -> pa.Table:
         t = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
