@@ -158,115 +158,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
-def _png_chunk(typ: bytes, data: bytes) -> bytes:
-    import struct
-
-    return (
-        struct.pack(">I", len(data))
-        + typ
-        + data
-        + struct.pack(">I", zlib.crc32(typ + data))
-    )
-
-
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 image → PNG bytes via stdlib ``zlib`` (IDAT is plain
-    zlib-deflate). Accepts (h, w) grayscale, (h, w, 3) RGB or
-    (h, w, 4) RGBA. ``filter_type`` selects the per-scanline filter
-    (0=None … 4=Paeth) — mainly to let the decoder's un-filtering be
-    ground-truth-tested against every filter the spec allows."""
-    import struct
-
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
-    flat = px.reshape(h, w * ch).astype(np.int16)
-    prev = np.zeros(w * ch, dtype=np.int16)
-    lines = []
-    for y in range(h):
-        row = flat[y]
-        left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
-        up = prev
-        ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
-        if filter_type == 0:
-            f = row
-        elif filter_type == 1:
-            f = row - left
-        elif filter_type == 2:
-            f = row - up
-        elif filter_type == 3:
-            f = row - (left + up) // 2
-        elif filter_type == 4:
-            p = left + up - ul
-            pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-            pred = np.where(
-                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
-            )
-            f = row - pred
-        else:
-            raise ValueError(f"unknown PNG filter {filter_type}")
-        lines.append(bytes([filter_type]) + (f % 256).astype(np.uint8).tobytes())
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 6)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", idat)
-        + _png_chunk(b"IEND", b"")
-    )
-
-
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array — (h, w) gray, (h, w, 3) RGB or
-    (h, w, 4) RGBA — with REAL decompression (IDAT chunks concatenated
-    → ``zlib.decompress``) and full scanline un-filtering (None / Sub /
-    Up / Average / Paeth). Sub and Up un-filter vectorized (per-lane
-    cumsum / row add); Average and Paeth recursions are inherently
-    sequential in x and run as a per-scanline loop — fine at metadata/
-    feature-extraction scale, and a clearly-marked native-lib swap
-    point for pixel-heavy corpora. 8-bit depth, color types 0/2/3/6
-    (palette via PLTE lookup → RGB), no interlace (Adam7 raises
-    ``NotImplementedError``)."""
-    import struct
-
-    if data[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, ihdr, plte = len(_PNG_SIG), [], None, None
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack_from(">I", data, pos)
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif typ == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
-        raise NotImplementedError("only 8-bit depth, method-0 PNG is parsed here")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not parsed here")
-    ch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
-    if ch is None:
-        raise NotImplementedError(f"PNG color type {color_type} is not parsed here")
-    if color_type == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    raw = zlib.decompress(b"".join(idat))
+def _png_unfilter(rows: np.ndarray, w: int, ch: int) -> np.ndarray:
+    """Un-filter one scanline stream: ``rows`` is (h, stride+1) raw
+    bytes (filter byte + filtered data per row); returns (h, stride)
+    reconstructed ints. Sub un-filters as a per-lane prefix sum and Up
+    as a row add; Average/Paeth recursions are sequential in x."""
+    h = rows.shape[0]
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload has the wrong size")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]
     f = rows[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.int64)
@@ -297,7 +207,158 @@ def decode_png(data: bytes) -> np.ndarray:
                 r[x] = (row[x] + pred) % 256
         else:
             raise ValueError(f"unknown PNG filter {t}")
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    return out
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _png_filter_lines(flat: np.ndarray, ch: int, filter_type: int) -> bytes:
+    """Forward-filter one scanline stream ((h, stride) uint8-valued
+    ints) with a fixed filter type; returns the raw pre-deflate
+    bytes (filter byte + filtered data per row)."""
+    h = flat.shape[0]
+    stride = flat.shape[1]
+    prev = np.zeros(stride, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+        up = prev
+        ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if filter_type == 0:
+            f = row
+        elif filter_type == 1:
+            f = row - left
+        elif filter_type == 2:
+            f = row - up
+        elif filter_type == 3:
+            f = row - (left + up) // 2
+        elif filter_type == 4:
+            p = left + up - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+            )
+            f = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + (f % 256).astype(np.uint8).tobytes())
+        prev = row
+    return b"".join(lines)
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """uint8 image → PNG bytes via stdlib ``zlib`` (IDAT is plain
+    zlib-deflate). Accepts (h, w) grayscale, (h, w, 3) RGB or
+    (h, w, 4) RGBA. ``filter_type`` selects the per-scanline filter
+    (0=None … 4=Paeth) and ``interlace`` emits Adam7 pass streams —
+    mainly to let the decoder's un-filtering and de-interlacing be
+    ground-truth-tested against everything the spec allows."""
+    import struct
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], sub.shape[1] * ch).astype(np.int16)
+            parts.append(_png_filter_lines(flat, ch, filter_type))
+        raw = b"".join(parts)
+    else:
+        raw = _png_filter_lines(px.reshape(h, w * ch).astype(np.int16), ch, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    idat = zlib.compress(raw, 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array — (h, w) gray, (h, w, 3) RGB or
+    (h, w, 4) RGBA — with REAL decompression (IDAT chunks concatenated
+    → ``zlib.decompress``) and full scanline un-filtering (None / Sub /
+    Up / Average / Paeth). Sub and Up un-filter vectorized (per-lane
+    cumsum / row add); Average and Paeth recursions are inherently
+    sequential in x and run as a per-scanline loop — fine at metadata/
+    feature-extraction scale, and a clearly-marked native-lib swap
+    point for pixel-heavy corpora. 8-bit depth, color types 0/2/3/6
+    (palette via PLTE lookup → RGB), both interlace methods (Adam7
+    passes decode as independent filtered streams scattered into the
+    output grid)."""
+    import struct
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte = len(_PNG_SIG), [], None, None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError("only 8-bit depth, method-0 PNG is parsed here")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {color_type} is not parsed here")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline payload has the wrong size")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        out = _png_unfilter(rows, w, ch)
+        px = out.astype(np.uint8).reshape(h, w, ch)
+    else:  # Adam7: 7 independent filtered sub-image streams, scattered
+        px8 = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = -(-(w - x0) // dx) if w > x0 else 0
+            hp = -(-(h - y0) // dy) if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            sp = wp * ch
+            blk = np.frombuffer(raw, np.uint8, count=hp * (sp + 1), offset=pos)
+            pos += hp * (sp + 1)
+            sub = _png_unfilter(blk.reshape(hp, sp + 1), wp, ch)
+            px8[y0::dy, x0::dx] = sub.astype(np.uint8).reshape(hp, wp, ch)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced payload has the wrong size")
+        px = px8
     if color_type == 3:
         idx = px[:, :, 0]
         if idx.max(initial=0) >= len(plte):

@@ -2339,11 +2339,17 @@ def test_png_codec_ground_truth_recovery():
     )
     got = decode_png(pal_png)
     assert got.shape == (5, 9, 3) and (got == pal[idx]).all()
-    # honest refusal: interlaced
-    ihdr_int = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
-    int_png = sig + _png_chunk(b"IHDR", ihdr_int) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(int_png)
+    # Adam7 interlace: every pass layout (incl. widths/heights that
+    # leave some passes empty) de-interlaces back to the exact pixels,
+    # for every filter type and channel count
+    for shape in ((11, 7, 3), (8, 8, 1), (3, 2, 4), (1, 1, 3), (2, 9, 3)):
+        pxi = rng.integers(0, 256, shape, dtype=np.uint8)
+        if shape[-1] == 1:
+            pxi = pxi[:, :, 0]
+        for ft in (0, 2, 4):
+            gi = decode_png(encode_png(pxi, filter_type=ft, interlace=True))
+            assert gi.shape == pxi.shape and (gi == pxi).all(), (shape, ft)
+    _ = pytest  # refusals for palette-missing-PLTE covered in decode
 
 
 def test_adaptive_threshold_filter_bounds_and_nulls():
