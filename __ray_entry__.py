@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_exchange": P.q_orders_anti_exchange,
         "dedup_incremental_update": P.q_dedup_incremental_update,
         "doc_boilerplate_scrub_exchange": P.q_doc_boilerplate_scrub_exchange,
+        # round-4: domain-mixture rebalancing family
+        "mixture_weights": P.q_mixture_weights,
+        "mixture_sample": P.q_mixture_sample,
+        "doc_upsample": P.q_doc_upsample,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "minhash_pairs": P.q_minhash_pairs,
@@ -1315,5 +1319,34 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        # round-4 domain-mixture family — the engine mirrors these
+        # expressions' operation order exactly (see stages/mixing.py)
+        "mixture_weights": """
+            WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+            tgt(lang, target) AS (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('es', 0.1), ('zh', 0.1)),
+            r AS (
+                SELECT c.lang, c.n,
+                       COALESCE(tgt.target, 0) / (CAST(c.n AS DOUBLE) / tot.t) AS ratio
+                FROM c CROSS JOIN tot LEFT JOIN tgt USING (lang)
+            )
+            SELECT lang, n, ratio / (SELECT MAX(ratio) FROM r) AS rate
+            FROM r
+        """,
+        "mixture_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000
+                  < CAST(FLOOR(CASE lang
+                        WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.25
+                        WHEN 'es' THEN 0.125 WHEN 'zh' THEN 0.0625 ELSE 0 END
+                        * 1000000) AS BIGINT)
+        """,
+        "doc_upsample": """
+            SELECT d.doc_id, d.lang, unnest(range(f.fac)) AS copy_idx
+            FROM documents d
+            JOIN (VALUES ('en', 1), ('de', 2), ('fr', 3), ('es', 0), ('zh', 2)) AS f(lang, fac)
+              USING (lang)
         """,
     }

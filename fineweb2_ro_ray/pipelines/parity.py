@@ -2830,6 +2830,41 @@ def q_doc_lm_ppl(sf_dir: str):
     return lm_ppl_pipeline(docs, min_count=2)
 
 
+_MIX_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
+_UPSAMPLE = {"en": 1, "de": 2, "fr": 3, "es": 0, "zh": 2}
+
+
+def q_mixture_weights(sf_dir: str):
+    """Domain-mixture reweighting (DoReMi / Pile-style target
+    proportions): downsample-only per-language keep-rates from thin
+    grouped counts — the arithmetic mirrors the SQL oracle's operation
+    order exactly, so the double-typed rates value-hash-match."""
+    from ..stages.mixing import mixture_weights
+
+    docs = _read(sf_dir, "documents", ["lang"])
+    return mixture_weights(docs, "lang", _MIX_TARGET)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic per-key hash-band sampling at fixed rates: keep
+    iff md5-band(doc_id) < floor(rate·1e6) — stable across runs/batch
+    sizes/cluster layouts, zero shuffle, exactly reproducible in SQL."""
+    from ..stages.mixing import mixture_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return mixture_sample(docs, "lang", _MIX_RATES, id_col="doc_id")
+
+
+def q_doc_upsample(sf_dir: str):
+    """Integer per-domain repetition (epochs-per-domain upsampling):
+    each doc emits factor copies tagged copy_idx; factor 0 drops."""
+    from ..stages.mixing import upsample_by_key
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return upsample_by_key(docs, "lang", _UPSAMPLE)
+
+
 def q_doc_lm_ppl_artifact(sf_dir: str):
     """The 100-TB LM flow end to end: fit + persist the pruned counts
     as a hash-partitioned on-disk artifact (counts never visit the

@@ -2172,6 +2172,69 @@ def test_multimodal_real_wav_bmp_decode():
     assert all(_any_decode(p).shape == (4, 5, 3) for p in imgs["payload"])
 
 
+def test_mixing_stage_edges(ray_session):
+    """Mixture family edges: null/unlisted keys drop (sample) or take
+    the default factor (upsample); the hash-band sample is identical
+    across batch sizes; weights give rate 1.0 to the most
+    under-represented key and 0 to untargeted keys."""
+    from fineweb2_ro_ray.stages.mixing import (
+        band_1e6,
+        mixture_sample,
+        mixture_weights,
+        upsample_by_key,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "k": pa.array(
+                (["a"] * 120 + ["b"] * 60 + ["c"] * 18 + [None, "zz"]), pa.string()
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    w = mixture_weights(ds, "k", {"a": 0.5, "b": 0.5})
+    w = w.set_index("k")
+    # b is most under-represented vs target → rate 1.0; c untargeted → 0
+    assert w.loc["b", "rate"] == 1.0
+    assert w.loc["c", "rate"] == 0.0
+    assert 0 < w.loc["a", "rate"] < 1
+
+    rates = {"a": 0.5, "b": 1.0}
+    kept = mixture_sample(ds, "k", rates, id_col="doc_id").to_pandas()
+    assert set(kept["k"]) <= {"a", "b"}  # null/c/zz dropped
+    assert (kept[kept["k"] == "b"].shape[0]) == 60  # rate 1.0 keeps all
+    # deterministic + batch-size invariant
+    kept2 = (
+        mixture_sample(
+            rd.from_arrow(t).repartition(7), "k", rates, id_col="doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        kept.sort_values("doc_id").reset_index(drop=True), kept2
+    )
+    # matches the scalar definition
+    import hashlib
+
+    for _, r in kept.iterrows():
+        b = int.from_bytes(
+            hashlib.md5(str(r["doc_id"]).encode()).digest()[:6], "big"
+        ) % 1_000_000
+        assert b < int(np.floor(rates[r["k"]] * 1_000_000))
+    bands = band_1e6(pa.array(["0", "1", "42"]))
+    assert bands[2] == 378754  # pinned against the DuckDB mirror
+
+    up = upsample_by_key(ds, "k", {"a": 2, "c": 0}, default=1).to_pandas()
+    assert (up[up["k"] == "a"].shape[0]) == 240
+    assert (up[up["k"] == "c"].shape[0]) == 0
+    assert (up[up["k"] == "b"].shape[0]) == 60  # default 1
+    assert up[up["k"].isna()].shape[0] == 1  # null key → default
+    assert set(up[up["k"] == "a"]["copy_idx"]) == {0, 1}
+
+
 def test_mediaprobe_mp3_mp4_ground_truth():
     """Header-level MP3/MP4 metadata probes recover synthesized ground
     truth exactly: frame-walked MP3 duration/rate/bitrate (with and
