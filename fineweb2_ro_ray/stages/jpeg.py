@@ -259,8 +259,17 @@ def encode_jpeg(
     quality: int = 100,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JFIF bytes."""
+    """uint8 (h, w) gray or (h, w, 3) RGB → JFIF bytes. Baseline
+    (SOF0) by default; ``progressive=True`` emits an SOF2 multi-scan
+    stream (spectral-selection bands; ``successive=True`` adds DC+AC
+    successive-approximation refinement scans) — the coefficients are
+    identical to the baseline encoding, so a correct decoder must
+    reproduce the baseline decode bit-for-bit."""
+    if progressive and restart_interval:
+        raise ValueError("progressive encode does not emit restart markers here")
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -312,12 +321,20 @@ def encode_jpeg(
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0)
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
     for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
         seg = bytes([cls << 4 | 0]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        _emit_progressive_scans(
+            out, coeffs, samp, ncomp, mcus_x, mcus_y, w, h, hmax, vmax, successive
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
@@ -357,22 +374,229 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _nr_grid(w: int, h: int, sh: int, sv: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved block grid (ceil of the component's own sample
+    dims / 8) — smaller than the MCU-padded storage grid."""
+    return (
+        -(-(-(-w * sh // hmax)) // 8),
+        -(-(-(-h * sv // vmax)) // 8),
+    )
+
+
+def _emit_progressive_scans(
+    out, coeffs, samp, ncomp, mcus_x, mcus_y, w, h, hmax, vmax, successive
+) -> None:
+    """T.81 G.1.2 scan sequence: DC first (interleaved) [+ DC refine],
+    then per-component AC band scans [+ AC refinement]. Coefficients
+    match the baseline encoding exactly."""
+    al_dc = 1 if successive else 0
+    ids = list(range(1, ncomp + 1))
+
+    # --- DC first scan (interleaved, diff-coded at >> al_dc) ---
+    out += _sos_header(ids, 0, 0, 0, al_dc)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                zz, bwb = coeffs[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * bwb + (mx * sh + bx)
+                        v = int(zz[bi][0]) >> al_dc
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        c, ln = _DC_CODES[s]
+                        bw.write(c, ln)
+                        if s:
+                            bw.write(_mag_bits(diff, s), s)
+    bw.align()
+    out += bytes(bw.out)
+
+    if successive:  # --- DC refinement: one raw bit per block ---
+        out += _sos_header(ids, 0, 0, al_dc, 0)
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    zz, bwb = coeffs[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (my * sv + by) * bwb + (mx * sh + bx)
+                            bw.write(int(zz[bi][0]) & 1, 1)
+        bw.align()
+        out += bytes(bw.out)
+
+    # --- AC scans: one component each, non-interleaved grid ---
+    bands = [(1, 63)] if successive else [(1, 20), (21, 63)]
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        zz, bwb = coeffs[ci]
+        bw_nr, bh_nr = _nr_grid(w, h, sh, sv, hmax, vmax)
+        blocks = [
+            zz[by * bwb + bx] for by in range(bh_nr) for bx in range(bw_nr)
+        ]
+        for ss, se in bands:
+            out += _sos_header([ci + 1], ss, se, 0, 1 if successive else 0)
+            bw = _BitWriter()
+            _enc_ac_first(bw, blocks, ss, se, 1 if successive else 0)
+            bw.align()
+            out += bytes(bw.out)
+        if successive:
+            out += _sos_header([ci + 1], 1, 63, 1, 0)
+            bw = _BitWriter()
+            _enc_ac_refine(bw, blocks, 1, 63, 0)
+            bw.align()
+            out += bytes(bw.out)
+
+
+def _enc_ac_first(bw, blocks, ss, se, al) -> None:
+    """AC first scan with EOB-run coalescing (G.1.2.2): values are the
+    sign-preserving magnitude shift |c| >> al."""
+    eob_run = 0
+
+    def emit_eobrun() -> None:
+        nonlocal eob_run
+        if eob_run > 0:
+            nbits = eob_run.bit_length() - 1
+            c, ln = _AC_CODES[nbits << 4]
+            bw.write(c, ln)
+            if nbits:
+                bw.write(eob_run - (1 << nbits), nbits)
+            eob_run = 0
+
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        v = np.sign(band) * (np.abs(band) >> al)
+        nz = np.flatnonzero(v)
+        if len(nz) == 0:
+            eob_run += 1
+            if eob_run == 0x7FFF:
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        last = nz[-1]
+        r = 0
+        for k in range(last + 1):
+            val = int(v[k])
+            if val == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = _AC_CODES[0xF0]
+                bw.write(c, ln)
+                r -= 16
+            s = _category(val)
+            c, ln = _AC_CODES[(r << 4) | s]
+            bw.write(c, ln)
+            bw.write(_mag_bits(val, s), s)
+            r = 0
+        if last < se - ss:
+            eob_run += 1
+            if eob_run == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine(bw, blocks, ss, se, al) -> None:
+    """AC successive-approximation refinement (G.1.2.3, the libjpeg
+    encode_mcu_AC_refine structure): ±1 symbols for newly-significant
+    coefficients, buffered correction bits for history-nonzero ones,
+    correction bits riding EOB runs."""
+    eob_run = 0
+    be: list[int] = []  # correction bits pending with the EOB run
+
+    def emit_eobrun() -> None:
+        nonlocal eob_run, be
+        if eob_run > 0:
+            nbits = eob_run.bit_length() - 1
+            c, ln = _AC_CODES[nbits << 4]
+            bw.write(c, ln)
+            if nbits:
+                bw.write(eob_run - (1 << nbits), nbits)
+            for b in be:
+                bw.write(b, 1)
+            be = []
+            eob_run = 0
+
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        absv = np.abs(band) >> al
+        # last newly-significant position bounds where ZRLs are needed
+        newly = np.flatnonzero(absv == 1)
+        eobpos = newly[-1] if len(newly) else -1
+        r = 0
+        br_bits: list[int] = []
+        for k in range(len(band)):
+            t = int(absv[k])
+            if t == 0:
+                r += 1
+                continue
+            # emit required ZRLs at the FIRST nonzero target (libjpeg
+            # placement — bit-stream order must equal walk order), but
+            # not when they can fold into the EOB run
+            while r > 15 and k <= eobpos:
+                emit_eobrun()
+                c, ln = _AC_CODES[0xF0]
+                bw.write(c, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:  # history-nonzero: buffered correction bit
+                br_bits.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            emit_eobrun()
+            c, ln = _AC_CODES[(r << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if band[k] > 0 else 0, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eob_run += 1
+            be.extend(br_bits)
+            if eob_run == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (h, w) gray or (h, w, 3) RGB.
-    General baseline: tables from the stream, 1-2x sampling factors,
-    restart markers. Progressive/arithmetic/12-bit refuse honestly."""
+    """JFIF bytes → uint8 (h, w) gray or (h, w, 3) RGB. General
+    baseline (SOF0/1) AND progressive (SOF2: spectral selection +
+    successive approximation per T.81 G.1.2 — the stb_image/libjpeg
+    scan algorithms): tables from the stream, 1-2x sampling factors,
+    restart markers, multi-scan coefficient accumulation.
+    Arithmetic/hierarchical/12-bit streams refuse honestly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
+    progressive = False
     ri = 0
+    geom = None  # (hmax, vmax, mcus_x, mcus_y)
+    store: list[np.ndarray] | None = None
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -404,7 +628,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision JPEG")
@@ -413,24 +638,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, s, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": s >> 4, "v": s & 0xF, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            geom = (hmax, vmax, -(-fw // (8 * hmax)), -(-fh // (8 * vmax)))
+            store = [
+                np.zeros((geom[3] * c["v"] * geom[2] * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG is not parsed here (baseline only)"
+                "lossless/arithmetic/hierarchical JPEG is not parsed here"
             )
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0xF))
-            # collect entropy bytes (unstuff FF00, stop at a marker)
-            ent = bytearray()
-            segments = [ent]
+                ci = next(
+                    i2 for i2, c in enumerate(frame["comps"]) if c["id"] == cs
+                )
+                scan.append((ci, tt >> 4, tt & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            # collect entropy bytes (unstuff FF00, split at RSTn)
+            segments = [bytearray()]
             p = pos
             while p < len(data) - 1:
                 b = data[p]
@@ -440,74 +676,237 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         segments[-1].append(0xFF)
                         p += 2
                         continue
-                    if 0xD0 <= nxt <= 0xD7:  # restart marker
+                    if 0xD0 <= nxt <= 0xD7:
                         segments.append(bytearray())
                         p += 2
                         continue
-                    break  # real marker ends the scan
+                    break
                 segments[-1].append(b)
                 p += 1
             pos = p
-            return _decode_scan(frame, scan, qt, huff, segments, ri)
+            saw_scan = True
+            if progressive:
+                _scan_progressive(
+                    frame, geom, store, scan, huff, segments, ri, ss, se, ah, al
+                )
+            else:
+                _scan_baseline(frame, geom, store, scan, huff, segments, ri)
         # other markers (APPn, COM): skipped
-    raise ValueError("corrupt JPEG: no SOS scan found")
+    if not saw_scan:
+        raise ValueError("corrupt JPEG: no SOS scan found")
+    return _finish(frame, geom, store, qt)
 
 
-def _decode_scan(frame, scan, qt, huff, segments, ri) -> np.ndarray:
-    h, w = frame["h"], frame["w"]
-    comps = [s[0] for s in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-    store = []
-    for c in comps:
-        bw_blocks = mcus_x * c["h"]
-        bh_blocks = mcus_y * c["v"]
-        store.append(np.zeros((bh_blocks * bw_blocks, 64), dtype=np.int64))
+def _scan_baseline(frame, geom, store, scan, huff, segments, ri) -> None:
+    hmax, vmax, mcus_x, mcus_y = geom
+    comps = frame["comps"]
+    if len(scan) == 1:
+        # non-interleaved scan: the MCU is ONE block over the
+        # component's own (unpadded) block grid
+        _scan_baseline_single(frame, geom, store, scan[0], huff, segments, ri)
+        return
     seg_i = 0
     br = _BitReader(bytes(segments[0]))
-    preds = [0] * len(comps)
-    for m in range(n_mcus):
+    preds = {ci: 0 for ci, _, _ in scan}
+    for m in range(mcus_x * mcus_y):
         if ri and m and m % ri == 0:
             seg_i += 1
             if seg_i >= len(segments):
                 raise ValueError("corrupt JPEG: missing restart segment")
             br = _BitReader(bytes(segments[seg_i]))
-            preds = [0] * len(comps)
+            preds = {ci: 0 for ci, _, _ in scan}
         my, mx = divmod(m, mcus_x)
-        for ci, (c, td, ta) in enumerate(scan):
-            dc_t = huff.get((0, td))
-            ac_t = huff.get((1, ta))
+        for ci, td, ta in scan:
+            c = comps[ci]
+            dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
             if dc_t is None or ac_t is None:
                 raise ValueError("corrupt JPEG: missing Huffman table")
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = dc_t.decode(br)
-                    diff = _extend(br.bits(s), s) if s else 0
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = ac_t.decode(br)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC index overflow")
-                        zz[k] = _extend(br.bits(s), s)
-                        k += 1
                     bi = (my * c["v"] + by) * (mcus_x * c["h"]) + (mx * c["h"] + bx)
-                    store[ci][bi] = zz
-    # dequantize + IDCT, vectorized per component
+                    preds[ci] = _block_baseline(
+                        br, store[ci][bi], dc_t, ac_t, preds[ci]
+                    )
+
+
+def _scan_baseline_single(frame, geom, store, one, huff, segments, ri) -> None:
+    hmax, vmax, mcus_x, mcus_y = geom
+    ci, td, ta = one
+    c = frame["comps"][ci]
+    dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
+    if dc_t is None or ac_t is None:
+        raise ValueError("corrupt JPEG: missing Huffman table")
+    bw_nr = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+    bh_nr = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+    stride = mcus_x * c["h"]
+    seg_i, pred, n = 0, 0, 0
+    br = _BitReader(bytes(segments[0]))
+    for by in range(bh_nr):
+        for bx in range(bw_nr):
+            if ri and n and n % ri == 0:
+                seg_i += 1
+                br = _BitReader(bytes(segments[seg_i]))
+                pred = 0
+            pred = _block_baseline(br, store[ci][by * stride + bx], dc_t, ac_t, pred)
+            n += 1
+
+
+def _block_baseline(br, coef, dc_t, ac_t, pred) -> int:
+    s = dc_t.decode(br)
+    diff = _extend(br.bits(s), s) if s else 0
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index overflow")
+        coef[k] = _extend(br.bits(s), s)
+        k += 1
+    return pred
+
+
+def _scan_progressive(
+    frame, geom, store, scan, huff, segments, ri, ss, se, ah, al
+) -> None:
+    hmax, vmax, mcus_x, mcus_y = geom
+    comps = frame["comps"]
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        seg_i = 0
+        br = _BitReader(bytes(segments[0]))
+        preds = {ci: 0 for ci, _, _ in scan}
+        for m in range(mcus_x * mcus_y):
+            if ri and m and m % ri == 0:
+                seg_i += 1
+                br = _BitReader(bytes(segments[seg_i]))
+                preds = {ci: 0 for ci, _, _ in scan}
+            my, mx = divmod(m, mcus_x)
+            for ci, td, _ta in scan:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * (mcus_x * c["h"]) + (
+                            mx * c["h"] + bx
+                        )
+                        coef = store[ci][bi]
+                        if ah == 0:  # DC first
+                            dc_t = huff.get((0, td))
+                            if dc_t is None:
+                                raise ValueError("corrupt JPEG: missing DC table")
+                            s = dc_t.decode(br)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            coef[0] = preds[ci] << al
+                        else:  # DC refinement: one raw bit
+                            if br.bit():
+                                coef[0] |= 1 << al
+        return
+    # AC scan: exactly one component, non-interleaved block grid
+    if len(scan) != 1:
+        raise ValueError("corrupt JPEG: progressive AC scan with >1 component")
+    ci, _td, ta = scan[0]
+    c = comps[ci]
+    ac_t = huff.get((1, ta))
+    if ac_t is None:
+        raise ValueError("corrupt JPEG: missing AC table")
+    bw_nr = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+    bh_nr = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+    stride = mcus_x * c["h"]
+    seg_i, n = 0, 0
+    br = _BitReader(bytes(segments[0]))
+    eob_run = 0
+    for by in range(bh_nr):
+        for bx in range(bw_nr):
+            if ri and n and n % ri == 0:
+                seg_i += 1
+                br = _BitReader(bytes(segments[seg_i]))
+                eob_run = 0
+            n += 1
+            coef = store[ci][by * stride + bx]
+            if ah == 0:
+                eob_run = _block_ac_first(br, coef, ac_t, ss, se, al, eob_run)
+            else:
+                eob_run = _block_ac_refine(br, coef, ac_t, ss, se, al, eob_run)
+
+
+def _block_ac_first(br, coef, ac_t, ss, se, al, eob_run) -> int:
+    if eob_run:
+        return eob_run - 1
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                run = (1 << r) - 1
+                if r:
+                    run += br.bits(r)
+                return run  # EOB for this block; run more blocks follow
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index overflow")
+        coef[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _block_ac_refine(br, coef, ac_t, ss, se, al, eob_run) -> int:
+    """T.81 G.1.2.3 AC successive-approximation refinement (the
+    stb_image/libjpeg walk): correction bits for history-nonzero
+    coefficients, ±1<<al for newly-significant ones, EOB runs carry
+    correction bits too."""
+    bit = 1 << al
+    if eob_run:
+        for k in range(ss, se + 1):
+            if coef[k] != 0 and br.bit() and (coef[k] & bit) == 0:
+                coef[k] += bit if coef[k] > 0 else -bit
+        return eob_run - 1
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r < 15:
+                eob_run = (1 << r) - 1
+                if r:
+                    eob_run += br.bits(r)
+                r = 64  # walk out the rest of the band on correction bits
+        else:
+            if s != 1:
+                raise ValueError("corrupt JPEG: refinement magnitude != 1")
+            val = bit if br.bit() else -bit
+        while k <= se:
+            if coef[k] != 0:
+                if br.bit() and (coef[k] & bit) == 0:
+                    coef[k] += bit if coef[k] > 0 else -bit
+            else:
+                if r == 0:
+                    if val:
+                        coef[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eob_run
+
+
+def _finish(frame, geom, store, qt) -> np.ndarray:
+    hmax, vmax, mcus_x, mcus_y = geom
+    h, w = frame["h"], frame["w"]
     planes = []
-    for c, zzs in zip(comps, store):
+    for c, zzs in zip(frame["comps"], store):
         q = qt[c["tq"]]
         blocks = zzs[:, _UNZZ].reshape(-1, 8, 8) * q
         px = np.einsum("ji,njk,kl->nil", _T, blocks, _T) + 128.0
@@ -518,7 +917,9 @@ def _decode_scan(frame, scan, qt, huff, segments, ri) -> np.ndarray:
             .transpose(0, 2, 1, 3)
             .reshape(bh_blocks * 8, bw_blocks * 8)
         )
-        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

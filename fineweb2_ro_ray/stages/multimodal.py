@@ -10,13 +10,14 @@ Decode is REAL for every format parseable with the stdlib + numpy —
 PCM WAV (RIFF parse via ``wave``), 24-bit BI_RGB BMP (header +
 padded-row reshape), PNG (IDAT is zlib-deflate: stdlib ``zlib``
 decompress + full scanline un-filtering, all five spec filters), and
-baseline JPEG (``stages.jpeg``: marker parse, stream-embedded Huffman
-tables, dequant + numpy IDCT, chroma upsampling, restart markers) —
+JPEG (``stages.jpeg``: marker parse, stream-embedded Huffman
+tables, dequant + numpy IDCT, chroma upsampling, restart markers —
+baseline AND progressive incl. successive approximation) —
 including real nearest-neighbor BMP/PNG/JPEG resizes. MP3 and MP4
 get REAL header-level metadata probes (``stages.mediaprobe``:
 frame-walked duration/rate/bitrate, mvhd duration) with sample decode
-env-gated. The remaining full decodes (MP3/MP4 samples, progressive
-JPEG) stay honestly env-gated:
+env-gated. The remaining full decodes (MP3/MP4 samples) stay
+honestly env-gated:
 ``MediaDecoder(fake=False)`` raises ``NotImplementedError`` for those
 payloads, and ``fake=True`` substitutes a deterministic fake decode
 (crc-seeded dimensions + byte stats) so the Ray-side plumbing —
@@ -369,9 +370,9 @@ def decode_png(data: bytes) -> np.ndarray:
 
 class MediaDecoder:
     """Actor-pool decode stage. REAL for stdlib-parseable payloads
-    (sniffed by magic bytes): 24-bit BMP, PNG and baseline JPEG images
+    (sniffed by magic bytes): 24-bit BMP, PNG and JPEG images
     (true dims) and PCM WAV audio (rate / channels / duration / RMS).
-    The remaining codecs (MP3/MP4/progressive JPEG/…) need libraries
+    The remaining codecs (MP3/MP4 sample decode/…) need libraries
     absent from this container and raise ``NotImplementedError``;
     ``fake=True`` produces deterministic pseudo-decodes for any payload
     so downstream plumbing is testable.

@@ -2327,10 +2327,29 @@ def test_jpeg_codec_ground_truth_recovery():
     dg = decode_jpeg(encode_jpeg(g, quality=100))
     assert dg.shape == (19, 31) and (dg == g).all()
 
-    # progressive refusal: rewrite the SOF0 marker to SOF2
+    # progressive (SOF2): both spectral-selection-only and full
+    # successive-approximation streams decode BIT-IDENTICAL to the
+    # baseline decode of the same pixels (the coefficients are equal by
+    # construction, so any decoder divergence is a scan-algorithm bug)
+    for px, kw in [
+        (img, {}),
+        (img, {"subsampling": "420"}),
+        (noise, {}),
+        (g, {}),
+        (img, {"quality": 70}),
+        (rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), {}),  # 1 block
+        (rng.integers(0, 256, (9, 17, 3), dtype=np.uint8), {"subsampling": "420"}),
+    ]:
+        base = decode_jpeg(encode_jpeg(px, **kw))
+        assert (decode_jpeg(encode_jpeg(px, progressive=True, **kw)) == base).all()
+        assert (
+            decode_jpeg(encode_jpeg(px, progressive=True, successive=True, **kw))
+            == base
+        ).all()
+    # lossless/arithmetic SOF refusal: rewrite SOF0 → SOF3 (lossless)
     payload = bytearray(encode_jpeg(flat))
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     # not-a-jpeg refusal
