@@ -2326,6 +2326,8 @@ def test_jpeg_codec_ground_truth_recovery():
     g = np.add.outer(np.arange(19), np.arange(31)).astype(np.uint8)
     dg = decode_jpeg(encode_jpeg(g, quality=100))
     assert dg.shape == (19, 31) and (dg == g).all()
+    # grayscale + restart markers: the single-component scan path
+    assert (decode_jpeg(encode_jpeg(g, quality=100, restart_interval=3)) == g).all()
 
     # progressive (SOF2): both spectral-selection-only and full
     # successive-approximation streams decode BIT-IDENTICAL to the
