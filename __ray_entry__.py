@@ -94,17 +94,19 @@ def _q_multimodal(sf_dir: str):
     n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000}.get(
         os.path.basename(os.path.normpath(sf_dir)), 60
     )
-    # REAL decode path: BMP / PNG / baseline-JPEG / PCM-WAV payloads
-    # parsed for true dims / rate / duration / RMS (MP3+MP4 metadata
-    # probes are real too; their sample decode stays env-gated)
+    # REAL decode path: BMP / PNG / baseline-JPEG / GIF (incl. animated)
+    # / PCM-WAV payloads parsed for true dims / rate / duration / RMS
+    # (MP3+MP4 metadata probes are real too; sample decode env-gated)
     ds = ray.data.from_arrow(synth_media(n, real=True))
     out = decode_and_featurize(ds, fake=False).drop_columns(["payload"])
     return out
 
 
 def _q_multimodal_frames(sf_dir: str):
-    """Frame-sampling over video payloads (flat-map on binary columns;
-    fake decode, real plumbing — rows-only)."""
+    """Frame-sampling over video payloads (flat-map on binary columns)
+    — REAL decode: the synthetic videos are animated GIFs, LZW-decoded
+    and composed by ``stages.gif``, frames re-emitted as BMP
+    (rows-only)."""
     import ray.data
 
     from fineweb2_ro_ray.stages.multimodal import sample_frames
@@ -112,8 +114,8 @@ def _q_multimodal_frames(sf_dir: str):
     n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000}.get(
         os.path.basename(os.path.normpath(sf_dir)), 60
     )
-    ds = ray.data.from_arrow(synth_media(n))
-    return sample_frames(ds, n_frames=4).drop_columns(["frame"])
+    ds = ray.data.from_arrow(synth_media(n, real=True))
+    return sample_frames(ds, n_frames=4, fake=False).drop_columns(["frame"])
 
 
 

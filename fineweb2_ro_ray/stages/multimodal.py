@@ -54,7 +54,7 @@ def synth_media(n: int, seed: int = 42, real: bool = False) -> pa.Table:
     emits genuinely decodable payloads — BMP images and PCM WAV audio —
     so the non-fake decode path runs end to end in tests."""
     rng = np.random.default_rng(seed)
-    kinds = ["image", "audio"] if real else ["image", "audio", "video"]
+    kinds = ["image", "audio", "video"]
     rows = {"media_id": [], "conv_id": [], "kind": [], "payload": [], "meta": []}
     for i in range(n):
         k = kinds[i % len(kinds)]
@@ -65,17 +65,34 @@ def synth_media(n: int, seed: int = 42, real: bool = False) -> pa.Table:
         elif k == "image":
             w, h = int(rng.integers(4, 40)), int(rng.integers(4, 40))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if i % 6 == 0:  # rotate real codecs: BMP, zlib-PNG, JPEG
+            j = (i // 3) % 4  # rotate real codecs: PNG, BMP, JPEG, GIF
+            if j == 0:
                 payload = encode_png(px, filter_type=int(rng.integers(0, 5)))
                 meta = {"codec": "png", "width": w, "height": h}
-            elif i % 6 == 2:
+            elif j == 2:
                 from .jpeg import encode_jpeg
 
                 payload = encode_jpeg(px, quality=100)
                 meta = {"codec": "jpeg", "width": w, "height": h}
+            elif j == 3:
+                from .gif import encode_gif
+
+                pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+                px = pal[rng.integers(0, 16, size=(h, w))]
+                payload = encode_gif(px, interlace=bool((i // 3) % 8 == 3))
+                meta = {"codec": "gif", "width": w, "height": h}
             else:
                 payload = encode_bmp(px)
                 meta = {"codec": "bmp", "width": w, "height": h}
+        elif k == "video":
+            from .gif import encode_gif
+
+            w, h = int(rng.integers(6, 32)), int(rng.integers(6, 32))
+            nf = int(rng.integers(2, 9))
+            pal = rng.integers(0, 256, size=(24, 3), dtype=np.uint8)
+            frames = pal[rng.integers(0, 24, size=(nf, h, w))]
+            payload = encode_gif(frames, delays_cs=[int(rng.integers(2, 20))] * nf)
+            meta = {"codec": "gif-anim", "width": w, "height": h, "frames": nf}
         else:
             rate = int(rng.choice([8000, 16000, 44100]))
             n_samp = int(rng.integers(100, 4000))
@@ -416,6 +433,15 @@ class MediaDecoder:
             px = decode_jpeg(payload)
             base.update(width=px.shape[1], height=px.shape[0])
             return base
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            frames, delays = decode_gif(payload)
+            base.update(width=frames.shape[2], height=frames.shape[1])
+            if frames.shape[0] > 1:
+                # animated: duration from per-frame delays (centisec)
+                base.update(duration_ms=int(sum(delays) * 10))
+            return base
         if payload[:3] == b"ID3" or (
             len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
         ):
@@ -499,11 +525,17 @@ class MediaResizer:
             from .jpeg import decode_jpeg, encode_jpeg
 
             px, enc = decode_jpeg(p), encode_jpeg
+        elif p[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif, encode_gif
+
+            # nearest-neighbor gather keeps pixels a subset of the
+            # original palette, so GIF re-encode is always valid
+            px, enc = decode_gif(p)[0][0], encode_gif
         else:
             raise NotImplementedError(
-                "real resize covers BMP, PNG and baseline JPEG in this "
-                "environment; construct MediaResizer(fake=True) for the "
-                "deterministic stub"
+                "real resize covers BMP, PNG, baseline JPEG and GIF in "
+                "this environment; construct MediaResizer(fake=True) for "
+                "the deterministic stub"
             )
         h, w = px.shape[:2]
         yi = np.minimum((np.arange(self.th) * h) // self.th, h - 1)
@@ -543,19 +575,32 @@ class MediaResizer:
 
 class FrameSampler:
     """Frame-sample stage (videos): one INPUT row → ``n_frames`` OUTPUT
-    rows (the flat-map shape over binary columns). The fake decode
-    slices the payload into equal frame windows; a real build would
-    seek keyframes. Non-video rows pass through as a single frame 0."""
+    rows (the flat-map shape over binary columns). REAL for animated
+    GIF (``stages.gif``: LZW decode, frame composition; evenly-spaced
+    temporal sample, frames re-emitted as BMP so any downstream decode
+    stage reads them); other video containers raise
+    ``NotImplementedError`` (codecs absent from this container).
+    ``fake=True`` slices the payload into equal byte windows.
+    Non-video rows pass through as a single frame 0."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False) -> None:
         self.n_frames, self.fake = n_frames, fake
 
+    def _real_frames(self, p: bytes) -> list[bytes]:
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            frames, _ = decode_gif(p)
+            n = max(1, min(self.n_frames, frames.shape[0]))
+            picks = np.linspace(0, frames.shape[0] - 1, n).round().astype(int)
+            return [encode_bmp(frames[i]) for i in picks]
+        raise NotImplementedError(
+            "video codecs beyond animated GIF are not available in this "
+            "environment; construct FrameSampler(fake=True) for the "
+            "deterministic stub"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video codecs are not available in this environment; "
-                "construct FrameSampler(fake=True) for the deterministic stub"
-            )
         ids, convs, kinds = (
             batch["media_id"].to_pylist(),
             batch["conv_id"].to_pylist(),
@@ -568,6 +613,13 @@ class FrameSampler:
                 out["conv_id"].append(conv)
                 out["frame_idx"].append(0)
                 out["frame"].append(p)
+                continue
+            if not self.fake:
+                for f, fb in enumerate(self._real_frames(p)):
+                    out["media_id"].append(mid)
+                    out["conv_id"].append(conv)
+                    out["frame_idx"].append(f)
+                    out["frame"].append(fb)
                 continue
             n = max(1, min(self.n_frames, len(p)))
             w = len(p) // n

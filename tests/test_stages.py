@@ -2135,9 +2135,14 @@ def test_multimodal_real_wav_bmp_decode():
     )
     metas = [json.loads(m) for m in t["meta"].to_pylist()]
     for i, m in enumerate(metas):
-        if m["codec"] in ("bmp", "png", "jpeg"):
+        if m["codec"] in ("bmp", "png", "jpeg", "gif"):
             assert (out.loc[i, "width"], out.loc[i, "height"]) == (m["width"], m["height"])
             assert np.isnan(out.loc[i, "sample_rate"])
+        elif m["codec"] == "gif-anim":
+            # animated GIF video: true dims + delay-summed duration
+            assert (out.loc[i, "width"], out.loc[i, "height"]) == (m["width"], m["height"])
+            assert np.isnan(out.loc[i, "sample_rate"])
+            assert out.loc[i, "duration_ms"] > 0
         else:
             assert out.loc[i, "sample_rate"] == m["rate"]
             expect_ms = round(1000 * m["samples"] / m["rate"])
@@ -2167,6 +2172,10 @@ def test_multimodal_real_wav_bmp_decode():
             return decode_png(p)
         if p[:2] == b"\xff\xd8":
             return decode_jpeg(p)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            from fineweb2_ro_ray.stages.gif import decode_gif
+
+            return decode_gif(p)[0][0]
         return decode_bmp(p)
 
     assert all(_any_decode(p).shape == (4, 5, 3) for p in imgs["payload"])
