@@ -44,15 +44,22 @@ Callers with key-cardinality knowledge can still pass ``n_reducers``.
 Scale notes (100 TB, 256 MB partitions → P ≈ 4e5, M ≈ 1.6e6 map
 groups): the tree merge bounds every task's ref fan-in at F (the flat
 exchange handed each reducer all M slice refs — ~1.6e6 task args — and
-concatenated them in one go). The driver still transiently holds the
-M x P slice-ref matrix while wiring the first merge level; collapsing
-that needs shuffle-segment files outside the object store
-(Magnet-style), which no object-store exchange — Ray's own sort
-included — avoids. Skewed keys skew only their partition (a key's rows
-must land in one reducer — thinning partitions is the lever, and
-byte-based P sizing does exactly that). Map outputs are plain
-object-store objects, so Ray spills them to disk under memory pressure
-exactly as it spills sort blocks.
+concatenated them in one go). The driver's transient slice-ref matrix
+is bounded by GROUPED RETURNS: past a ref budget
+(``FW2_EXCHANGE_DRIVER_REFS_MAX``, default 4e6) splits return
+⌈P/W⌉ group-objects of W consecutive-partition slices instead of P
+singles, and an ``_ungroup_merge`` level (fan-in F over group-objects,
+W returns each) restores per-partition chunks — driver peak drops from
+M x P to max(M x ⌈P/W⌉, (M/F) x P), i.e. W = F = 64 cuts the 100-TB
+point from ~6e11 refs to ~1e10 for one extra object-store copy of the
+data. Fully collapsing the matrix needs shuffle-segment files outside
+the object store (Magnet-style), which no object-store exchange —
+Ray's own sort included — avoids; stacking a second grouped level
+would give another F x if ever needed. Skewed keys skew only their
+partition (a key's rows must land in one reducer — thinning partitions
+is the lever, and byte-based P sizing does exactly that). Map outputs
+are plain object-store objects, so Ray spills them to disk under
+memory pressure exactly as it spills sort blocks.
 
 Fault tolerance: split / merge / reduce are stateless idempotent tasks
 (``max_retries`` applies, default 3). A worker death re-runs the dead
@@ -133,27 +140,20 @@ def _part_codes(t: pa.Table, keys: list[str], n_reducers: int) -> np.ndarray:
     return (acc % np.uint64(n_reducers)).astype(np.int64)
 
 
-@ray.remote
-def _split_block(
+def _split_core(
     n_reducers: int,
     key: str | list[str],
-    failpoint: tuple[str, str] | None,
-    *blocks,
-) -> tuple:
-    """Map side: one task per GROUP of upstream blocks (the driver
-    coalesces small blocks to ~64 MB per task — an actor-pool stage
-    emits one ~batch-sized block per call, and splitting each of ~1500
-    such blocks into P slices floods the object store with M x P tiny
-    objects; grouping cuts both the object count and the reduce-side
-    concat fan-in ~an order of magnitude). Returns ``n_reducers`` table
-    slices. A single STRING key routes via the engine-pinned crc32
-    partition hash (computed per *unique* key — cheap for multi-turn
-    conversations); other keys via the canonical hash.
+    blocks: tuple,
+) -> list[pa.Table]:
+    """Shared split body: coalesce a group of upstream blocks and cut
+    the result into ``n_reducers`` hash-routed slices. A single STRING
+    key routes via the engine-pinned crc32 partition hash (computed
+    per *unique* key — cheap for multi-turn conversations); other keys
+    via the canonical hash.
 
     Accepts pandas-backed blocks too (Ray stores ``from_pandas`` /
     pandas-map_groups outputs as DataFrames): converted to Arrow here,
     metadata-stripped."""
-    _maybe_die(failpoint, "split")
     tabs = [
         pa.Table.from_pandas(b, preserve_index=False).replace_schema_metadata(None)
         if isinstance(b, pd.DataFrame)
@@ -167,7 +167,7 @@ def _split_block(
     if t.num_rows == 0:
         # route an empty slice everywhere — the reduce side drops
         # row-less chunks before concat
-        return tuple(t for _ in range(n_reducers))
+        return [t for _ in range(n_reducers)]
     if isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
         from ..state.checkpoint import add_partition_column
 
@@ -185,9 +185,74 @@ def _split_block(
     sorted_part = part[order]
     tt = tt.take(pa.array(order, pa.int64()))
     bounds = np.searchsorted(sorted_part, np.arange(n_reducers + 1))
-    return tuple(
+    return [
         tt.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_reducers)
+    ]
+
+
+@ray.remote
+def _split_block(
+    n_reducers: int,
+    key: str | list[str],
+    failpoint: tuple[str, str] | None,
+    *blocks,
+) -> tuple:
+    """Map side, ungrouped returns: one task per GROUP of upstream
+    blocks (the driver coalesces small blocks to ~64 MB per task — an
+    actor-pool stage emits one ~batch-sized block per call, and
+    splitting each of ~1500 such blocks into P slices floods the
+    object store with M x P tiny objects; grouping cuts both the
+    object count and the reduce-side concat fan-in ~an order of
+    magnitude). Returns ``n_reducers`` table slices, one driver ref
+    each."""
+    _maybe_die(failpoint, "split")
+    return tuple(_split_core(n_reducers, key, blocks))
+
+
+@ray.remote
+def _split_block_grouped(
+    n_reducers: int,
+    group_bounds: tuple,
+    key: str | list[str],
+    failpoint: tuple[str, str] | None,
+    *blocks,
+) -> tuple:
+    """Map side, grouped returns: same split as ``_split_block`` but
+    the P slices come back packed into ``len(group_bounds) - 1``
+    GROUP-OBJECTS of consecutive-partition slices (group ``c`` holds
+    partitions ``group_bounds[c]:group_bounds[c+1]``), so the driver
+    holds M x ⌈P/W⌉ refs instead of M x P while wiring the merge tree.
+    ``_ungroup_merge`` restores per-partition chunks downstream."""
+    _maybe_die(failpoint, "split")
+    slices = _split_core(n_reducers, key, blocks)
+    return tuple(
+        tuple(slices[a:b]) for a, b in zip(group_bounds, group_bounds[1:])
     )
+
+
+@ray.remote
+def _ungroup_merge(
+    failpoint: tuple[str, str] | None,
+    width: int,
+    *gobjs,
+) -> tuple:
+    """Grouped-exchange merge level: take up to F same-group
+    GROUP-OBJECTS (each a tuple of ``width`` consecutive-partition
+    slices from one split task) and emit ``width`` per-partition
+    merged chunks (slot j = concat of every input's slot j). Pure data
+    movement like ``_merge_slices`` — idempotent/retryable — and the
+    point where the grouped wiring rejoins the ordinary per-partition
+    tree."""
+    _maybe_die(failpoint, "merge")
+    outs: list[pa.Table] = []
+    for j in range(width):
+        live = [g[j] for g in gobjs if g[j].num_rows > 0]
+        outs.append(
+            _concat_named(live, "grouped ungroup-merge").combine_chunks()
+            if live
+            else gobjs[0][j]
+        )
+    return tuple(outs)
 
 
 @ray.remote
@@ -256,6 +321,28 @@ def _auto_reducers(total_bytes: int, cpus: int) -> int:
     return max(2, min(cap, max(floor, by_bytes)))
 
 
+def _auto_group_width(n_groups: int, p: int, fanin: int) -> int:
+    """Grouped-returns width W: 1 (ungrouped) while the driver's
+    transient slice-ref matrix M x P stays under
+    ``FW2_EXCHANGE_DRIVER_REFS_MAX`` (default 4e6 refs ~ a few hundred
+    MB of driver heap); beyond that, the smallest W that brings
+    M x ⌈P/W⌉ back under budget, capped at the merge fan-in (a wider W
+    buys nothing once the ungroup level's output matrix (M/F) x P
+    dominates) and at P/2 (at least two groups, so grouped splits can
+    use ``num_returns``). ``FW2_EXCHANGE_GROUP_WIDTH`` forces a width
+    (0 = auto)."""
+    forced = int(os.environ.get("FW2_EXCHANGE_GROUP_WIDTH", "0"))
+    if forced:
+        return max(1, min(forced, p // 2))
+    max_refs = int(
+        os.environ.get("FW2_EXCHANGE_DRIVER_REFS_MAX", str(4_000_000))
+    )
+    refs = n_groups * p
+    if refs <= max_refs:
+        return 1
+    return max(2, min(-(-refs // max_refs), fanin, p // 2))
+
+
 def hash_exchange_map_groups(
     ds: ray.data.Dataset,
     fn: Callable,
@@ -264,6 +351,7 @@ def hash_exchange_map_groups(
     n_reducers: int | None = None,
     out_schema: pa.Schema | None = None,
     batch_format: str = "pandas",
+    group_width: int | None = None,
 ) -> ray.data.Dataset:
     """Hash-partition ``ds`` by ``key`` (one column or several) and
     apply ``fn`` once per partition (all rows of any key value
@@ -280,7 +368,10 @@ def hash_exchange_map_groups(
 
     ``n_reducers=None`` auto-sizes from the streamed input bytes (see
     ``_auto_reducers``); pass it explicitly only when key cardinality
-    is known to be small."""
+    is known to be small. ``group_width=None`` auto-selects the
+    grouped-returns width from the driver-ref budget (see
+    ``_auto_group_width``; 1 = today's ungrouped wiring); pass it only
+    in tests/benchmarks that force a specific wiring."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     # Consume the upstream STREAM, coalescing blocks into ~64 MB map
     # groups, and measure total bytes as we go — the byte count sizes
@@ -321,6 +412,62 @@ def hash_exchange_map_groups(
     p = n_reducers or _auto_reducers(total_bytes, cpus)
     p = max(2, p)  # num_returns>=2 so _split_block returns a tuple of refs
     fp = _TEST_FAILPOINT
+    fanin = max(2, int(os.environ.get("FW2_EXCHANGE_MERGE_FANIN", "64")))
+    gw = group_width if group_width is not None else _auto_group_width(
+        len(groups), p, fanin
+    )
+    gw = max(1, min(gw, p // 2))
+    if gw >= 2:
+        # Grouped-returns wiring: splits return ⌈P/W⌉ GROUP-OBJECTS of
+        # W consecutive-partition slices each, cutting the driver's
+        # transient ref matrix from M x P to max(M x ⌈P/W⌉, (M/F) x P).
+        # An _ungroup_merge level (fan-in F over group-objects, W
+        # returns) restores per-partition chunks, after which the
+        # ordinary per-partition tree + reduce runs unchanged. Costs
+        # one extra copy of the data through the object store, so it
+        # auto-enables only past the driver-ref budget
+        # (_auto_group_width); output is ref-for-ref equal to the
+        # ungrouped wiring (tests/test_exchange_grouped.py).
+        gb = list(range(0, p, gw)) + [p]
+        if p % gw == 1:  # no width-1 trailing group (num_returns >= 2)
+            del gb[-2]
+        n_g = len(gb) - 1
+        splits = [
+            _split_block_grouped.options(num_returns=n_g).remote(
+                p, tuple(gb), key, fp, *g
+            )
+            for g in groups
+        ]
+        del groups
+        outs = []
+        for c in range(n_g):
+            grefs = [s[c] for s in splits]
+            w = gb[c + 1] - gb[c]
+            cols: list[list] = [[] for _ in range(w)]
+            for j in range(0, len(grefs), fanin):
+                rs = _ungroup_merge.options(num_returns=w).remote(
+                    fp, w, *grefs[j : j + fanin]
+                )
+                for t in range(w):
+                    cols[t].append(rs[t])
+            for t in range(w):
+                refs = cols[t]
+                while len(refs) > fanin:
+                    refs = [
+                        _merge_slices.remote(fp, *refs[j : j + fanin])
+                        for j in range(0, len(refs), fanin)
+                    ]
+                outs.append(
+                    _reduce_partition.remote(
+                        fn, out_schema, batch_format, fp, *refs
+                    )
+                )
+        del splits
+        if out_schema is not None:
+            return ray.data.from_arrow_refs(outs)
+        counts = ray.get([_num_rows.remote(o) for o in outs])
+        keep = [o for o, n in zip(outs, counts) if n > 0]
+        return ray.data.from_arrow_refs(keep or outs[:1])
     splits = [
         _split_block.options(num_returns=p).remote(p, key, fp, *g) for g in groups
     ]
@@ -331,7 +478,6 @@ def hash_exchange_map_groups(
     # level collapses F refs into one object until a reducer's argument
     # list fits F. Slice refs are dropped level by level, so Ray frees
     # consumed intermediate objects as the tree drains.
-    fanin = max(2, int(os.environ.get("FW2_EXCHANGE_MERGE_FANIN", "64")))
     outs = []
     for i in range(p):
         refs = [s[i] for s in splits]
