@@ -179,7 +179,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_adaptive": P.q_filter_adaptive,
         "lineitem_pricing": P.q_lineitem_pricing,
         "orders_by_segment": P.q_orders_by_segment,
-        "count_metrics": P.q_count_metrics,
+        # window slot (round 4): editdist_pairs — edit-distance
+        # similarity join (Ed-Join q-gram prefix filter + exact
+        # banded-DP Levenshtein verify), the dedup-family member no
+        # other window entry shapes; count_metrics (grouped count/sum
+        # metric aggregates, shape-adjacent to lineitem_pricing and
+        # score_correlations) demoted below, still value-exact via
+        # scripts/check_oracle.py + pytest
+        "editdist_pairs": P.q_editdist_pairs,
         "score_correlations": P.q_score_correlations,
         "dedup_spans": P.q_dedup_spans,
         "parse_kv": P.q_parse_kv,
@@ -223,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
         # value-exact via scripts/check_oracle.py + pytest) ---
         "orders_anti_join": P.q_orders_anti_join,
+        "count_metrics": P.q_count_metrics,
         "orders_exists_late": P.q_orders_exists_late,
         "small_qty_revenue": P.q_small_qty_revenue,
         "orders_big_qty": P.q_orders_big_qty,
@@ -1100,6 +1108,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
                       / len(list_distinct(a.w || b.w)) >= 0.5
+        """,
+        "editdist_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id AND a.lang = b.lang
+            WHERE abs(octet_length(a.text::BLOB) - octet_length(b.text::BLOB)) <= 16
+              AND levenshtein(a.text, b.text) <= 16
         """,
         "events_type_counts": """
             SELECT event_type, count(*) AS n,

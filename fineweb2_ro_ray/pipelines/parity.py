@@ -216,6 +216,19 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs_skew_safe(ds, group_col="source", threshold=0.5)
 
 
+def q_editdist_pairs(sf_dir: str):
+    """§2.7 edit-distance near-dup pairs (Ed-Join prefix filter +
+    exact banded-DP verify, byte-level to match DuckDB's
+    ``levenshtein``), blocked by lang: all same-lang document pairs
+    within Levenshtein distance 16."""
+    from ..stages.editdist import editdistance_pairs_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return editdistance_pairs_distributed(
+        ds, max_dist=16, group_col="lang", q=3
+    )
+
+
 def q_jaccard_ngram_pairs(sf_dir: str):
     """§2.7 word-3-GRAM-set Jaccard near-dup pairs (the brief's
     'n-gram Jaccard' — order-sensitive shingles, unlike the unigram

@@ -1,0 +1,124 @@
+"""Edit-distance near-dup pairs (stages/editdist.py): exact-DP kernel
+parity against a reference Wagner-Fischer implementation, gram
+extraction on sliced/unicode/empty arrays, and end-to-end candidate
+completeness + value exactness vs per-pair brute force (the same
+byte-level semantics DuckDB's ``levenshtein`` oracle grades)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from fineweb2_ro_ray.stages.editdist import (
+    _banded_lev_batch,
+    _doc_gram_rows,
+    editdistance_pairs_distributed,
+)
+
+
+def _ref_lev(a: bytes, b: bytes) -> int:
+    la, lb = len(a), len(b)
+    d = np.zeros((la + 1, lb + 1), np.int64)
+    d[:, 0] = np.arange(la + 1)
+    d[0, :] = np.arange(lb + 1)
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            d[i, j] = min(
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+                d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return int(d[la, lb])
+
+
+def test_lev_kernel_exact_vs_reference():
+    rng = np.random.default_rng(0)
+    for _ in range(250):
+        la, lb = rng.integers(0, 30, 2)
+        a = bytes(rng.integers(97, 103, la).astype(np.uint8))
+        b = bytes(rng.integers(97, 103, lb).astype(np.uint8))
+        k = int(rng.integers(0, 20))
+        true = _ref_lev(a, b)
+        want = true if true <= k else -1
+        assert _banded_lev_batch([a], [b], k)[0] == want
+
+
+def test_gram_rows_sliced_unicode_empty():
+    arr = pa.array(["hello world", "", "héllo", "ab", "hello world"]).slice(1, 4)
+    row, grams, ngr, blen = _doc_gram_rows(arr, 3, 4)
+    assert ngr.tolist() == [0, 4, 0, 9]
+    assert blen.tolist() == [0, 6, 2, 11]  # "héllo" is 6 BYTES
+    # every doc shorter than q + K bytes emits exactly one sentinel
+    sent_docs = sorted(row[grams == -1].tolist())
+    assert sent_docs == [0, 1, 2]
+    # grams of the same text are identical wherever the doc sits
+    r2, g2, n2, _ = _doc_gram_rows(pa.array(["hello world"]), 3, 4)
+    assert sorted(g2.tolist()) == sorted(grams[row == 3].tolist())
+
+
+def _mutate(rng, t: str, n_ed: int) -> str:
+    s = list(t)
+    for _ in range(n_ed):
+        op = rng.integers(0, 3)
+        p = int(rng.integers(0, len(s)))
+        if op == 0:
+            s[p] = chr(97 + int(rng.integers(0, 26)))
+        elif op == 1:
+            s.insert(p, chr(97 + int(rng.integers(0, 26))))
+        elif len(s) > 1:
+            del s[p]
+    return "".join(s)
+
+
+def test_editdist_pairs_end_to_end_vs_brute(ray_session):
+    rng = np.random.default_rng(42)
+    base = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "pack my box with five dozen liquor jugs " * 3,
+        "héllo wörld ünïcode tèxt with multi-byte chars " * 2,
+    ]
+    texts = [_mutate(rng, base[i % 3], int(rng.integers(0, 26))) for i in range(60)]
+    langs = ["ab"[i % 2] for i in range(60)]
+    # edge cases: empty / sub-q-gram / null texts (sentinel bucket)
+    texts += ["", "a", "ab", "", "xy", None]
+    langs += ["a", "a", "a", "b", "b", "a"]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs),
+            }
+        )
+    ).repartition(7)
+
+    K = 12
+
+    def brute(blocked: bool) -> list[tuple]:
+        rows = [(i, (t or "").encode(), l) for i, t, l in zip(ids, texts, langs)]
+        out = []
+        for (i, a, la), (j, b, lb) in itertools.combinations(rows, 2):
+            if blocked and la != lb:
+                continue
+            d = _banded_lev_batch([a], [b], K)[0]
+            if d >= 0:
+                out.append((min(i, j), max(i, j), int(d)))
+        return sorted(out)
+
+    for grp, blocked in ((None, False), ("lang", True)):
+        got = editdistance_pairs_distributed(
+            ds, max_dist=K, group_col=grp, q=3
+        ).to_pandas()
+        got_rows = sorted(
+            map(tuple, got[["doc_a", "doc_b", "dist"]].to_numpy().tolist())
+        )
+        assert got_rows == brute(blocked), f"group_col={grp}"
+    # zero-gram docs pair through the sentinel bucket: "" (60) and the
+    # null text (65) are both lang "a", distance 0
+    assert (60, 65, 0) in got_rows
