@@ -160,6 +160,9 @@ def run_bench() -> dict:
         # round-4 operator: corpus-trained LM fit (fused one-pass gram
         # exchange) + per-doc perplexity over the documents table
         ("doc_lm_ppl", P.q_doc_lm_ppl),
+        # round-4 late: edit-distance near-dup join (Ed-Join prefix
+        # filter + exact banded-DP verify) over the documents table
+        ("editdist_pairs", P.q_editdist_pairs),
         # round-3 continuation: cross-snapshot dedup at transcript scale
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
         # round-3 continuation: duplicate-span removal at transcript scale
