@@ -20,9 +20,11 @@ Soundness of the candidate filter (why no true pair is missed):
   are ordered by (document frequency asc, gram) per group, the
   candidate-minimizing Ed-Join order;
 * strings shorter than ``q`` have no grams: every document with
-  ``byte_len < q + K`` additionally emits a sentinel gram, so a
-  gram-less string and any possible partner (whose length is within
-  ``K`` of it) meet in the sentinel bucket;
+  ``byte_len < q + K`` additionally emits length-band sentinel keys
+  (its band ``blen // K`` and the next — two docs within ``K`` bytes
+  of length always share one), so a gram-less string and any possible
+  partner meet in a band bucket without a single global short-doc
+  bucket going quadratic at corpus scale;
 * ``|byte_len(a) - byte_len(b)| <= K`` is a necessary condition and
   prunes candidate buckets.
 
@@ -47,7 +49,6 @@ import pyarrow as pa
 
 import ray.data
 
-_SENTINEL = np.int64(-1)
 
 
 def _flat_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -101,9 +102,20 @@ def _doc_gram_rows(
         row = np.zeros(0, np.int64)
         grams = np.zeros(0, np.int64)
         ngr = np.zeros(n, np.int64)
+    # Sentinel rows, sub-bucketed by length band: a single global
+    # short-doc bucket would pair EVERY sub-(q+K)-byte doc with every
+    # other at corpus scale, even those the |len diff| <= K necessary
+    # condition already rules out. Each short doc emits its band key
+    # f(blen // K) and the next band's f(blen // K + 1), with
+    # f(x) = -1 - x (always < 0, so it can never collide with a packed
+    # q-gram): two docs with |blen diff| <= K have bands differing by
+    # at most 1 and therefore always share a key — no true pair is
+    # lost, and only K-compatible lengths ever share a bucket.
+    kk = max(1, max_dist)
     sent = np.flatnonzero(blen < q + max_dist).astype(np.int64)
-    row = np.concatenate([row, sent])
-    grams = np.concatenate([grams, np.full(len(sent), _SENTINEL)])
+    band = blen[sent] // kk
+    row = np.concatenate([row, sent, sent])
+    grams = np.concatenate([grams, -1 - band, -1 - (band + 1)])
     return row, grams, ngr, blen
 
 
@@ -205,9 +217,10 @@ def editdistance_pairs_distributed(
     with_df = hash_exchange_map_groups(gram_rows, add_df, key=gkey)
 
     def take_prefix(g: pd.DataFrame) -> pd.DataFrame:
-        # sentinel rows (gram == -1) always survive and must NOT consume
-        # prefix slots (the theorem needs the first qK + 1 REAL grams)
-        is_sent = g["gram"].to_numpy() == _SENTINEL
+        # sentinel rows (gram < 0: length-band keys) always survive and
+        # must NOT consume prefix slots (the theorem needs the first
+        # qK + 1 REAL grams)
+        is_sent = g["gram"].to_numpy() < 0
         real = g[~is_sent].sort_values(dkey + ["df", "gram"], kind="mergesort")
         pos = real.groupby(dkey, dropna=False).cumcount()
         out = pd.concat([real[pos < qq * k + 1], g[is_sent]])

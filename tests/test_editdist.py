@@ -53,9 +53,16 @@ def test_gram_rows_sliced_unicode_empty():
     row, grams, ngr, blen = _doc_gram_rows(arr, 3, 4)
     assert ngr.tolist() == [0, 4, 0, 9]
     assert blen.tolist() == [0, 6, 2, 11]  # "héllo" is 6 BYTES
-    # every doc shorter than q + K bytes emits exactly one sentinel
-    sent_docs = sorted(row[grams == -1].tolist())
-    assert sent_docs == [0, 1, 2]
+    # every doc shorter than q + K bytes emits exactly TWO length-band
+    # sentinel keys (its band and the next), all negative
+    sent_rows = row[grams < 0]
+    assert sorted(set(sent_rows.tolist())) == [0, 1, 2]
+    assert np.bincount(sent_rows, minlength=4).tolist() == [2, 2, 2, 0]
+    # docs within K bytes of length share a band key: "" (band 0) and
+    # "ab" (band 0) share -1; "héllo" (blen 6, band 1) shares -2 with
+    # both band-0 docs via their promoted key
+    assert set(grams[row == 0]) & set(grams[row == 2])
+    assert set(grams[row == 1]) & set(grams[row == 0])
     # grams of the same text are identical wherever the doc sits
     r2, g2, n2, _ = _doc_gram_rows(pa.array(["hello world"]), 3, 4)
     assert sorted(g2.tolist()) == sorted(grams[row == 3].tolist())
