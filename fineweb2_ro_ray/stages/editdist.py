@@ -244,11 +244,26 @@ def editdistance_pairs_distributed(
         ends = np.concatenate([starts[1:], [len(keyv)]])
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            m = e - s
+            if m < 2:
                 continue
-            ai, bi = np.triu_indices(e - s, k=1)
-            keep = np.abs(bl[s + ai] - bl[s + bi]) <= k
-            ia, ib = ids[s + ai][keep], ids[s + bi][keep]
+            # output-bounded pair generation: length-sort the bucket,
+            # pair each doc only with the following docs inside the
+            # |blen diff| <= K window (searchsorted bound) — O(bucket
+            # + pairs) instead of the dense triu O(bucket^2), which a
+            # hot gram would otherwise blow up on
+            order = np.argsort(bl[s:e], kind="stable")
+            blo = bl[s:e][order]
+            ido = ids[s:e][order]
+            hi = np.searchsorted(blo, blo + k, side="right")
+            cnt = hi - np.arange(m) - 1
+            total = int(cnt.sum())
+            if total <= 0:
+                continue
+            ai = np.repeat(np.arange(m), cnt)
+            offs = np.concatenate([[0], np.cumsum(cnt)])
+            bj = np.arange(total) - offs[ai] + ai + 1
+            ia, ib = ido[ai], ido[bj]
             out_a.append(np.minimum(ia, ib))
             out_b.append(np.maximum(ia, ib))
         if not out_a:
