@@ -19,12 +19,15 @@ Soundness of the candidate filter (why no true pair is missed):
   the first ``qK + 1`` grams of each side must then intersect — grams
   are ordered by (document frequency asc, gram) per group, the
   candidate-minimizing Ed-Join order;
-* strings shorter than ``q`` have no grams: every document with
-  ``byte_len < q + K`` additionally emits length-band sentinel keys
-  (its band ``blen // K`` and the next — two docs within ``K`` bytes
-  of length always share one), so a gram-less string and any possible
-  partner meet in a band bucket without a single global short-doc
-  bucket going quadratic at corpus scale;
+* the shared-prefix-gram guarantee needs ``max(|Sa|, |Sb|) > qK``
+  (only then is the overlap bound ``max - qK`` at least 1) — two
+  LOW-GRAM documents (each with at most ``qK`` distinct grams: short
+  strings, and long-but-repetitive ones) can sit within distance ``K``
+  with fully disjoint gram sets, so every document with
+  ``n_grams <= qK`` additionally emits length-band sentinel keys (its
+  band ``blen // K`` and the next — two docs within ``K`` bytes of
+  length always share one); a mixed low/high pair is always caught by
+  the gram prefixes, since the low side's prefix is its entire set;
 * ``|byte_len(a) - byte_len(b)| <= K`` is a necessary condition and
   prunes candidate buckets.
 
@@ -102,17 +105,25 @@ def _doc_gram_rows(
         row = np.zeros(0, np.int64)
         grams = np.zeros(0, np.int64)
         ngr = np.zeros(n, np.int64)
-    # Sentinel rows, sub-bucketed by length band: a single global
-    # short-doc bucket would pair EVERY sub-(q+K)-byte doc with every
-    # other at corpus scale, even those the |len diff| <= K necessary
-    # condition already rules out. Each short doc emits its band key
-    # f(blen // K) and the next band's f(blen // K + 1), with
-    # f(x) = -1 - x (always < 0, so it can never collide with a packed
-    # q-gram): two docs with |blen diff| <= K have bands differing by
-    # at most 1 and therefore always share a key — no true pair is
-    # lost, and only K-compatible lengths ever share a bucket.
+    # Sentinel rows for LOW-GRAM documents. The prefix-filter theorem
+    # guarantees a shared prefix gram only when max(|Sa|, |Sb|) > qK
+    # (then |Sa ∩ Sb| >= max - qK >= 1 and both qK+1 prefixes must
+    # intersect); two docs whose DISTINCT gram sets are both <= qK can
+    # be within distance K with fully disjoint grams (e.g. 'a'*19 vs
+    # 'aab'*6+'a' at q=3, K=16 — ed 6, no shared gram). So every doc
+    # with n_grams <= qK (which subsumes gram-less sub-q-byte strings
+    # AND long-but-repetitive ones) also routes through sentinels. A
+    # mixed pair (one side > qK grams) is always caught by the gram
+    # prefixes themselves: the low side's prefix is its whole set.
+    # Sentinels are sub-bucketed by length band — each doc emits its
+    # band key f(blen // K) and the next band's f(blen // K + 1), with
+    # f(x) = -1 - x (always < 0, never colliding with a packed q-gram):
+    # two docs with |blen diff| <= K have bands differing by at most 1
+    # and so always share a key, while length-incompatible low-gram
+    # docs never meet — a single global bucket would go quadratic at
+    # corpus scale.
     kk = max(1, max_dist)
-    sent = np.flatnonzero(blen < q + max_dist).astype(np.int64)
+    sent = np.flatnonzero(ngr <= q * max_dist).astype(np.int64)
     band = blen[sent] // kk
     row = np.concatenate([row, sent, sent])
     grams = np.concatenate([grams, -1 - band, -1 - (band + 1)])

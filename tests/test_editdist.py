@@ -53,11 +53,16 @@ def test_gram_rows_sliced_unicode_empty():
     row, grams, ngr, blen = _doc_gram_rows(arr, 3, 4)
     assert ngr.tolist() == [0, 4, 0, 9]
     assert blen.tolist() == [0, 6, 2, 11]  # "héllo" is 6 BYTES
-    # every doc shorter than q + K bytes emits exactly TWO length-band
-    # sentinel keys (its band and the next), all negative
+    # every LOW-GRAM doc (n_grams <= qK = 12 here, which covers all
+    # four) emits exactly TWO length-band sentinel keys, all negative
     sent_rows = row[grams < 0]
-    assert sorted(set(sent_rows.tolist())) == [0, 1, 2]
-    assert np.bincount(sent_rows, minlength=4).tolist() == [2, 2, 2, 0]
+    assert sorted(set(sent_rows.tolist())) == [0, 1, 2, 3]
+    assert np.bincount(sent_rows, minlength=4).tolist() == [2, 2, 2, 2]
+    # a gram-rich doc (n_grams > qK) emits none
+    r3, g3, n3, _ = _doc_gram_rows(
+        pa.array([" ".join(f"w{i}" for i in range(40))]), 3, 4
+    )
+    assert n3[0] > 12 and not (g3 < 0).any()
     # docs within K bytes of length share a band key: "" (band 0) and
     # "ab" (band 0) share -1; "héllo" (blen 6, band 1) shares -2 with
     # both band-0 docs via their promoted key
@@ -129,3 +134,38 @@ def test_editdist_pairs_end_to_end_vs_brute(ray_session):
     # zero-gram docs pair through the sentinel bucket: "" (60) and the
     # null text (65) are both lang "a", distance 0
     assert (60, 65, 0) in got_rows
+
+
+def test_editdist_low_gram_disjoint_sets_regression(ray_session):
+    """Review regression: two docs within distance K whose DISTINCT
+    q-gram sets are both small (<= qK) and fully DISJOINT — the prefix
+    filter alone can never produce this candidate, so it must come
+    through the low-gram sentinel path. 'a'*19 has gram set {aaa};
+    'aabaabaabaabaabaaba' has {aab, aba, baa}; ed = 6 <= K = 16."""
+    a, b = "a" * 19, "aabaabaabaabaabaaba"
+    assert _ref_lev(a.encode(), b.encode()) == 6
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([a, b], pa.string()),
+            }
+        )
+    )
+    got = editdistance_pairs_distributed(ds, max_dist=16, q=3).to_pandas()
+    assert sorted(map(tuple, got.to_numpy().tolist())) == [(1, 2, 6)]
+
+    # and a long repetitive pair (n_grams small despite length >> q+K)
+    c, d = "ab" * 200, "ab" * 199 + "ba"
+    ed = _ref_lev(c.encode(), d.encode())
+    assert 0 < ed <= 16
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "text": pa.array([c, d], pa.string()),
+            }
+        )
+    )
+    got2 = editdistance_pairs_distributed(ds2, max_dist=16, q=3).to_pandas()
+    assert sorted(map(tuple, got2.to_numpy().tolist())) == [(7, 8, ed)]
