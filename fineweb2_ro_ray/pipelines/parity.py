@@ -2871,11 +2871,14 @@ def q_mixture_sample(sf_dir: str):
 
 def q_doc_upsample(sf_dir: str):
     """Integer per-domain repetition (epochs-per-domain upsampling):
-    each doc emits factor copies tagged copy_idx; factor 0 drops."""
+    each doc emits factor copies tagged copy_idx; factor 0 drops.
+    ``default=0`` mirrors the oracle's INNER JOIN against the factor
+    VALUES list exactly — a lang outside the table (or NULL) is
+    dropped by both sides, not kept once by the engine only."""
     from ..stages.mixing import upsample_by_key
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang"])
-    return upsample_by_key(docs, "lang", _UPSAMPLE)
+    return upsample_by_key(docs, "lang", _UPSAMPLE, default=0)
 
 
 def q_doc_lm_ppl_artifact(sf_dir: str):

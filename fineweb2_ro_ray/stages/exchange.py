@@ -87,23 +87,46 @@ def _concat_named(tabs: list[pa.Table], where: str) -> pa.Table:
     producer that bypassed ``from_pandas_like`` type pinning), fails
     with the mismatching schemas named instead of a bare Arrow error —
     the coalesced map side concats up to 128 upstream blocks, so the
-    failure needs enough context to find the odd producer."""
+    failure needs enough context to find the odd producer.
+
+    Permissive promotion is allowed ONLY when every drifted field is
+    null-typed on one side (an all-null or empty block whose type
+    Arrow re-inferred as null): promoting null → the pinned type is
+    lossless. Two DISTINCT non-null types for the same field (e.g. an
+    int64 key re-inferred as float64 by a pandas producer) raise the
+    named error instead of being silently unified — a permissive
+    int64→float64 promotion would collapse ids above 2^53 and merge
+    rows under the wrong key with no signal."""
     try:
         return pa.concat_tables(tabs)
-    except (pa.ArrowInvalid, pa.ArrowTypeError):
-        try:
-            return pa.concat_tables(tabs, promote_options="permissive")
-        except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
-            uniq: list[str] = []
-            for t in tabs:
-                s = str(t.schema)
-                if s not in uniq:
-                    uniq.append(s)
-            raise ValueError(
-                f"exchange {where}: schema drift across {len(tabs)} blocks "
-                f"({len(uniq)} distinct schemas, not permissively unifiable):\n"
-                + "\n---\n".join(uniq[:4])
-            ) from e
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        types: dict[str, set] = {}
+        for t in tabs:
+            for f in t.schema:
+                if not pa.types.is_null(f.type):
+                    types.setdefault(f.name, set()).add(f.type)
+        real_drift = sorted(n for n, ts in types.items() if len(ts) > 1)
+        if not real_drift:
+            try:
+                return pa.concat_tables(tabs, promote_options="permissive")
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                pass  # fall through to the named error
+        uniq: list[str] = []
+        for t in tabs:
+            s = str(t.schema)
+            if s not in uniq:
+                uniq.append(s)
+        raise ValueError(
+            f"exchange {where}: schema drift across {len(tabs)} blocks "
+            f"({len(uniq)} distinct schemas"
+            + (
+                f"; conflicting non-null types for {real_drift}"
+                if real_drift
+                else ", not permissively unifiable"
+            )
+            + "):\n"
+            + "\n---\n".join(uniq[:4])
+        ) from e
 
 
 # Test-only fault injection: set to ("split"|"merge"|"reduce",
@@ -373,16 +396,65 @@ def hash_exchange_map_groups(
     ``_auto_group_width``; 1 = today's ungrouped wiring); pass it only
     in tests/benchmarks that force a specific wiring."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # Consume the upstream STREAM, coalescing blocks into ~64 MB map
-    # groups, and measure total bytes as we go — the byte count sizes
-    # the reducer fleet, so map tasks launch after the stream drains.
-    # That launch deferral costs no reduce-side wall time (the exchange
-    # is a barrier either way: no reducer can start until every split
-    # ran) and only delays split CPU work that previously competed
-    # with the upstream stage for the same cores; the driver drops each
-    # block ref once its group is recorded, so upstream blocks are
-    # freed/spilled incrementally as splits consume them.
     target = int(os.environ.get("FW2_EXCHANGE_SPLIT_BYTES", str(64 << 20)))
+    fp = _TEST_FAILPOINT
+    fanin = max(2, int(os.environ.get("FW2_EXCHANGE_MERGE_FANIN", "64")))
+
+    # Two launch modes for the map side:
+    #   EAGER (n_reducers explicit): the reducer count — and therefore
+    #   every split task's num_returns — is known up front, so splits
+    #   launch AS the upstream stream drains; each group's block refs
+    #   are handed to its split task and dropped immediately, so
+    #   upstream blocks are freed/spilled incrementally and split CPU
+    #   overlaps the upstream stage. The grouped-returns width comes
+    #   from the ``group_width`` param / FW2_EXCHANGE_GROUP_WIDTH env
+    #   only (the ref-budget auto-width needs the final map-group
+    #   count).
+    #   DEFERRED (n_reducers=None): byte-based reducer auto-sizing
+    #   needs the TOTAL streamed bytes, so block refs are held until
+    #   the stream ends, then every split launches. The deferral costs
+    #   no reduce-side wall time (the exchange is a barrier either
+    #   way: no reducer can start until every split ran), but it DOES
+    #   pin the whole input in the object store until the splits
+    #   consume it — the price of not knowing P in advance; Ray spills
+    #   the pinned blocks to disk under memory pressure.
+    eager = n_reducers is not None
+    p = 0
+    gb: tuple | None = None
+    n_g = 0
+
+    def _resolve_wiring(n_red: int, n_groups_hint: int) -> None:
+        nonlocal p, gb, n_g
+        p = max(2, n_red)  # num_returns >= 2 so splits return ref tuples
+        if group_width is not None:
+            gw = group_width
+        elif eager:
+            gw = int(os.environ.get("FW2_EXCHANGE_GROUP_WIDTH", "0")) or 1
+        else:
+            gw = _auto_group_width(n_groups_hint, p, fanin)
+        gw = max(1, min(gw, p // 2))
+        if gw >= 2:
+            b = list(range(0, p, gw)) + [p]
+            if p % gw == 1:  # no width-1 trailing group (num_returns >= 2)
+                del b[-2]
+            gb, n_g = tuple(b), len(b) - 1
+
+    splits: list = []
+
+    def _launch(blocks: list) -> None:
+        if gb is not None:
+            splits.append(
+                _split_block_grouped.options(num_returns=n_g).remote(
+                    p, gb, key, fp, *blocks
+                )
+            )
+        else:
+            splits.append(
+                _split_block.options(num_returns=p).remote(p, key, fp, *blocks)
+            )
+
+    if eager:
+        _resolve_wiring(n_reducers, 0)
     groups: list[list] = []
     pend: list = []
     pend_bytes = 0
@@ -391,7 +463,10 @@ def hash_exchange_map_groups(
     def _flush() -> None:
         nonlocal pend, pend_bytes
         if pend:
-            groups.append(pend)
+            if eager:
+                _launch(pend)
+            else:
+                groups.append(pend)
             pend, pend_bytes = [], 0
 
     for bundle in ds.iter_internal_ref_bundles():
@@ -403,23 +478,22 @@ def hash_exchange_map_groups(
             if pend_bytes >= target or len(pend) >= 128:
                 _flush()
     _flush()
-    if not groups:
+    if not splits and not groups:
         # zero bundles yielded: empty input. Preserve the output schema
         # when pinned; else fall back to the (empty, cheap) plan.
         if out_schema is not None:
             return ray.data.from_arrow(out_schema.empty_table())
         return ds.materialize()
-    p = n_reducers or _auto_reducers(total_bytes, cpus)
-    p = max(2, p)  # num_returns>=2 so _split_block returns a tuple of refs
-    fp = _TEST_FAILPOINT
-    fanin = max(2, int(os.environ.get("FW2_EXCHANGE_MERGE_FANIN", "64")))
-    gw = group_width if group_width is not None else _auto_group_width(
-        len(groups), p, fanin
-    )
-    gw = max(1, min(gw, p // 2))
-    if gw >= 2:
-        # Grouped-returns wiring: splits return ⌈P/W⌉ GROUP-OBJECTS of
-        # W consecutive-partition slices each, cutting the driver's
+    if not eager:
+        _resolve_wiring(_auto_reducers(total_bytes, cpus), len(groups))
+        for g in groups:
+            _launch(g)
+        del groups
+
+    outs = []
+    if gb is not None:
+        # Grouped-returns wiring: splits returned ⌈P/W⌉ GROUP-OBJECTS
+        # of W consecutive-partition slices each, cutting the driver's
         # transient ref matrix from M x P to max(M x ⌈P/W⌉, (M/F) x P).
         # An _ungroup_merge level (fan-in F over group-objects, W
         # returns) restores per-partition chunks, after which the
@@ -428,18 +502,6 @@ def hash_exchange_map_groups(
         # auto-enables only past the driver-ref budget
         # (_auto_group_width); output is ref-for-ref equal to the
         # ungrouped wiring (tests/test_exchange_grouped.py).
-        gb = list(range(0, p, gw)) + [p]
-        if p % gw == 1:  # no width-1 trailing group (num_returns >= 2)
-            del gb[-2]
-        n_g = len(gb) - 1
-        splits = [
-            _split_block_grouped.options(num_returns=n_g).remote(
-                p, tuple(gb), key, fp, *g
-            )
-            for g in groups
-        ]
-        del groups
-        outs = []
         for c in range(n_g):
             grefs = [s[c] for s in splits]
             w = gb[c + 1] - gb[c]
@@ -462,33 +524,24 @@ def hash_exchange_map_groups(
                         fn, out_schema, batch_format, fp, *refs
                     )
                 )
-        del splits
-        if out_schema is not None:
-            return ray.data.from_arrow_refs(outs)
-        counts = ray.get([_num_rows.remote(o) for o in outs])
-        keep = [o for o, n in zip(outs, counts) if n > 0]
-        return ray.data.from_arrow_refs(keep or outs[:1])
-    splits = [
-        _split_block.options(num_returns=p).remote(p, key, fp, *g) for g in groups
-    ]
-    del groups
-    # Tree-merge each partition's slice column with bounded fan-in F:
-    # with M <= F (every local-scale run) no merge task is created and
-    # the wiring degenerates to the flat exchange; beyond that, each
-    # level collapses F refs into one object until a reducer's argument
-    # list fits F. Slice refs are dropped level by level, so Ray frees
-    # consumed intermediate objects as the tree drains.
-    outs = []
-    for i in range(p):
-        refs = [s[i] for s in splits]
-        while len(refs) > fanin:
-            refs = [
-                _merge_slices.remote(fp, *refs[j : j + fanin])
-                for j in range(0, len(refs), fanin)
-            ]
-        outs.append(
-            _reduce_partition.remote(fn, out_schema, batch_format, fp, *refs)
-        )
+    else:
+        # Tree-merge each partition's slice column with bounded fan-in
+        # F: with M <= F (every local-scale run) no merge task is
+        # created and the wiring degenerates to the flat exchange;
+        # beyond that, each level collapses F refs into one object
+        # until a reducer's argument list fits F. Slice refs are
+        # dropped level by level, so Ray frees consumed intermediate
+        # objects as the tree drains.
+        for i in range(p):
+            refs = [s[i] for s in splits]
+            while len(refs) > fanin:
+                refs = [
+                    _merge_slices.remote(fp, *refs[j : j + fanin])
+                    for j in range(0, len(refs), fanin)
+                ]
+            outs.append(
+                _reduce_partition.remote(fn, out_schema, batch_format, fp, *refs)
+            )
     del splits
     if out_schema is not None:
         # empty partitions emit schema-correct empty blocks

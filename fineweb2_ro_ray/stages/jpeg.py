@@ -745,6 +745,8 @@ def _scan_baseline_single(frame, geom, store, one, huff, segments, ri) -> None:
         for bx in range(bw_nr):
             if ri and n and n % ri == 0:
                 seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("corrupt JPEG: missing restart segment")
                 br = _BitReader(bytes(segments[seg_i]))
                 pred = 0
             pred = _block_baseline(br, store[ci][by * stride + bx], dc_t, ac_t, pred)
@@ -787,6 +789,8 @@ def _scan_progressive(
         for m in range(mcus_x * mcus_y):
             if ri and m and m % ri == 0:
                 seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("corrupt JPEG: missing restart segment")
                 br = _BitReader(bytes(segments[seg_i]))
                 preds = {ci: 0 for ci, _, _ in scan}
             my, mx = divmod(m, mcus_x)
@@ -828,6 +832,8 @@ def _scan_progressive(
         for bx in range(bw_nr):
             if ri and n and n % ri == 0:
                 seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("corrupt JPEG: missing restart segment")
                 br = _BitReader(bytes(segments[seg_i]))
                 eob_run = 0
             n += 1

@@ -375,6 +375,20 @@ def save_lm_artifact(
     from ..state.checkpoint import add_partition_column
     from .incremental import _atomic_write
 
+    # clear any prior artifact at this path FIRST: a re-fit with fewer
+    # partitions (or a corpus where some partition is empty) would
+    # otherwise leave stale part=K/counts.parquet files that
+    # load_lm_model / score_word_bigram_exchange silently read,
+    # yielding a model mixing two corpora
+    if os.path.isdir(path):
+        import glob as _glob
+        import shutil as _shutil
+
+        for d in _glob.glob(os.path.join(path, "part=*")):
+            _shutil.rmtree(d, ignore_errors=True)
+        meta_p = os.path.join(path, "meta.json")
+        if os.path.exists(meta_p):
+            os.unlink(meta_p)
     os.makedirs(path, exist_ok=True)
     grams = gram_counts(ds, text_col=text_col)
     total_tokens = _total_tokens(grams)

@@ -75,10 +75,23 @@ def run(p: int, frames: list[pd.DataFrame]) -> dict:
         t0 = time.perf_counter()
         out = _reassemble_partition_combined_arrow(t)
         wall = time.perf_counter() - t0
-        return out.append_column(
-            "reduce_wall_ms", pa.array(np.full(out.num_rows, wall * 1000.0))
-        ).append_column(
-            "part_rows", pa.array(np.full(out.num_rows, t.num_rows, np.int64))
+        # part_id: conv_ids are partition-disjoint, so the min conv_id
+        # uniquely tags this reducer — two reducers that happen to
+        # report identical (wall, rows) must still count as two samples
+        # in the percentile distribution
+        import pyarrow.compute as pc
+
+        pid = pc.min(t["conv_id"]).as_py() or ""
+        return (
+            out.append_column(
+                "reduce_wall_ms", pa.array(np.full(out.num_rows, wall * 1000.0))
+            )
+            .append_column(
+                "part_rows", pa.array(np.full(out.num_rows, t.num_rows, np.int64))
+            )
+            .append_column(
+                "part_id", pa.array(np.repeat(str(pid), out.num_rows))
+            )
         )
 
     ds = rd.from_pandas(frames).map_batches(
@@ -90,16 +103,16 @@ def run(p: int, frames: list[pd.DataFrame]) -> dict:
     )
     stats = (
         res.map_batches(
-            lambda t: t.group_by(["reduce_wall_ms", "part_rows"]).aggregate(
-                [("conv_id", "count")]
-            ),
+            lambda t: t.group_by(
+                ["part_id", "reduce_wall_ms", "part_rows"]
+            ).aggregate([("conv_id", "count")]),
             batch_format="pyarrow",
         )
         .to_pandas()
         .rename(columns={"conv_id_count": "n_convs"})
     )
     total = time.perf_counter() - t0
-    per_part = stats.drop_duplicates(["reduce_wall_ms", "part_rows"])
+    per_part = stats.drop_duplicates(["part_id"])
     walls = np.sort(per_part["reduce_wall_ms"].to_numpy())
     hot_row = per_part.loc[per_part["part_rows"].idxmax()]
     return {

@@ -2337,6 +2337,20 @@ def test_jpeg_codec_ground_truth_recovery():
     assert dg.shape == (19, 31) and (dg == g).all()
     # grayscale + restart markers: the single-component scan path
     assert (decode_jpeg(encode_jpeg(g, quality=100, restart_interval=3)) == g).all()
+    # truncated restart-interval stream: entropy data cut before the
+    # expected RSTn must surface as the module's ValueError contract
+    # (not a bare IndexError) on every scan path
+    import pytest as _pytest
+
+    for px, kw in [(g, {}), (img, {})]:
+        buf = bytearray(encode_jpeg(px, quality=100, restart_interval=1, **kw))
+        first_rst = next(
+            i for i in range(2, len(buf) - 1)
+            if buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7
+        )
+        truncated = bytes(buf[:first_rst]) + bytes(buf[-2:])  # keep EOI
+        with _pytest.raises(ValueError):
+            decode_jpeg(truncated)
 
     # progressive (SOF2): both spectral-selection-only and full
     # successive-approximation streams decode BIT-IDENTICAL to the
@@ -2852,14 +2866,20 @@ def test_exchange_schema_drift_names_schemas():
     from fineweb2_ro_ray.stages.exchange import _concat_named
 
     a = pa.table({"k": pa.array(["x"]), "v": pa.array([1], pa.int64())})
-    b = pa.table({"k": pa.array(["y"]), "w": pa.array([2], pa.int64())})
-    # promotable drift (int32 vs int64) unifies permissively
-    c = pa.table({"k": pa.array(["z"]), "v": pa.array([3], pa.int32())})
+    # null-typed drift (an all-null block whose type Arrow re-inferred
+    # as null) promotes losslessly to the pinned type
+    c = pa.table({"k": pa.array(["z"]), "v": pa.array([None], pa.null())})
     merged = _concat_named([a, c], "test")
-    assert merged.num_rows == 2
+    assert merged.num_rows == 2 and merged["v"].type == pa.int64()
+    # TWO DISTINCT NON-NULL types for the same field must raise the
+    # named error, even when Arrow could promote them (int32 vs int64,
+    # and the int64-vs-float64 id-collapse class): pinned-schema
+    # producers never legitimately disagree on a concrete type
+    for other in (pa.array([3], pa.int32()), pa.array([3.0], pa.float64())):
+        with pytest.raises(ValueError, match="conflicting non-null types"):
+            _concat_named([a, pa.table({"k": pa.array(["z"]), "v": other})], "test")
     with pytest.raises(ValueError, match="schema drift"):
-        # differing column SETS: permissive promote fills nulls — force
-        # a true conflict with same-name different non-promotable types
+        # same-name structurally incompatible types
         d = pa.table({"k": pa.array(["x"]), "v": pa.array([[1]], pa.list_(pa.int64()))})
         _concat_named([a, d], "test")
 
@@ -2955,6 +2975,16 @@ def test_lm_artifact_roundtrip_and_scorer_paths(ray_session, tmp_path):
         score_word_bigram_artifact(
             ds, str(tmp_path / "lm"), max_broadcast_bytes=0, max_actor_bytes=0
         )
+    # re-fitting INTO THE SAME PATH with fewer partitions must clear
+    # the prior artifact: stale part=K files from the 5-part fit would
+    # otherwise be silently mixed into the 2-part model (review item)
+    half = rd.from_arrow(t.slice(0, 60))
+    save_lm_artifact(half, str(tmp_path / "lm"), min_count=2, n_parts=2)
+    refit = load_lm_model(str(tmp_path / "lm"))
+    fresh_fit = fit_word_bigram_counts(half, min_count=2)
+    assert refit["vocab"].equals(fresh_fit["vocab"])
+    assert (refit["bigram_keys"] == fresh_fit["bigram_keys"]).all()
+    assert (refit["bigram_counts"] == fresh_fit["bigram_counts"]).all()
     # ...and the exchange-join path scores without any resident model:
     # each reduce task reads exactly one artifact partition. Equal to
     # the broadcast scorer up to float summation order; OOV-only,
