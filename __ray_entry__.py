@@ -196,7 +196,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": P.q_contamination,
         "supplier_sole_returner": P.q_supplier_sole_returner,
         "dedup_clusters": P.q_dedup_clusters,
-        "userdays_intersect": P.q_userdays_intersect,
+        # window slot (round 4, late): kmeans_assign — broadcast
+        # nearest-centroid assignment over the vector column (the
+        # distributed-clustering building block; exact-L2 argmin with
+        # the oracle's ORDER BY dist, cid tie-break). Displaces
+        # userdays_intersect (set-op INTERSECT, shape-adjacent to the
+        # userday_click_purchase FULL OUTER composite-key join and
+        # orders_semi_join), which stays value-exact via
+        # scripts/check_oracle.py + pytest.
+        "kmeans_assign": P.q_kmeans_assign,
         "embedding_unnest": P.q_embedding_unnest,
         "source_mode_lang": P.q_source_mode_lang,
         "orders_top_revenue": P.q_orders_top_revenue,
@@ -205,7 +213,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": P.q_events_percent_rank,
         "customer_order_counts": P.q_customer_order_counts,
         "lang_source_rollup": P.q_lang_source_rollup,
-        "promo_revenue_ratio": P.q_promo_revenue_ratio,
+        # window slot (round 4, late): contamination_ngram — Pile-style
+        # 13-gram overlap decontamination (gram-set membership semi-join
+        # with integer-exact threshold flags), a shape the substring
+        # `contamination` scan does not cover. Displaces
+        # promo_revenue_ratio (single-row conditional-aggregate ratio,
+        # shape-adjacent to the demoted small_qty_revenue /
+        # count_metrics family), still value-exact via
+        # scripts/check_oracle.py + pytest.
+        "contamination_ngram": P.q_contamination_ngram,
         "user_event_paths": P.q_user_event_paths,
         # round-4 window rotation (VERDICT r3 #8): three newest operator
         # families promoted into the graded window — corpus-trained LM
@@ -281,8 +297,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": P.q_mixture_weights,
         "mixture_sample": P.q_mixture_sample,
         "doc_upsample": P.q_doc_upsample,
+        # round-4 late window rotation: demoted but still oracle-exact
+        "userdays_intersect": P.q_userdays_intersect,
+        "promo_revenue_ratio": P.q_promo_revenue_ratio,
+        # round-4: SemDeDup (cluster-bucketed semantic dedup,
+        # arXiv:2303.09540) — oracle-exact NOT-EXISTS keep rule
+        "semdedup": P.q_semdedup,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
+        "kmeans_fit": P.q_kmeans_fit,
+        "semdedup_component": P.q_semdedup_component,
         "minhash_pairs": P.q_minhash_pairs,
         "minhash_verified": P.q_minhash_verified,
         "embedding_neardup_lsh": P.q_embedding_neardup_lsh,
@@ -1366,5 +1390,65 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN (VALUES ('en', 1), ('de', 2), ('fr', 3), ('es', 0), ('zh', 2)) AS f(lang, fac)
               USING (lang)
+        """,
+        "kmeans_assign": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            )
+            SELECT e.vec_id, CAST(c.cid AS BIGINT) AS cluster
+            FROM embeddings e CROSS JOIN c
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(c.cemb AS DOUBLE[])), c.cid
+            ) = 1
+        """,
+        "semdedup": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            a AS (
+              SELECT e.vec_id, e.embedding, CAST(c.cid AS BIGINT) AS cluster
+              FROM embeddings e CROSS JOIN c
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(c.cemb AS DOUBLE[])), c.cid
+              ) = 1
+            )
+            SELECT a.vec_id, a.cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM a o
+                     WHERE o.cluster = a.cluster AND o.vec_id < a.vec_id
+                       AND list_cosine_similarity(
+                             CAST(a.embedding AS DOUBLE[]),
+                             CAST(o.embedding AS DOUBLE[])) >= 0.45
+                   ) AS kept
+            FROM a
+        """,
+        "contamination_ngram": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+              FROM w, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+            ),
+            eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            cnt AS (
+              SELECT g.doc_id, COUNT(*) AS n_grams,
+                     SUM(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+              FROM g LEFT JOIN eg ON g.gram = eg.gram
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(c.n_hit, 0) AS BIGINT) AS n_hit,
+                   (COALESCE(c.n_grams, 0) > 0
+                    AND COALESCE(c.n_hit, 0) * 5 >= COALESCE(c.n_grams, 0) * 4)
+                       AS contaminated
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
         """,
     }

@@ -2901,3 +2901,93 @@ def q_doc_lm_ppl_artifact(sf_dir: str):
     shutil.rmtree(art, ignore_errors=True)
     save_lm_artifact(docs, art, min_count=2, n_parts=8)
     return score_word_bigram_exchange(docs, art)
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: distributed k-means + n-gram overlap decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment over the embedding column — the
+    clustering building block (SemDeDup buckets, IVF cells, domain
+    discovery). Centroids = embeddings of the 8 SMALLEST vec_ids
+    (deterministic, ORDER BY vec_id LIMIT 8 in SQL), broadcast once;
+    one vectorized exact-L2 argmin pass per batch; first-min tie-break
+    = the oracle's ORDER BY dist, cid. Output (vec_id, cluster) is
+    integer-only, so the value hash is float-robust."""
+    from ..stages.clustering import init_smallest_ids, kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, ids = init_smallest_ids(ds, 8)
+    out = kmeans_assign(ds, cent, labels=ids)
+    return out.map_batches(
+        lambda t: t.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
+def q_kmeans_fit(sf_dir: str):
+    """Full-data distributed Lloyd (3 iterations, k=8, deterministic
+    smallest-id init): per-batch sufficient statistics, O(k x d) driver
+    state, centroids re-broadcast per iteration. Output = per-cluster
+    sizes + ppm-rounded inertia share after the final assignment.
+    Rows-only (iterative float fit has no clean SQL analog); exact
+    agreement with a single-process numpy reference is pytest-pinned."""
+    from ..stages.clustering import init_smallest_ids, kmeans_fit_distributed
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = init_smallest_ids(ds, 8)
+    res = kmeans_fit_distributed(ds, k=8, n_iters=3, init=cent)
+    inertia_ppm = int(round_half_away(np.array([res["inertia"][-1] * 1e6]))[0])
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(res["k"], dtype=np.int64),
+            "n": res["counts"].astype(np.int64),
+            "total_inertia_ppm": np.full(res["k"], inertia_ppm, dtype=np.int64),
+        }
+    )
+
+
+def q_contamination_ngram(sf_dir: str):
+    """Pile/GPT-3-style n-gram overlap decontamination (13-gram, 80%
+    threshold): eval side = ALL 13-grams of docs with doc_id % 97 == 0
+    (128-bit gram keys, broadcast sorted), corpus side = one flat-array
+    membership pass per batch. Output (doc_id, n_grams, n_hit,
+    contaminated) is integer/bool-only — value-exact vs the SQL
+    oracle's string-gram LEFT JOIN."""
+    from ..stages.decontaminate import eval_ngram_keys, ngram_contamination_report
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    keys = eval_ngram_keys(ds, n=13)
+    return ngram_contamination_report(ds, keys, n=13, threshold=(4, 5))
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means-bucketed semantic dedup —
+    assignment to the 8 smallest-id embeddings (oracle: ORDER BY
+    vec_id LIMIT 8), then within each cluster drop any row whose
+    cosine to a SMALLER-id same-cluster row reaches tau=0.45 (the
+    NOT-EXISTS form). One keyed exchange on the integer cluster id;
+    the intra-cluster scan is chunked-triangular. Output (vec_id,
+    cluster, kept) is integer/bool-only — float-robust hash."""
+    from ..stages.clustering import init_smallest_ids
+    from ..stages.semdedup import semdedup_flags
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, ids = init_smallest_ids(ds, 8)
+    return semdedup_flags(ds, cent, tau=0.45, labels=ids, mode="min_id")
+
+
+def q_semdedup_component(sf_dir: str):
+    """SemDeDup paper-faithful keep rule: connected components of the
+    thresholded within-cluster pair graph, each component keeps the
+    row LEAST similar to its centroid (diversity-preserving). Graph
+    transitive closure over float cosines — rows-only; exact agreement
+    with a single-process reference is pytest-pinned
+    (tests/test_semdedup.py)."""
+    from ..stages.clustering import init_smallest_ids
+    from ..stages.semdedup import semdedup_flags
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, ids = init_smallest_ids(ds, 8)
+    return semdedup_flags(ds, cent, tau=0.45, labels=ids, mode="component")
