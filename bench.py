@@ -163,6 +163,9 @@ def run_bench() -> dict:
         # round-4 late: edit-distance near-dup join (Ed-Join prefix
         # filter + exact banded-DP verify) over the documents table
         ("editdist_pairs", P.q_editdist_pairs),
+        # round-4 late: SemDeDup (k-means buckets + intra-cluster
+        # chunked cosine scan through one keyed exchange)
+        ("semdedup", P.q_semdedup),
         # round-3 continuation: cross-snapshot dedup at transcript scale
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
         # round-3 continuation: duplicate-span removal at transcript scale
