@@ -2991,3 +2991,22 @@ def q_semdedup_component(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cent, ids = init_smallest_ids(ds, 8)
     return semdedup_flags(ds, cent, tau=0.45, labels=ids, mode="component")
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (arXiv:2302.03169): fit hashed
+    unigram+bigram bucket distributions (target = lang == 'en' docs)
+    vs the raw corpus in ONE pass, score every doc with the broadcast
+    log-ratio, select the top-100 by weight (ties -> smallest id).
+    Hashed features have no SQL analog — rows-only; exact agreement
+    with a single-process reference is pytest-pinned
+    (tests/test_dsir.py)."""
+    from ..stages.dsir import dsir_select, fit_dsir
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lr = fit_dsir(
+        ds, lambda t: t["lang"].to_numpy(zero_copy_only=False) == "en"
+    )
+    return dsir_select(
+        ds.select_columns(["doc_id", "text"]), lr, 100
+    )
