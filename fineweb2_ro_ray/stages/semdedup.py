@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -264,13 +265,17 @@ def semdedup_filter(
     emb_col: str = "embedding",
     labels: np.ndarray | None = None,
     mode: str = "min_id",
+    max_broadcast_ids: int = 2_000_000,
 ) -> ray.data.Dataset:
     """The consuming form: the original rows with dropped ids removed.
-    The kept-id set is attached via a broadcast Bloom-free semi-join
-    only when small; here flags stream back through one exchange keyed
-    on id — reuse :func:`semdedup_flags` + a keyed filter when the
-    corpus and flags must stay distributed. At test scale the flag
-    table is collected and broadcast."""
+    The dropped-id set is bounded by the corpus DUP RATE, not its
+    size; it is pulled to the driver and broadcast sorted only under
+    ``max_broadcast_ids``. Past the bound the pull is abandoned
+    MID-STREAM and the corpus is anti-joined against the distributed
+    dropped-flag table through the keyed exchange instead
+    (``joins.hash_join(how="anti")``) — driver memory stays O(bound)
+    at any dup rate, the same degradation contract as the MinHash
+    verify gate (``dedup.py``)."""
     flags = semdedup_flags(
         ds,
         centroids,
@@ -280,18 +285,31 @@ def semdedup_filter(
         labels=labels,
         mode=mode,
     )
-    drop_tbls = [
-        b.filter(~b["kept"].combine_chunks().to_numpy(zero_copy_only=False))
-        for b in flags.iter_batches(batch_format="pyarrow")
-    ]
-    dropped = (
-        np.sort(
-            np.concatenate(
-                [t[id_col].to_numpy(zero_copy_only=False) for t in drop_tbls]
-            )
+    dropped_ds = flags.map_batches(
+        lambda t: t.filter(
+            pc.invert(t["kept"].combine_chunks())
+        ).select([id_col]),
+        batch_format="pyarrow",
+    )
+    chunks: list[np.ndarray] = []
+    total = 0
+    overflow = False
+    for b in dropped_ds.iter_batches(batch_format="pyarrow"):
+        chunks.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        total += len(chunks[-1])
+        if total > max_broadcast_ids:
+            overflow = True
+            break
+    if overflow:
+        from .joins import hash_join
+
+        dropped_r = dropped_ds.map_batches(
+            lambda t: t.rename_columns(["__drop_id"]), batch_format="pyarrow"
         )
-        if drop_tbls
-        else np.array([], np.int64)
+        return hash_join(ds, dropped_r, key=id_col, right_key="__drop_id", how="anti")
+
+    dropped = (
+        np.sort(np.concatenate(chunks)) if chunks else np.array([], np.int64)
     )
     ref = ray.put(dropped)
 
@@ -300,8 +318,7 @@ def semdedup_filter(
         if len(d) == 0 or t.num_rows == 0:
             return t
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(d, ids)
-        pos = np.minimum(pos, len(d) - 1)
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
         return t.filter(pa.array(d[pos] != ids))
 
     return ds.map_batches(keep, batch_format="pyarrow")

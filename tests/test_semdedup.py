@@ -164,3 +164,17 @@ def test_semdedup_pair_bound_fallback(ray_session):
         .sort_values("vec_id")
     )
     assert list(out["kept"]) == [True] + [False] * 11
+
+
+def test_semdedup_filter_exchange_path_equals_broadcast(ray_session):
+    from fineweb2_ro_ray.stages.semdedup import semdedup_filter
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(30, 4))
+    x[15:] = x[:15] + rng.normal(scale=0.01, size=(15, 4))
+    ds = _mk_ds(x)
+    cent = x[:2].astype(np.float64)
+    a = semdedup_filter(ds, cent, tau=0.95).to_pandas()
+    b = semdedup_filter(ds, cent, tau=0.95, max_broadcast_ids=1).to_pandas()
+    assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+    assert sorted(a.columns) == sorted(b.columns)
