@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": P.q_kmeans_fit,
         "semdedup_component": P.q_semdedup_component,
         "dsir_select": P.q_dsir_select,
+        "bm25_search": P.q_bm25_search,
         "minhash_pairs": P.q_minhash_pairs,
         "minhash_verified": P.q_minhash_verified,
         "embedding_neardup_lsh": P.q_embedding_neardup_lsh,

@@ -3010,3 +3010,20 @@ def q_dsir_select(sf_dir: str):
     return dsir_select(
         ds.select_columns(["doc_id", "text"]), lr, 100
     )
+
+
+def q_bm25_search(sf_dir: str):
+    """Okapi BM25 top-10 per query over the documents table (three
+    fixed keyword queries, one with a repeated term exercising query
+    term frequency). Two streamed passes — O(|query vocab|) fit
+    partials, broadcast (idf, qtf, avgdl) bundle, per-batch matmul
+    scoring with local top-k and a k-bounded driver merge. Float
+    ln/ratio scoring has no libm-stable SQL analog — rows-only;
+    exact agreement with a single-process reference is pytest-pinned
+    (tests/test_search.py)."""
+    from ..stages.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(
+        ds, ["hash join merge", "customer filter", "scan scan vector"], k=10
+    )
