@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_component": P.q_semdedup_component,
         "dsir_select": P.q_dsir_select,
         "bm25_search": P.q_bm25_search,
+        "embedding_pca": P.q_embedding_pca,
         "minhash_pairs": P.q_minhash_pairs,
         "minhash_verified": P.q_minhash_verified,
         "embedding_neardup_lsh": P.q_embedding_neardup_lsh,

@@ -3027,3 +3027,17 @@ def q_bm25_search(sf_dir: str):
     return bm25_topk(
         ds, ["hash join merge", "customer filter", "scan scan vector"], k=10
     )
+
+
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embedding column: one sufficient-stats
+    pass (count, sum, sum-of-outer-products partials -> d x d driver
+    eigh, d=64), then a broadcast projection to 8 components. Output
+    (vec_id, pca list<double>[8]). Eigendecomposition has no SQL
+    analog — rows-only; numpy parity (components, variance, whitening)
+    is pytest-pinned (tests/test_pca.py)."""
+    from ..stages.pca import fit_pca, pca_transform
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = fit_pca(ds, n_components=8)
+    return pca_transform(ds, model)
