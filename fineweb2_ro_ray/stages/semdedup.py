@@ -110,24 +110,29 @@ def _threshold_pairs(
 
 
 def _union_find_labels(m: int, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
-    """Root label per row (0..m-1) under the pair edges — small,
-    partition-local union-find with path halving."""
-    parent = np.arange(m, dtype=np.int64)
-
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for a, b in zip(ii.tolist(), jj.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    return np.array([find(i) for i in range(m)], dtype=np.int64)
+    """Min-index component label per row (0..m-1) under the pair
+    edges — vectorized neighbor-min label propagation (np.minimum.at
+    + pointer jumping), the same kernel as the driver path of
+    :func:`components.connected_components`; a per-edge Python
+    union-find loop was measured there as the hot spot at 444k edges
+    and this site is bounded at ``max_pairs_per_cluster`` (5M) edges
+    inside ONE reducer task."""
+    lab = np.arange(m, dtype=np.int64)
+    if len(ii) == 0:
+        return lab
+    while True:
+        mn = np.minimum(lab[ii], lab[jj])
+        new = lab.copy()
+        np.minimum.at(new, ii, mn)
+        np.minimum.at(new, jj, mn)
+        while True:  # full pointer-jump collapse (strictly decreasing)
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
 
 
 def _component_kept(
@@ -265,17 +270,21 @@ def semdedup_filter(
     emb_col: str = "embedding",
     labels: np.ndarray | None = None,
     mode: str = "min_id",
+    max_pairs_per_cluster: int = 5_000_000,
+    n_reducers: int | None = None,
     max_broadcast_ids: int = 2_000_000,
 ) -> ray.data.Dataset:
     """The consuming form: the original rows with dropped ids removed.
     The dropped-id set is bounded by the corpus DUP RATE, not its
     size; it is pulled to the driver and broadcast sorted only under
-    ``max_broadcast_ids``. Past the bound the pull is abandoned
-    MID-STREAM and the corpus is anti-joined against the distributed
-    dropped-flag table through the keyed exchange instead
+    ``max_broadcast_ids``. Past the bound the driver pull is abandoned
+    and the corpus is anti-joined against the distributed dropped-flag
+    table through the keyed exchange instead
     (``joins.hash_join(how="anti")``) — driver memory stays O(bound)
-    at any dup rate, the same degradation contract as the MinHash
-    verify gate (``dedup.py``)."""
+    at any dup rate. The thin (id-only) dropped table is MATERIALIZED
+    once before the probe so the expensive flags pipeline (assignment
+    + exchange + O(m²) cluster scans) never re-executes on the
+    anti-join path; holding it in the object store costs 8 B/dup."""
     flags = semdedup_flags(
         ds,
         centroids,
@@ -284,13 +293,15 @@ def semdedup_filter(
         emb_col=emb_col,
         labels=labels,
         mode=mode,
+        max_pairs_per_cluster=max_pairs_per_cluster,
+        n_reducers=n_reducers,
     )
     dropped_ds = flags.map_batches(
         lambda t: t.filter(
             pc.invert(t["kept"].combine_chunks())
         ).select([id_col]),
         batch_format="pyarrow",
-    )
+    ).materialize()
     chunks: list[np.ndarray] = []
     total = 0
     overflow = False
