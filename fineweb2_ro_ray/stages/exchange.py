@@ -52,10 +52,12 @@ singles, and an ``_ungroup_merge`` level (fan-in F over group-objects,
 W returns each) restores per-partition chunks — driver peak drops from
 M x P to max(M x ⌈P/W⌉, (M/F) x P), i.e. W = F = 64 cuts the 100-TB
 point from ~6e11 refs to ~1e10 for one extra object-store copy of the
-data. Fully collapsing the matrix needs shuffle-segment files outside
-the object store (Magnet-style), which no object-store exchange —
-Ray's own sort included — avoids; stacking a second grouped level
-would give another F x if ever needed. Skewed keys skew only their
+data. FULLY collapsing the matrix — to M + P — is the disk-SEGMENT
+mode (``segment_dir`` / ``FW2_EXCHANGE_SEGMENT_DIR``): map outputs
+become Spark-ESS-style on-disk segment files with an offset index and
+reducers range-read their slice, trading Ray lineage durability for
+file-system durability (full analysis at the segment-mode block
+comment below). Skewed keys skew only their
 partition (a key's rows must land in one reducer — thinning partitions
 is the lever, and byte-based P sizing does exactly that). Map outputs
 are plain object-store objects, so Ray spills them to disk under
@@ -296,6 +298,28 @@ def _merge_slices(failpoint: tuple[str, str] | None, *chunks: pa.Table) -> pa.Ta
     return _concat_named(live, "tree merge").combine_chunks()
 
 
+def _reduce_core(
+    fn: Callable,
+    out_schema: pa.Schema | None,
+    batch_format: str,
+    t: pa.Table,
+) -> pa.Table:
+    """Shared reduce tail: one vectorized ``fn`` call over a whole
+    partition table, output types pinned (``out_schema`` cast, or
+    ``from_pandas_like`` against the input partition — a partition
+    whose string key is entirely null would otherwise re-infer as
+    double and poison any downstream concat/to_pandas)."""
+    if batch_format == "pyarrow":
+        out_t = fn(t)
+        return out_t.cast(out_schema) if out_schema is not None else out_t
+    out = fn(t.to_pandas())
+    if out_schema is not None:
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+    from ..schema import from_pandas_like
+
+    return from_pandas_like(out, t)
+
+
 @ray.remote
 def _reduce_partition(
     fn: Callable,
@@ -317,18 +341,145 @@ def _reduce_partition(
             return out_schema.empty_table()
         return chunks[0]  # degenerate; pruned by the 0-row filter below
     t = _concat_named(live, "reduce concat").combine_chunks()
-    if batch_format == "pyarrow":
-        out_t = fn(t)
-        return out_t.cast(out_schema) if out_schema is not None else out_t
-    out = fn(t.to_pandas())
-    if out_schema is not None:
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
-    from ..schema import from_pandas_like
+    return _reduce_core(fn, out_schema, batch_format, t)
 
-    # pin columns shared with the input partition to its types: a
-    # partition whose string key is entirely null would re-infer as
-    # double and poison any downstream concat/to_pandas
-    return from_pandas_like(out, t)
+
+# --- Disk-segment exchange (Magnet/Spark-ESS-style map output files) ---
+#
+# The object-store wirings above bound, but cannot fully collapse, the
+# driver's transient slice-ref matrix: even grouped returns leave
+# max(M x ceil(P/W), (M/F) x P) refs at the 100-TB point (~1e10). The
+# segment mode collapses it to M + P by taking map outputs OUT of the
+# object store entirely, the way Spark's sort-based shuffle (and its
+# Magnet push-merge evolution, SIGMOD'20) does:
+#
+#   each map task writes ONE data file — a leading schema-only Arrow
+#   IPC stream, then the P partition slices as back-to-back IPC
+#   streams (0-row slices take zero bytes) — plus a sidecar ``.idx``
+#   of P+1 little-endian int64 end-offsets, both via write-tmp +
+#   atomic rename; its task return is just the file path (a string).
+#   Each reducer receives ONE broadcast list of the M paths (`ray.put`
+#   once), and per segment does two bounded reads: 16 bytes of the
+#   index at offset 8*i, then the [lo, hi) byte range of its slice.
+#
+# Driver state: M path strings + P reduce refs — no M x P term at any
+# scale. The trade, stated honestly: (a) reducers issue M random
+# range-reads each (the seek pattern Magnet exists to consolidate;
+# fine on node-local NVMe, and a per-partition-range merge level — the
+# actual "push-merge" — is the extension point if it ever dominates);
+# (b) durability moves from Ray lineage to the file system: on one
+# node (or a shared FS) a lost reduce task simply re-reads, but a
+# multi-node deployment needs ``segment_dir`` on storage that survives
+# the producing worker (shared FS / fetch service), else a lost node's
+# segments raise FileNotFoundError and the exchange must be re-run —
+# exactly Spark's fetch-failure → stage-retry semantics. Retried split
+# tasks are idempotent by construction (fresh uuid file per attempt;
+# the attempt whose return value is consumed names the file that gets
+# read; orphans from a killed attempt are unreferenced garbage for the
+# caller's directory cleanup).
+#
+# Enable per call (``segment_dir=``) or engine-wide via the
+# ``FW2_EXCHANGE_SEGMENT_DIR`` env var (every wide operator routes
+# through this exchange, so the env var switches the whole engine);
+# the caller owns the directory's lifetime and deletes it after the
+# consuming Dataset has fully executed.
+
+
+def _write_segment(slices: list[pa.Table], seg_dir: str) -> str:
+    import uuid
+
+    name = uuid.uuid4().hex
+    final = os.path.join(seg_dir, f"seg-{name}.data")
+    tmp = os.path.join(seg_dir, f".tmp-{name}.data")
+    offsets: list[int] = []
+    with open(tmp, "wb") as f:
+        # leading schema-only stream: reducers whose every slice is
+        # empty rebuild a 0-row table with the TRUE partition schema
+        # (the object-store path only sees whatever degenerate block
+        # reached it)
+        with pa.ipc.new_stream(f, slices[0].schema):
+            pass
+        offsets.append(f.tell())
+        for s in slices:
+            if s.num_rows:
+                with pa.ipc.new_stream(f, s.schema) as w:
+                    w.write_table(s)
+            offsets.append(f.tell())
+    tmp_i, final_i = tmp + ".idx", final + ".idx"
+    with open(tmp_i, "wb") as f:
+        f.write(np.asarray(offsets, dtype="<i8").tobytes())
+    os.rename(tmp_i, final_i)
+    os.rename(tmp, final)
+    return final
+
+
+@ray.remote
+def _split_block_segment(
+    n_reducers: int,
+    key: str | list[str],
+    seg_dir: str,
+    failpoint: tuple[str, str] | None,
+    *blocks,
+) -> str:
+    """Map side, segment mode: same split as ``_split_block`` but the
+    P slices go to ONE on-disk segment file (+ ``.idx``) instead of P
+    object-store returns; the task returns only the file path."""
+    _maybe_die(failpoint, "split")
+    return _write_segment(_split_core(n_reducers, key, blocks), seg_dir)
+
+
+def _read_segment_range(path: str, part_idx: int) -> pa.Table | None:
+    """One reducer's slice of one segment: 16 index bytes, then the
+    byte range; ``None`` when the slice is empty (lo == hi)."""
+    with open(path + ".idx", "rb") as f:
+        f.seek(8 * part_idx)
+        lo, hi = np.frombuffer(f.read(16), dtype="<i8")
+    if hi <= lo:
+        return None
+    with open(path, "rb") as f:
+        f.seek(lo)
+        buf = f.read(int(hi - lo))
+    return pa.ipc.open_stream(pa.py_buffer(buf)).read_all()
+
+
+@ray.remote
+def _reduce_partition_segments(
+    fn: Callable,
+    out_schema: pa.Schema | None,
+    batch_format: str,
+    part_idx: int,
+    failpoint: tuple[str, str] | None,
+    paths: list[str],
+) -> pa.Table:
+    """Reduce side, segment mode: range-read this partition's slice
+    from every segment file, concat, run ``fn`` once. ``paths`` is the
+    single `ray.put`-broadcast list of all M segment paths."""
+    _maybe_die(failpoint, "reduce")
+    try:
+        tabs = [
+            t
+            for t in (_read_segment_range(p, part_idx) for p in paths)
+            if t is not None
+        ]
+        if not tabs:
+            if out_schema is not None:
+                return out_schema.empty_table()
+            # schema-only leading stream of any segment: a 0-row table
+            # with the true partition schema
+            with open(paths[0] + ".idx", "rb") as f:
+                end = int(np.frombuffer(f.read(8), dtype="<i8")[0])
+            with open(paths[0], "rb") as f:
+                buf = f.read(end)
+            return pa.ipc.open_stream(pa.py_buffer(buf)).read_all()
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"exchange segment lost: {e.filename!r} — segment files are "
+            "outside Ray lineage; if the producing node (or the segment "
+            "directory) is gone, re-run the exchange (Spark-style "
+            "fetch-failure semantics)"
+        ) from e
+    t = _concat_named(tabs, "segment reduce concat").combine_chunks()
+    return _reduce_core(fn, out_schema, batch_format, t)
 
 
 def _auto_reducers(total_bytes: int, cpus: int) -> int:
@@ -375,6 +526,7 @@ def hash_exchange_map_groups(
     out_schema: pa.Schema | None = None,
     batch_format: str = "pandas",
     group_width: int | None = None,
+    segment_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Hash-partition ``ds`` by ``key`` (one column or several) and
     apply ``fn`` once per partition (all rows of any key value
@@ -394,11 +546,25 @@ def hash_exchange_map_groups(
     is known to be small. ``group_width=None`` auto-selects the
     grouped-returns width from the driver-ref budget (see
     ``_auto_group_width``; 1 = today's ungrouped wiring); pass it only
-    in tests/benchmarks that force a specific wiring."""
+    in tests/benchmarks that force a specific wiring.
+
+    ``segment_dir`` (or the ``FW2_EXCHANGE_SEGMENT_DIR`` env var)
+    switches map outputs to on-disk segment files (Spark-ESS-style; see
+    the segment-mode block comment above): driver state M + P instead
+    of any M x P term, at the cost of file-system durability semantics.
+    A per-exchange subdirectory is created under it; the caller owns
+    cleanup after the consuming Dataset has fully executed."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     target = int(os.environ.get("FW2_EXCHANGE_SPLIT_BYTES", str(64 << 20)))
     fp = _TEST_FAILPOINT
     fanin = max(2, int(os.environ.get("FW2_EXCHANGE_MERGE_FANIN", "64")))
+    seg_root = segment_dir or os.environ.get("FW2_EXCHANGE_SEGMENT_DIR") or None
+    seg_dir: str | None = None
+    if seg_root:
+        import uuid
+
+        seg_dir = os.path.join(seg_root, f"exch-{uuid.uuid4().hex}")
+        os.makedirs(seg_dir, exist_ok=True)
 
     # Two launch modes for the map side:
     #   EAGER (n_reducers explicit): the reducer count — and therefore
@@ -426,6 +592,8 @@ def hash_exchange_map_groups(
     def _resolve_wiring(n_red: int, n_groups_hint: int) -> None:
         nonlocal p, gb, n_g
         p = max(2, n_red)  # num_returns >= 2 so splits return ref tuples
+        if seg_dir is not None:
+            return  # segment mode: no grouped returns, no merge tree
         if group_width is not None:
             gw = group_width
         elif eager:
@@ -442,7 +610,11 @@ def hash_exchange_map_groups(
     splits: list = []
 
     def _launch(blocks: list) -> None:
-        if gb is not None:
+        if seg_dir is not None:
+            splits.append(
+                _split_block_segment.remote(p, key, seg_dir, fp, *blocks)
+            )
+        elif gb is not None:
             splits.append(
                 _split_block_grouped.options(num_returns=n_g).remote(
                     p, gb, key, fp, *blocks
@@ -491,7 +663,22 @@ def hash_exchange_map_groups(
         del groups
 
     outs = []
-    if gb is not None:
+    if seg_dir is not None:
+        # Segment mode: the splits' returns are just M path strings —
+        # wait for them (the exchange is a barrier regardless: no
+        # reducer can start before every map ran), broadcast the list
+        # once, and launch one range-reading reducer per partition.
+        # Driver-held refs: M strings + P reduce outputs; no M x P
+        # term, no merge tree.
+        paths = ray.get(splits)
+        paths_ref = ray.put(paths)
+        for i in range(p):
+            outs.append(
+                _reduce_partition_segments.remote(
+                    fn, out_schema, batch_format, i, fp, paths_ref
+                )
+            )
+    elif gb is not None:
         # Grouped-returns wiring: splits returned ⌈P/W⌉ GROUP-OBJECTS
         # of W consecutive-partition slices each, cutting the driver's
         # transient ref matrix from M x P to max(M x ⌈P/W⌉, (M/F) x P).
