@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_quantiles_sketch": P.q_nchars_quantiles_sketch,
         "doc_winnow_fingerprints": P.q_doc_winnow_fingerprints,
         "doc_bpe_tokens": P.q_doc_bpe_tokens,
+        "bpe_train": P.q_bpe_train,
+        "bpe_vocab_stats": P.q_bpe_vocab_stats,
         "distinct_users_approx": P.q_distinct_users_approx,
         "event_users_approx": P.q_event_users_approx,
         "doc_multitask_scores": P.q_doc_multitask_scores,

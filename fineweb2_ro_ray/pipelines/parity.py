@@ -592,6 +592,36 @@ def q_doc_bpe_tokens(sf_dir: str):
     return bpe_token_counts(ds).drop_columns(["text"])
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed byte-level BPE tokenizer TRAINING over the corpus
+    (Sennrich et al. 2016 — the algorithm behind the pretrained
+    tokenizer the reference loads, ``small_model_inference/
+    token_stats.py:8-13``): one corpus pass to a thin distinct-word
+    exchange, then fused apply+count raw-task iterations over K
+    object-store shards with a vocabulary-bounded driver fold per
+    merge. Deterministic (max count, ties to smallest pair) —
+    rows-only; merge-for-merge equality with the sequential reference
+    trainer is pytest-pinned (tests/test_bpe_train.py)."""
+    import ray.data as _rd
+
+    from ..stages.bpe_train import fit_bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return _rd.from_arrow(fit_bpe(ds, text_col="text", n_merges=64))
+
+
+def q_bpe_vocab_stats(sf_dir: str):
+    """BPE training compression summary: corpus token count under the
+    learned merges vs the byte-level baseline (token-budget accounting
+    for a tokenizer choice). Rows-only (derived from q_bpe_train)."""
+    import ray.data as _rd
+
+    from ..stages.bpe_train import bpe_vocab_stats
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return _rd.from_arrow(bpe_vocab_stats(ds, text_col="text", n_merges=64))
+
+
 def q_score_correlations(sf_dir: str):
     """G7 extension: Pearson + Spearman between character length and
     space-word count — the reference's model-vs-label benchmark
