@@ -165,7 +165,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest_by_lang": P.q_top_longest_by_lang,
         "events_rolling": P.q_events_rolling,
         "lang_distinct_sources": P.q_lang_distinct_sources,
-        "lang_source_pivot": P.q_lang_source_pivot,
+        # window slot (round 4, late): events_global_rank — the
+        # range-partitioned distributed ORDER BY (sample sort + exact
+        # global rank), a substrate shape nothing else in the window
+        # exercises; lang_source_pivot (third grouped-count variant
+        # alongside lang_source_counts and lang_source_rollup) demoted
+        # below, still value-exact via scripts/check_oracle.py
+        "events_global_rank": P.q_events_global_rank,
         "nchars_summary": P.q_nchars_summary,
         "dedup_exact": P.q_dedup_exact,
         "dedup_keep_longest": P.q_dedup_keep_longest,
@@ -245,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
         # value-exact via scripts/check_oracle.py + pytest) ---
+        "lang_source_pivot": P.q_lang_source_pivot,
         "orders_anti_join": P.q_orders_anti_join,
         "count_metrics": P.q_count_metrics,
         "orders_exists_late": P.q_orders_exists_late,
@@ -1042,6 +1049,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
+        """,
+        "events_global_rank": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+            FROM events
         """,
         "events_rolling": """
             SELECT user_id, event_id,

@@ -592,6 +592,21 @@ def q_doc_bpe_tokens(sf_dir: str):
     return bpe_token_counts(ds).drop_columns(["text"])
 
 
+def q_events_global_rank(sf_dir: str):
+    """Exact global ORDER BY rank via the range-partitioned sample
+    sort (``stages.sortop``): deterministic splitter sampling, one
+    range exchange (ties and nulls co-locate), per-partition Arrow
+    sort, prefix-sum rank over partition counts. The engine's true
+    distributed ORDER BY — the reference's canonical processing order
+    (``ro_vs_eng/quantiles_fetcher.py:46``) is its single-node
+    degenerate form."""
+    from ..stages.sortop import sample_sort
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    out = sample_sort(ds, ["ts", "event_id"], rank_col="rn")
+    return out.select_columns(["event_id", "rn"])
+
+
 def q_bpe_train(sf_dir: str):
     """Distributed byte-level BPE tokenizer TRAINING over the corpus
     (Sennrich et al. 2016 — the algorithm behind the pretrained

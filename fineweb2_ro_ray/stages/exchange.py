@@ -193,7 +193,12 @@ def _split_core(
         # route an empty slice everywhere — the reduce side drops
         # row-less chunks before concat
         return [t for _ in range(n_reducers)]
-    if isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
+    if callable(key):
+        # custom partitioner (e.g. range routing for sample_sort):
+        # key(table) -> int64 partition codes in [0, n_reducers)
+        part = np.asarray(key(t), dtype=np.int64)
+        tt = t
+    elif isinstance(key, str) and pa.types.is_string(t.schema.field(key).type):
         from ..state.checkpoint import add_partition_column
 
         # the routing column is appended LAST; remove it by index so a
@@ -521,7 +526,7 @@ def hash_exchange_map_groups(
     ds: ray.data.Dataset,
     fn: Callable,
     *,
-    key: str | list[str],
+    key: str | list[str] | Callable,
     n_reducers: int | None = None,
     out_schema: pa.Schema | None = None,
     batch_format: str = "pandas",
@@ -531,8 +536,14 @@ def hash_exchange_map_groups(
     """Hash-partition ``ds`` by ``key`` (one column or several) and
     apply ``fn`` once per partition (all rows of any key value
     co-located), bypassing Ray Data's sort-based groupby. Returns a
-    Dataset over the reduce outputs, so downstream stages
-    (``write_parquet``, further ``map_batches``) stream as usual.
+    Dataset over the reduce outputs — IN PARTITION ORDER (block i holds
+    partition i's reduce output; range partitioners rely on this) — so
+    downstream stages (``write_parquet``, further ``map_batches``)
+    stream as usual. ``key`` may instead be a CALLABLE
+    ``(pa.Table) -> int64 codes in [0, n_reducers)`` for non-hash
+    routing (range partitioning for ordered sorts, bucket routing); it
+    ships to every split task, so capture big payloads (splitter
+    arrays) via ``ray.put`` and fetch inside.
 
     ``fn`` must be partition-local and key-complete (the contract of
     ``groupby(key).map_groups`` with a vectorized body): it receives
