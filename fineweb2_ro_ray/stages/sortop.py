@@ -42,6 +42,8 @@ applies the full lexicographic key.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -162,3 +164,149 @@ def sample_sort(
             for r, o in zip(refs, offsets)
         ]
     )
+
+
+# --- Sorted-parquet sink + range-pruned reader ------------------------
+#
+# The ordered complement of the engine's resumable partitioned output
+# (state/checkpoint.py): sample_sort's range partitions become one
+# parquet file each, written task-parallel with tmp+atomic-rename, plus
+# a manifest of per-file (min, max, rows) of the range key. A reader
+# with a key interval opens ONLY the overlapping files — the sorted-
+# data analog of parquet row-group pruning, at file granularity, with
+# the manifest replacing a footer scan of every shard.
+
+
+@ray.remote
+def _write_sorted_part(t: pa.Table, path: str, part_idx: int, key: str) -> dict:
+    import pyarrow.parquet as pq
+
+    if t.num_rows == 0:
+        return {"file": None, "rows": 0, "part": part_idx}
+    fname = f"part-{part_idx:05d}.parquet"
+    tmp = os.path.join(path, f".tmp-{fname}")
+    pq.write_table(t, tmp)
+    os.rename(tmp, os.path.join(path, fname))
+    col = t[key].drop_null()
+    enc = (
+        (lambda v: v.isoformat())
+        if pa.types.is_timestamp(t.schema.field(key).type)
+        else (lambda v: v)
+    )
+    return {
+        "file": fname,
+        "rows": t.num_rows,
+        "part": part_idx,
+        "min": enc(col[0].as_py()) if len(col) else None,
+        "max": enc(col[-1].as_py()) if len(col) else None,
+        "nulls": t.num_rows - len(col),
+    }
+
+
+def write_sorted_parquet(
+    ds: ray.data.Dataset,
+    path: str,
+    keys: str | list[str],
+    *,
+    n_reducers: int | None = None,
+) -> dict:
+    """Globally sort ``ds`` by ``keys`` and write one parquet file per
+    range partition (task-parallel, atomic) plus ``manifest.json`` with
+    per-file (min, max, rows) of the range key. Returns the manifest."""
+    import json
+
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    os.makedirs(path, exist_ok=True)
+    out = sample_sort(ds, keys_l, n_reducers=n_reducers)
+    refs = [
+        r
+        for bundle in out.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    parts = ray.get(
+        [
+            _write_sorted_part.remote(r, path, i, keys_l[0])
+            for i, r in enumerate(refs)
+        ]
+    )
+    manifest = {
+        "key": keys_l[0],
+        "sort_keys": keys_l,
+        "files": [p for p in parts if p["file"] is not None],
+    }
+    tmp = os.path.join(path, ".tmp-manifest.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, os.path.join(path, "manifest.json"))
+    return manifest
+
+
+def read_sorted_range(
+    path: str,
+    lo=None,
+    hi=None,
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Read a ``write_sorted_parquet`` directory, opening ONLY the
+    files whose [min, max] interval overlaps [lo, hi] (closed; None =
+    unbounded). Rows are then exactly filtered to the interval — file
+    pruning is the performance path, the filter is the correctness
+    path. Files holding only nulls of the key never overlap a bounded
+    interval (nulls sort last and carry min = max = None).
+
+    Files are passed to the scan in range order and each file is
+    internally sorted, but Ray Data's streaming executor may emit
+    blocks out of order — for globally ORDERED iteration set
+    ``DataContext.get_current().execution_options.preserve_order``
+    (pytest-pinned); values/pruning need no flag."""
+    import json
+
+    import pyarrow.compute as pc
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        man = json.load(f)
+    key = man["key"]
+
+    def _overlaps(e: dict) -> bool:
+        if e["min"] is None:  # all-null file
+            return lo is None and hi is None
+        if lo is not None and e["max"] < _as_manifest(lo):
+            return False
+        if hi is not None and e["min"] > _as_manifest(hi):
+            return False
+        return True
+
+    files = [os.path.join(path, e["file"]) for e in man["files"] if _overlaps(e)]
+    if not files:
+        if not man["files"]:
+            raise FileNotFoundError(f"empty sorted dataset at {path}")
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(os.path.join(path, man["files"][0]["file"]))
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
+    ds = ray.data.read_parquet(files, columns=columns)
+    if lo is None and hi is None:
+        return ds
+
+    def trim(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t[key])
+        if lo is not None:
+            m = pc.and_(m, pc.greater_equal(t[key], lo))
+        if hi is not None:
+            m = pc.and_(m, pc.less_equal(t[key], hi))
+        return t.filter(m)
+
+    return ds.map_batches(trim, batch_format="pyarrow")
+
+
+def _as_manifest(v):
+    """Bounds in the manifest's representation (timestamps are stored
+    as ISO strings, which compare in time order)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v

@@ -103,3 +103,98 @@ def test_sample_sort_through_segment_exchange(ray_session, tmp_path, monkeypatch
     exp = t.to_pandas().sort_values(["a", "b", "s"]).reset_index(drop=True)
     assert list(out["s"]) == list(exp["s"])
     assert list(out["rn"]) == list(range(1, 901))
+
+
+def test_write_sorted_parquet_and_range_read(ray_session, tmp_path):
+    import json
+    import os as _os
+
+    t = _mk(n=2000, seed=12)
+    ds = rd.from_arrow(t).repartition(9)
+    out_dir = str(tmp_path / "sorted")
+    man = __import__(
+        "fineweb2_ro_ray.stages.sortop", fromlist=["write_sorted_parquet"]
+    ).write_sorted_parquet(ds, out_dir, ["a", "s"], n_reducers=8)
+    # manifest invariants: disjoint ascending [min, max] ranges, rows sum
+    files = man["files"]
+    assert sum(f["rows"] for f in files) == 2000
+    for e1, e2 in zip(files, files[1:]):
+        assert e1["max"] <= e2["min"]
+    assert _os.path.exists(_os.path.join(out_dir, "manifest.json"))
+    assert not [f for f in _os.listdir(out_dir) if f.startswith(".tmp-")]
+    with open(_os.path.join(out_dir, "manifest.json")) as f:
+        assert json.load(f)["key"] == "a"
+
+    from ray.data import DataContext
+
+    from fineweb2_ro_ray.stages.sortop import read_sorted_range
+
+    exp = (
+        t.to_pandas()
+        .sort_values(["a", "s"])[["a", "s"]]
+        .reset_index(drop=True)
+    )
+
+    # full read: exact values; with preserve_order, exact global ORDER
+    ctx = DataContext.get_current()
+    old = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        full = _stream_rows(read_sorted_range(out_dir), ["a", "s"])
+        pd.testing.assert_frame_equal(full.reset_index(drop=True), exp)
+
+        # bounded read: exact interval, and it PRUNED files
+        lo, hi = 100.0, 300.0
+        got = _stream_rows(read_sorted_range(out_dir, lo, hi), ["a", "s"])
+        expb = exp[(exp["a"] >= lo) & (exp["a"] <= hi)].reset_index(
+            drop=True
+        )
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), expb)
+    finally:
+        ctx.execution_options.preserve_order = old
+    # without the flag, VALUES are still exact (order-insensitive)
+    got2 = _stream_rows(read_sorted_range(out_dir, 100.0, 300.0), ["a", "s"])
+    pd.testing.assert_frame_equal(
+        got2.sort_values(["a", "s"]).reset_index(drop=True),
+        exp[(exp["a"] >= 100.0) & (exp["a"] <= 300.0)].reset_index(drop=True),
+    )
+    overlapping = [
+        f for f in files if not (f["max"] < lo or f["min"] > hi)
+    ]
+    assert len(overlapping) < len(files)  # pruning actually happened
+
+
+def test_range_read_timestamp_key(ray_session, tmp_path):
+    import datetime
+
+    from fineweb2_ro_ray.stages.sortop import (
+        read_sorted_range,
+        write_sorted_parquet,
+    )
+
+    base = datetime.datetime(2025, 1, 1)
+    ts = [base + datetime.timedelta(minutes=int(i)) for i in range(500)]
+    rng = np.random.default_rng(1)
+    t = pa.table(
+        {
+            "ts": pa.array(list(rng.permutation(np.array(ts))),
+                           pa.timestamp("us")),
+            "i": pa.array(range(500)),
+        }
+    )
+    d = str(tmp_path / "ts_sorted")
+    write_sorted_parquet(rd.from_arrow(t).repartition(4), d, "ts",
+                         n_reducers=5)
+    lo = base + datetime.timedelta(minutes=100)
+    hi = base + datetime.timedelta(minutes=199)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        got = _stream_rows(read_sorted_range(d, lo, hi), ["ts", "i"])
+    finally:
+        ctx.execution_options.preserve_order = old
+    assert len(got) == 100
+    assert got["ts"].is_monotonic_increasing
