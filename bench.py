@@ -166,6 +166,10 @@ def run_bench() -> dict:
         # round-4 late: SemDeDup (k-means buckets + intra-cluster
         # chunked cosine scan through one keyed exchange)
         ("semdedup", P.q_semdedup),
+        # round-4 late: range-partitioned global sort + exact rank
+        # over events, and distributed BPE training over documents
+        ("events_global_rank", P.q_events_global_rank),
+        ("bpe_train", P.q_bpe_train),
         # round-3 continuation: cross-snapshot dedup at transcript scale
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
         # round-3 continuation: duplicate-span removal at transcript scale

@@ -56,16 +56,27 @@ _WORD_SCHEMA = pa.schema([("word", pa.string()), ("f", pa.int64())])
 
 def _word_count_partials(batch: pa.Table, text_col: str) -> pa.Table:
     """Per-batch distinct-word counts (the map-side combiner before the
-    thin word exchange)."""
-    from collections import Counter
+    thin word exchange) — fully Arrow-vectorized: unicode-whitespace
+    split + flatten + value_counts. ``utf8_split_whitespace`` collapses
+    internal whitespace runs and emits empty tokens only at string
+    boundaries, so filtering "" restores exact ``str.split()``
+    semantics (the reference trainer's pre-tokenization)."""
+    import pyarrow.compute as pc
 
-    c: Counter[str] = Counter()
-    for t in batch[text_col].to_pylist():
-        c.update((t or "").split())
-    if not c:
+    flat = pc.list_flatten(
+        pc.utf8_split_whitespace(batch[text_col].drop_null())
+    )
+    flat = flat.filter(pc.not_equal(flat, ""))
+    if len(flat) == 0:
         return _WORD_SCHEMA.empty_table()
+    vc = (
+        pc.value_counts(flat.combine_chunks())
+        if isinstance(flat, pa.ChunkedArray)
+        else pc.value_counts(flat)
+    )
     return pa.table(
-        {"word": list(c.keys()), "f": list(c.values())}, schema=_WORD_SCHEMA
+        {"word": vc.field("values"), "f": vc.field("counts")},
+        schema=_WORD_SCHEMA,
     )
 
 
