@@ -388,13 +388,38 @@ def _reduce_partition(
 # through this exchange, so the env var switches the whole engine);
 # the caller owns the directory's lifetime and deletes it after the
 # consuming Dataset has fully executed.
+#
+# PUSH-MERGE CONSOLIDATION (the Magnet extension, SIGMOD'20 §4): when
+# the map count M is large, each of the P reducers issuing M random
+# range-reads is the dominating seek pattern — at the 100-TB point
+# (M ~ 1.6e6, P ~ 4e5) that is ~6e11 reads of ~0.6 KB each. The
+# consolidation level inserts G = ceil(P / R) merger tasks between map
+# and reduce, each owning a CONTIGUOUS partition range [lo, hi) of
+# width R: because a segment file lays its P slices back-to-back in
+# partition order, a merger reads ONE contiguous byte range
+# [idx[lo], idx[hi]) per segment (M sequential-ish reads of R-slice
+# granularity), re-groups the slices by partition, and writes ONE
+# merged segment file — format-identical to a map segment, with R
+# local partitions — so every reducer then does exactly ONE range-read
+# from exactly one merged file. Read count drops from M x P to
+# M x P / R (mergers) + P (reducers); with R = F = 64 the 100-TB point
+# falls ~6e11 -> ~1e10 reads at 64x the granularity, and the re-encode
+# also compacts each partition's M tiny IPC streams into one stream of
+# combined record batches (faster reducer parse). Cost: one extra
+# on-disk copy of the data — so it auto-enables only when M > F (below
+# that a reducer's fan-in already meets the same bound F the
+# object-store tree enforces). ``FW2_EXCHANGE_SEGMENT_MERGE``
+# (auto|1|0) forces/disables; ``FW2_EXCHANGE_SEGMENT_MERGE_PARTS``
+# sets R (default F). Merger tasks are stateless and idempotent
+# (fresh-uuid tmp+rename writes) — a killed merger is retried by Ray
+# like any split/reduce task.
 
 
-def _write_segment(slices: list[pa.Table], seg_dir: str) -> str:
+def _write_segment(slices: list[pa.Table], seg_dir: str, prefix: str = "seg") -> str:
     import uuid
 
     name = uuid.uuid4().hex
-    final = os.path.join(seg_dir, f"seg-{name}.data")
+    final = os.path.join(seg_dir, f"{prefix}-{name}.data")
     tmp = os.path.join(seg_dir, f".tmp-{name}.data")
     offsets: list[int] = []
     with open(tmp, "wb") as f:
@@ -433,6 +458,82 @@ def _split_block_segment(
     return _write_segment(_split_core(n_reducers, key, blocks), seg_dir)
 
 
+def _segment_merge_parts(m: int, p: int, fanin: int) -> int:
+    """Push-merge consolidation width R (partitions per merged segment
+    file); 0 = no consolidation. Auto rule: consolidate only when the
+    per-reducer read fan-in M exceeds the merge fan-in F — below that,
+    a reducer's M range-reads already meet the same bound F the
+    object-store tree enforces on task fan-in, and the extra on-disk
+    copy buys nothing. ``FW2_EXCHANGE_SEGMENT_MERGE`` = ``1`` forces
+    consolidation at any M, ``0``/``off`` disables it;
+    ``FW2_EXCHANGE_SEGMENT_MERGE_PARTS`` overrides R (default F)."""
+    mode = os.environ.get("FW2_EXCHANGE_SEGMENT_MERGE", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return 0
+    r = int(os.environ.get("FW2_EXCHANGE_SEGMENT_MERGE_PARTS", "0")) or fanin
+    if mode != "1" and m <= fanin:
+        return 0
+    return max(1, min(r, p))
+
+
+@ray.remote
+def _merge_segment_range(
+    lo: int,
+    hi: int,
+    seg_dir: str,
+    failpoint: tuple[str, str] | None,
+    paths: list[str],
+) -> str:
+    """Consolidation level (Magnet-style push-merge): own partitions
+    [lo, hi) across EVERY map segment. Slices are back-to-back in
+    partition order inside each segment, so this reads ONE contiguous
+    byte range per segment, re-groups by partition, concats each
+    partition's tables into one stream, and writes ONE merged segment
+    file (format-identical to a map segment, with hi-lo local
+    partitions). Idempotent: fresh-uuid tmp+rename write per attempt."""
+    _maybe_die(failpoint, "segmerge")
+    r = hi - lo
+    parts: list[list[pa.Table]] = [[] for _ in range(r)]
+    schema: pa.Schema | None = None
+    try:
+        for p in paths:
+            with open(p + ".idx", "rb") as f:
+                pe = int(np.frombuffer(f.read(8), dtype="<i8")[0])
+                f.seek(8 * lo)
+                offs = np.frombuffer(f.read(8 * (r + 1)), dtype="<i8")
+            if schema is None:
+                with open(p, "rb") as f:
+                    schema = pa.ipc.open_stream(
+                        pa.py_buffer(f.read(pe))
+                    ).schema
+            blo, bhi = int(offs[0]), int(offs[-1])
+            if bhi <= blo:
+                continue
+            with open(p, "rb") as f:
+                f.seek(blo)
+                buf = memoryview(f.read(bhi - blo))
+            for j in range(r):
+                a, b = int(offs[j]) - blo, int(offs[j + 1]) - blo
+                if b > a:
+                    parts[j].append(
+                        pa.ipc.open_stream(pa.py_buffer(buf[a:b])).read_all()
+                    )
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"exchange segment lost: {e.filename!r} — segment files are "
+            "outside Ray lineage; if the producing node (or the segment "
+            "directory) is gone, re-run the exchange (Spark-style "
+            "fetch-failure semantics)"
+        ) from e
+    slices = [
+        _concat_named(ts, "segment consolidation").combine_chunks()
+        if ts
+        else schema.empty_table()
+        for ts in parts
+    ]
+    return _write_segment(slices, seg_dir, prefix="mseg")
+
+
 def _read_segment_range(path: str, part_idx: int) -> pa.Table | None:
     """One reducer's slice of one segment: 16 index bytes, then the
     byte range; ``None`` when the slice is empty (lo == hi)."""
@@ -454,12 +555,17 @@ def _reduce_partition_segments(
     batch_format: str,
     part_idx: int,
     failpoint: tuple[str, str] | None,
-    paths: list[str],
+    paths: list[str] | str,
 ) -> pa.Table:
     """Reduce side, segment mode: range-read this partition's slice
     from every segment file, concat, run ``fn`` once. ``paths`` is the
-    single `ray.put`-broadcast list of all M segment paths."""
+    single `ray.put`-broadcast list of all M segment paths — or, in
+    push-merge mode, ONE merged-segment path (the merger task's return,
+    passed as a bare ObjectRef so this reducer launches the moment its
+    merger finishes, with no driver barrier on the whole level)."""
     _maybe_die(failpoint, "reduce")
+    if isinstance(paths, str):
+        paths = [paths]
     try:
         tabs = [
             t
@@ -680,15 +786,44 @@ def hash_exchange_map_groups(
         # reducer can start before every map ran), broadcast the list
         # once, and launch one range-reading reducer per partition.
         # Driver-held refs: M strings + P reduce outputs; no M x P
-        # term, no merge tree.
+        # term, no merge tree. Past M > F maps, a push-merge
+        # consolidation level (see the segment-mode block comment)
+        # rewrites the M segments as ceil(P/R) per-partition-range
+        # merged files so each reducer does ONE range-read instead of M.
         paths = ray.get(splits)
         paths_ref = ray.put(paths)
-        for i in range(p):
-            outs.append(
-                _reduce_partition_segments.remote(
-                    fn, out_schema, batch_format, i, fp, paths_ref
+        r_parts = _segment_merge_parts(len(paths), p, fanin)
+        if r_parts:
+            bounds = list(range(0, p, r_parts))
+            bounds.append(p)
+            merged = [
+                _merge_segment_range.remote(
+                    bounds[g], bounds[g + 1], seg_dir, fp, paths_ref
                 )
-            )
+                for g in range(len(bounds) - 1)
+            ]
+            # each reducer takes its merger's return as a BARE ref:
+            # group g's reducers launch the moment merger g finishes
+            # (no driver barrier across the consolidation level)
+            for i in range(p):
+                g = i // r_parts
+                outs.append(
+                    _reduce_partition_segments.remote(
+                        fn,
+                        out_schema,
+                        batch_format,
+                        i - bounds[g],
+                        fp,
+                        merged[g],
+                    )
+                )
+        else:
+            for i in range(p):
+                outs.append(
+                    _reduce_partition_segments.remote(
+                        fn, out_schema, batch_format, i, fp, paths_ref
+                    )
+                )
     elif gb is not None:
         # Grouped-returns wiring: splits returned ⌈P/W⌉ GROUP-OBJECTS
         # of W consecutive-partition slices each, cutting the driver's

@@ -236,3 +236,151 @@ def test_segment_env_forced_flagship_identical(ray_session, monkeypatch, tmp_pat
     monkeypatch.setenv("FW2_EXCHANGE_SEGMENT_DIR", str(tmp_path / "segs"))
     monkeypatch.setenv("FW2_EXCHANGE_SPLIT_BYTES", "65536")
     _pd.testing.assert_frame_equal(run(), clean)
+
+
+def test_segment_merge_parts_rule():
+    """Auto rule: consolidate only past M > F; force/off/width envs."""
+    from fineweb2_ro_ray.stages.exchange import _segment_merge_parts
+
+    env = os.environ
+    saved = {
+        k: env.pop(k, None)
+        for k in ("FW2_EXCHANGE_SEGMENT_MERGE", "FW2_EXCHANGE_SEGMENT_MERGE_PARTS")
+    }
+    try:
+        assert _segment_merge_parts(10, 100, 64) == 0  # M <= F: off
+        assert _segment_merge_parts(64, 100, 64) == 0
+        assert _segment_merge_parts(65, 100, 64) == 64  # R defaults to F
+        assert _segment_merge_parts(65, 9, 64) == 9  # R clamped to P
+        env["FW2_EXCHANGE_SEGMENT_MERGE"] = "1"
+        assert _segment_merge_parts(2, 100, 64) == 64  # forced at any M
+        env["FW2_EXCHANGE_SEGMENT_MERGE_PARTS"] = "7"
+        assert _segment_merge_parts(2, 100, 64) == 7
+        env["FW2_EXCHANGE_SEGMENT_MERGE"] = "0"
+        assert _segment_merge_parts(10**6, 10**5, 64) == 0  # disabled
+    finally:
+        for k, v in saved.items():
+            env.pop(k, None)
+            if v is not None:
+                env[k] = v
+
+
+def test_segment_pushmerge_equals_unmerged(ray_session, monkeypatch, tmp_path):
+    """Forced push-merge consolidation (every R width, R > P included)
+    is bit-equal to the unmerged segment wiring on every exchange
+    shape, and actually writes merged (mseg-*) files that the reducers
+    read instead of the map segments."""
+    monkeypatch.setenv("FW2_EXCHANGE_SPLIT_BYTES", "1")  # many map groups
+    ds = _mk_ds()
+    agg_pa, agg_pd = _mk_aggs()
+    schema = pa.schema(
+        [("k", pa.string()), ("v_sum", pa.float64()), ("v_count", pa.int64())]
+    )
+    base = _collect(
+        hash_exchange_map_groups(
+            ds, agg_pa, key="k", n_reducers=13, out_schema=schema,
+            batch_format="pyarrow", segment_dir=str(tmp_path / "plain"),
+        ),
+        ["k"],
+    )
+    base2 = _collect(
+        hash_exchange_map_groups(
+            ds, agg_pd, key=["k", "g"], n_reducers=64,
+            segment_dir=str(tmp_path / "plain"),
+        ),
+        ["k", "g"],
+    )
+    monkeypatch.setenv("FW2_EXCHANGE_SEGMENT_MERGE", "1")
+    for r in ("1", "3", "64", "1000"):  # 1000 > any P here
+        monkeypatch.setenv("FW2_EXCHANGE_SEGMENT_MERGE_PARTS", r)
+        seg = str(tmp_path / f"merged-{r}")
+        got = _collect(
+            hash_exchange_map_groups(
+                ds, agg_pa, key="k", n_reducers=13, out_schema=schema,
+                batch_format="pyarrow", segment_dir=seg,
+            ),
+            ["k"],
+        )
+        pd.testing.assert_frame_equal(got, base)
+        got2 = _collect(
+            hash_exchange_map_groups(
+                ds, agg_pd, key=["k", "g"], n_reducers=64, segment_dir=seg
+            ),
+            ["k", "g"],
+        )
+        pd.testing.assert_frame_equal(got2, base2)
+        files = [
+            f
+            for _root, _d, fs in os.walk(seg)
+            for f in fs
+            if f.endswith(".data")
+        ]
+        n_mseg = sum(f.startswith("mseg-") for f in files)
+        # 2 exchanges ran; P=13 and P=64 -> ceil(P/min(R,P)) merged
+        # files each (R clamps to P)
+        assert n_mseg == -(-13 // min(int(r), 13)) + -(-64 // min(int(r), 64))
+        # merged files carry offset indexes like any segment
+        for _root, _d, fs in os.walk(seg):
+            for f in fs:
+                assert not f.startswith(".tmp-")
+                if f.endswith(".data"):
+                    assert f + ".idx" in fs
+
+
+def test_segment_pushmerge_empty_partitions_and_schema(ray_session, monkeypatch, tmp_path):
+    """All-empty partitions inside a merged range reconstruct the true
+    schema from the merged file's prologue (unpinned-schema path)."""
+    monkeypatch.setenv("FW2_EXCHANGE_SEGMENT_MERGE", "1")
+    monkeypatch.setenv("FW2_EXCHANGE_SEGMENT_MERGE_PARTS", "5")
+    t = pa.table({"k": pa.array(["a", "a", "b"]), "v": [1.0, 2.0, 3.0]})
+    ds = rd.from_arrow(t)
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    out = hash_exchange_map_groups(
+        ds, ident, key="k", n_reducers=32, segment_dir=str(tmp_path)
+    )
+    got = out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert list(got["k"]) == ["a", "a", "b"]
+    assert list(got["v"]) == [1.0, 2.0, 3.0]
+
+
+def test_segment_pushmerge_fault_injection(ray_session, monkeypatch, tmp_path):
+    """SIGKILL one merger worker mid-consolidation: Ray's task retry
+    re-reads the map segments and writes a fresh merged file; output is
+    bit-identical and no half-visible merged file remains."""
+    monkeypatch.setenv("FW2_EXCHANGE_SPLIT_BYTES", "1")
+    monkeypatch.setenv("FW2_EXCHANGE_SEGMENT_MERGE", "1")
+    monkeypatch.setenv("FW2_EXCHANGE_SEGMENT_MERGE_PARTS", "4")
+    ds = _mk_ds(n_rows=2000, n_keys=23, seed=7)
+    agg_pa, _ = _mk_aggs()
+    schema = pa.schema(
+        [("k", pa.string()), ("v_sum", pa.float64()), ("v_count", pa.int64())]
+    )
+
+    def run(seg: str) -> pd.DataFrame:
+        return _collect(
+            hash_exchange_map_groups(
+                ds, agg_pa, key="k", n_reducers=9, out_schema=schema,
+                batch_format="pyarrow", segment_dir=seg,
+            ),
+            ["k"],
+        )
+
+    clean = run(str(tmp_path / "clean"))
+    marker = str(tmp_path / "fp-segmerge")
+    monkeypatch.setattr(
+        exchange, "_TEST_FAILPOINT", ("segmerge", marker), raising=True
+    )
+    try:
+        got = run(str(tmp_path / "faulty"))
+    finally:
+        monkeypatch.setattr(exchange, "_TEST_FAILPOINT", None, raising=True)
+    assert os.path.exists(marker), "segmerge failpoint never fired"
+    pd.testing.assert_frame_equal(got, clean)
+    for root, _dirs, files in os.walk(tmp_path):
+        names = set(files)
+        for f in files:
+            if f.endswith(".data") and not f.startswith(".tmp-"):
+                assert f + ".idx" in names
