@@ -310,6 +310,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: SemDeDup (cluster-bucketed semantic dedup,
         # arXiv:2303.09540) — oracle-exact NOT-EXISTS keep rule
         "semdedup": P.q_semdedup,
+        # round-4: URL curation family (FineWeb URL filtering): RE2
+        # parse + public-suffix registered domain, per-domain stats,
+        # broadcast blocklist gate
+        "url_parse": P.q_url_parse,
+        "url_domain_counts": P.q_url_domain_counts,
+        "url_blocklist_kept": P.q_url_blocklist_kept,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "kmeans_fit": P.q_kmeans_fit,
@@ -425,9 +431,71 @@ _DEDUP_SPANS_KF_SQL = """
 _SYM = r"[^0-9A-Za-zăâîșțĂÂÎȘȚ\t\n\f\r ]"
 _TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# URL family: the url column is DERIVED (the test tables carry none) —
+# this CTE mirrors functions.url.build_urls expression-for-expression;
+# the PARSE below it is independent of the engine's (per-field
+# regexp_extract here vs one combined RE2 extract there), so the
+# oracle checks the parser, not the builder. Suffix alternation order
+# matches functions.url.SUFFIXES (both sides are RE2: leftmost-first).
+_URL_CTE = """
+    WITH u AS (
+        SELECT doc_id, lang, source,
+               (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'
+               || (CASE WHEN doc_id % 5 = 0 THEN 'www.'
+                        WHEN doc_id % 5 = 1 THEN 'blog.' ELSE '' END)
+               || source || CAST(doc_id % 7 AS VARCHAR) || '.'
+               || (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'ro'
+                        WHEN 2 THEN 'co.uk' ELSE 'org' END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+               || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0 THEN '?ref=' || source ELSE '' END)
+               AS url
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id, lang, url,
+               nullif(regexp_extract(url,
+                   '^([a-z][a-z0-9+.-]*)://', 1), '') AS scheme,
+               nullif(regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^:/?#]+)', 1), '') AS host,
+               COALESCE(TRY_CAST(nullif(regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^:/?#]+:([0-9]+)', 1), '')
+                   AS BIGINT), 0) AS port,
+               nullif(regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1), '') AS path,
+               nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS qstring,
+               nullif(regexp_extract(
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^:/?#]+)', 1),
+                   '([^.]+\\.(co\\.uk|com\\.ro|com|org|net|ro|uk))$', 1),
+                   '') AS regdom
+        FROM u
+    )
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_parse": _URL_CTE
+        + """
+            SELECT doc_id, url, scheme, host, port, path, qstring, regdom
+            FROM parsed
+        """,
+        "url_domain_counts": _URL_CTE
+        + """
+            SELECT regdom, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_https
+            FROM parsed GROUP BY regdom
+        """,
+        "url_blocklist_kept": _URL_CTE
+        + """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM parsed
+            WHERE regdom IS NULL OR regdom NOT IN
+                  ('src11.ro', 'src24.co.uk', 'src30.com', 'src5.org',
+                   'src152.ro')
+            GROUP BY lang
+        """,
         "dedup_clusters": """
             WITH RECURSIVE s AS (
                 SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w

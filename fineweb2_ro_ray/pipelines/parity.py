@@ -3086,3 +3086,105 @@ def q_embedding_pca(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     model = fit_pca(ds, n_components=8)
     return pca_transform(ds, model)
+
+
+# --- URL family (FineWeb URL curation: parse / per-domain stats /
+# blocklist) — functions.url; zero shuffle except the thin count
+# exchange in q_url_domain_counts ---
+
+
+def _with_urls(sf_dir: str) -> ray.data.Dataset:
+    """documents + a deterministic derived url column (the test-table
+    stand-in for a real url field; construction mirrored in the SQL
+    oracle CTE — see functions.url.build_urls)."""
+    from ..functions.url import build_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def add(b: pa.Table) -> pa.Table:
+        return b.append_column("url", build_urls(b))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def q_url_parse(sf_dir: str):
+    """URL parse: scheme/host/port/path/query + registered domain via
+    one RE2 extract per batch (functions.url.parse_urls); the oracle
+    re-parses the same strings with independent per-field
+    regexp_extract expressions."""
+    from ..functions.url import parse_urls
+
+    def parse(b: pa.Table) -> pa.Table:
+        p = parse_urls(b["url"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "url": b["url"],
+                "scheme": p["scheme"],
+                "host": p["host"],
+                "port": p["port"],
+                "path": p["path"],
+                "qstring": p["qstring"],
+                "regdom": p["regdom"],
+            }
+        )
+
+    return _with_urls(sf_dir).map_batches(parse, batch_format="pyarrow")
+
+
+def q_url_domain_counts(sf_dir: str):
+    """Per-registered-domain doc count + https share (the per-domain
+    cap / TLD statistics shape): per-batch partial counts, one thin
+    (regdom) exchange sum — document rows never shuffle."""
+    from ..functions.url import parse_urls
+    from ..schema import from_pandas_like
+    from ..stages.exchange import hash_exchange_map_groups
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = parse_urls(b["url"])
+        df = pa.table(
+            {"regdom": p["regdom"], "https": pc.equal(p["scheme"], "https")}
+        ).to_pandas()
+        out = df.groupby("regdom", as_index=False, dropna=False).agg(
+            partial_n=("https", "size"), partial_https=("https", "sum")
+        )
+        out["partial_https"] = out["partial_https"].astype("int64")
+        return from_pandas_like(out, pa.table({"regdom": p["regdom"]}))
+
+    partials = _with_urls(sf_dir).map_batches(partial, batch_format="pyarrow")
+
+    def reduce_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("regdom", as_index=False, dropna=False)[
+            ["partial_n", "partial_https"]
+        ].sum()
+        return out.rename(
+            columns={"partial_n": "n_docs", "partial_https": "n_https"}
+        )
+
+    return hash_exchange_map_groups(partials, reduce_sum, key="regdom")
+
+
+_URL_BLOCKLIST = frozenset(
+    {"src11.ro", "src24.co.uk", "src30.com", "src5.org", "src152.ro"}
+)
+
+
+def q_url_blocklist_kept(sf_dir: str):
+    """Blocklist filter (the FineWeb adult/spam-domain gate): blocked
+    registered-domain set broadcast once via ray.put, per-batch is_in
+    keep-mask, per-lang kept counts. Null regdoms (unparseable URLs)
+    are KEPT — they fall through to the content rules."""
+    import ray as _ray
+
+    from ..functions.url import blocklist_mask, parse_urls
+    from ..stages.analysis import grouped_counts
+
+    blocked_ref = _ray.put(_URL_BLOCKLIST)
+
+    def keep(b: pa.Table) -> pa.Table:
+        blocked = _ray.get(blocked_ref)
+        p = parse_urls(b["url"])
+        return b.filter(blocklist_mask(p["regdom"], blocked))
+
+    kept = _with_urls(sf_dir).map_batches(keep, batch_format="pyarrow")
+    return grouped_counts(kept, ["lang"])

@@ -73,32 +73,39 @@ def main() -> None:
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
         return dedup_exact(docs, text_col="text", id_col="doc_id").count()
 
-    def run(fn, seg: bool) -> float:
+    def run(fn, mode: str) -> float:
+        # mode: "obj" (object store), "seg" (plain segments),
+        # "segm" (segments + forced push-merge consolidation)
         seg_dir = None
-        if seg:
+        if mode != "obj":
             seg_dir = tempfile.mkdtemp(prefix="fw2segab-", dir="/tmp")
             os.environ["FW2_EXCHANGE_SEGMENT_DIR"] = seg_dir
+            if mode == "segm":
+                os.environ["FW2_EXCHANGE_SEGMENT_MERGE"] = "1"
         try:
             t0 = time.perf_counter()
             n = fn()
             dt = time.perf_counter() - t0
         finally:
             os.environ.pop("FW2_EXCHANGE_SEGMENT_DIR", None)
+            os.environ.pop("FW2_EXCHANGE_SEGMENT_MERGE", None)
             if seg_dir:
                 shutil.rmtree(seg_dir, ignore_errors=True)
         out.setdefault("rows", {})[fn.__name__] = n
         return dt
 
     for fn in (flagship, dedup):
-        times = {"seg": [], "obj": []}
+        times: dict[str, list[float]] = {"seg": [], "obj": [], "segm": []}
         for _ in range(2):  # interleaved min-of-2
-            times["seg"].append(run(fn, True))
-            times["obj"].append(run(fn, False))
+            for mode in ("seg", "obj", "segm"):
+                times[mode].append(run(fn, mode))
         out[fn.__name__] = {
             "seg_s": round(min(times["seg"]), 2),
             "obj_s": round(min(times["obj"]), 2),
+            "segmerge_s": round(min(times["segm"]), 2),
             "seg_runs": [round(t, 2) for t in times["seg"]],
             "obj_runs": [round(t, 2) for t in times["obj"]],
+            "segmerge_runs": [round(t, 2) for t in times["segm"]],
         }
     out["probe_page_ms_end"] = probe_ms()
     ray.shutdown()

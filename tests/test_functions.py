@@ -284,3 +284,42 @@ def test_bpe_batch_stage_matches_scalar():
             .sort_values("doc_id")
         )
         assert out["n_bpe_tokens"].tolist() == expected, bs
+
+
+def test_url_parse_edges():
+    """URL parser: absent port/query, multi-label public suffix,
+    unknown TLD (no regdom), and fully unparseable rows (all-null)."""
+    import pyarrow as pa
+
+    from fineweb2_ro_ray.functions.url import blocklist_mask, parse_urls
+
+    t = parse_urls(
+        pa.array(
+            [
+                "https://www.a-b.src3.co.uk:8443/x/y?q=1&r=2",
+                "http://plain.com/",
+                "https://noport.src.ro",
+                "https://host.weirdtld/x",
+                "not a url",
+                None,
+            ]
+        )
+    )
+    assert t["scheme"].to_pylist() == ["https", "http", "https", "https", None, None]
+    assert t["host"].to_pylist() == [
+        "www.a-b.src3.co.uk", "plain.com", "noport.src.ro",
+        "host.weirdtld", None, None,
+    ]
+    # absent port -> 0 (non-null int64 column, unparseable rows included)
+    assert t["port"].to_pylist() == [8443, 0, 0, 0, 0, 0]
+    assert t["path"].to_pylist() == ["/x/y", "/", None, "/x", None, None]
+    assert t["qstring"].to_pylist() == ["q=1&r=2", None, None, None, None, None]
+    # registered domain: label left of the LONGEST matching suffix;
+    # unknown TLD and unparseable rows -> null
+    assert t["regdom"].to_pylist() == [
+        "src3.co.uk", "plain.com", "src.ro", None, None, None,
+    ]
+
+    # blocklist: hit dropped, miss kept, null regdom KEPT
+    mask = blocklist_mask(t["regdom"], frozenset({"src3.co.uk"}))
+    assert mask.to_pylist() == [False, True, True, True, True, True]
