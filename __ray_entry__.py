@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": P.q_url_parse,
         "url_domain_counts": P.q_url_domain_counts,
         "url_blocklist_kept": P.q_url_blocklist_kept,
+        # round-4: fixed-length training-example packing (stages.export)
+        # — word instantiation is oracle-exact end to end
+        "doc_pack_examples": P.q_doc_pack_examples,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "kmeans_fit": P.q_kmeans_fit,
@@ -349,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_distill": P.q_train_distill,
         "doc_lm_ppl": P.q_doc_lm_ppl,
         "doc_lm_ppl_artifact": P.q_doc_lm_ppl_artifact,
+        "tokenized_examples": P.q_tokenized_examples,
     }
 
 
@@ -486,6 +490,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_https
             FROM parsed GROUP BY regdom
+        """,
+        "doc_pack_examples": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents WHERE text IS NOT NULL
+            ), ord AS (
+                SELECT w,
+                       row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos
+                FROM w
+            )
+            SELECT gpos // 32 AS example_id,
+                   string_agg(w, ' ' ORDER BY gpos) AS text
+            FROM ord GROUP BY gpos // 32 HAVING count(*) = 32
         """,
         "url_blocklist_kept": _URL_CTE
         + """

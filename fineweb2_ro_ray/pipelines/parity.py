@@ -3188,3 +3188,80 @@ def q_url_blocklist_kept(sf_dir: str):
 
     kept = _with_urls(sf_dir).map_batches(keep, batch_format="pyarrow")
     return grouped_counts(kept, ["lang"])
+
+
+# --- fixed-length training-example packing (stages.export) ---
+
+
+def q_doc_pack_examples(sf_dir: str):
+    """Concat-and-chunk packing, WORD instantiation (tokens = the
+    single-space split, no separator) so the full fragment/assembly
+    machinery — distributed scan, exchange join, fragment cut,
+    example-ordered reassembly — is SQL-checkable end to end: the
+    oracle rebuilds every complete 32-word window of the global
+    doc_id-ordered word stream with one ROW_NUMBER + string_agg.
+    Output (example_id, text); the BPE instantiation of the same
+    operator is q_tokenized_examples (rows-only, pytest-pinned)."""
+    from ..stages.export import pack_token_examples
+    from ..stages.packing import pack_spans
+
+    L = 32
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_words(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        words = pc.split_pattern(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pattern=" ",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ids": words,
+                "n_tok": pc.list_value_length(words).cast(pa.int64()),
+            }
+        )
+
+    tok = ds.map_batches(tok_words, batch_format="pyarrow")
+    thin = ds.map_batches(
+        lambda b: tok_words(b).select(["doc_id", "n_tok"]),
+        batch_format="pyarrow",
+    )
+    spans = pack_spans(thin, budget=L, id_col="doc_id", n_col="n_tok")
+    spans_thin = spans.map_batches(
+        lambda b: b.select(["doc_id", "tok_start"]), batch_format="pyarrow"
+    )
+    examples = pack_token_examples(
+        tok.map_batches(
+            lambda b: b.select(["doc_id", "ids"]), batch_format="pyarrow"
+        ),
+        spans_thin,
+        seq_len=L,
+    )
+
+    def flatten(b: pa.Table) -> pa.Table:
+        ids = b["input_ids"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "example_id": b["example_id"],
+                "text": pc.binary_join(ids, " "),
+            }
+        )
+
+    return examples.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_tokenized_examples(sf_dir: str):
+    """BPE instantiation of the packing operator: the dataloader
+    hand-off (mini-BPE ids + per-doc separator, fixed 64-token
+    examples). Distributed output is pinned bit-exact to the
+    sequential reference tokenizer in tests/test_export.py; no SQL
+    analog (BPE merges aren't SQL-expressible)."""
+    from ..stages.export import export_bpe_examples
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return export_bpe_examples(ds, seq_len=64)
