@@ -3265,3 +3265,29 @@ def q_tokenized_examples(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return export_bpe_examples(ds, seq_len=64)
+
+
+def q_pagerank_suppliers(sf_dir: str):
+    """Iterative graph operator: 3 rounds of integer fixed-point
+    PageRank (stages.pagerank — per round one thin rank→edge exchange
+    join + one thin dst-keyed sum) over the undirected supplier↔part
+    shipment graph (part ids offset into a disjoint range). The floored
+    integer recurrence is bit-deterministic under any execution order,
+    so the DuckDB oracle (unrolled-CTE iterations, BIGINT //) is
+    value-exact."""
+    from ..stages.pagerank import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def edges_both(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].combine_chunks().cast(pa.int64())
+        p = pc.add(b["l_partkey"].combine_chunks().cast(pa.int64()), 1000000)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s, p]),
+                "dst": pa.concat_arrays([p, s]),
+            }
+        )
+
+    e = li.map_batches(edges_both, batch_format="pyarrow")
+    return pagerank(e, n_iters=3)
