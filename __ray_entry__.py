@@ -216,7 +216,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_revenue": P.q_orders_top_revenue,
         "word_heavy_hitters": P.q_word_heavy_hitters,
         "label_centroid_sums": P.q_label_centroid_sums,
-        "events_percent_rank": P.q_events_percent_rank,
+        # window slot (round 4, late): pagerank_suppliers — the
+        # iterative-graph shape (K dependent rounds of exchange join +
+        # keyed sum over a materialized invariant edge set), which
+        # nothing else in the window exercises; events_percent_rank
+        # (fifth member of the window-function family here) demoted
+        # below, still value-exact via scripts/check_oracle.py + pytest
+        "pagerank_suppliers": P.q_pagerank_suppliers,
         "customer_order_counts": P.q_customer_order_counts,
         "lang_source_rollup": P.q_lang_source_rollup,
         # window slot (round 4, late): contamination_ngram — Pile-style
@@ -244,7 +250,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covers); user_first_last (FIRST/LAST_VALUE combiner, shape-
         # adjacent to the rolling/rank/retention family) demoted below,
         # still pinned by scripts/check_oracle.py + pytest
-        "doc_pack_spans": P.q_doc_pack_spans,
+        # window slot (round 4, late): doc_pack_examples — the FULL
+        # packing machinery (Blelloch scan + exchange join + fragment
+        # cut + example-ordered reassembly), a strict superset of
+        # doc_pack_spans' offsets-only shape; doc_pack_spans demoted
+        # below, still value-exact via scripts/check_oracle.py + pytest
+        "doc_pack_examples": P.q_doc_pack_examples,
         "doc_word_repetition": P.q_doc_word_repetition,
         "userday_click_purchase": P.q_userday_click_purchase,
         "dedup_incremental": P.q_dedup_incremental,
@@ -316,12 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": P.q_url_parse,
         "url_domain_counts": P.q_url_domain_counts,
         "url_blocklist_kept": P.q_url_blocklist_kept,
-        # round-4: fixed-length training-example packing (stages.export)
-        # — word instantiation is oracle-exact end to end
-        "doc_pack_examples": P.q_doc_pack_examples,
-        # round-4: iterative graph (integer fixed-point PageRank,
-        # bit-deterministic -> oracle-exact vs unrolled-CTE DuckDB)
-        "pagerank_suppliers": P.q_pagerank_suppliers,
+        # round-4 late window rotation: demoted but still oracle-exact
+        "doc_pack_spans": P.q_doc_pack_spans,
+        "events_percent_rank": P.q_events_percent_rank,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
         "kmeans_fit": P.q_kmeans_fit,
