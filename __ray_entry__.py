@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": P.q_url_parse,
         "url_domain_counts": P.q_url_domain_counts,
         "url_blocklist_kept": P.q_url_blocklist_kept,
+        # round-4 late: corpus-versioning snapshot diff (thin
+        # fingerprint exchange; oracle FULL OUTER JOIN compares text)
+        "snapshot_diff": P.q_snapshot_diff,
         # round-4 late window rotation: demoted but still oracle-exact
         "doc_pack_spans": P.q_doc_pack_spans,
         "events_percent_rank": P.q_events_percent_rank,
@@ -494,6 +497,22 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT doc_id, url, scheme, host, port, path, qstring, regdom
             FROM parsed
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+            ), new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         "url_domain_counts": _URL_CTE
         + """

@@ -3291,3 +3291,42 @@ def q_pagerank_suppliers(sf_dir: str):
 
     e = li.map_batches(edges_both, batch_format="pyarrow")
     return pagerank(e, n_iters=3)
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Corpus-versioning operator (stages.versioning.snapshot_diff):
+    two deterministic snapshots are derived from the documents table
+    (old = doc_id % 7 != 0; new = doc_id % 5 != 0 with text amended
+    ' v2' when doc_id % 11 == 0 — construction mirrored in the oracle
+    CTE), then diffed by 64-bit content fingerprint over one thin
+    keyed exchange. Output (doc_id, status); the oracle's FULL OUTER
+    JOIN compares full text, so fingerprinting is value-checked."""
+    from ..stages.versioning import snapshot_diff
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ids_np(t: pa.Table):
+        return (
+            t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        )
+
+    def mk_old(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_ids_np(b) % 7 != 0))
+
+    def mk_new(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(_ids_np(b) % 5 != 0))
+        amended = pc.binary_join_element_wise(
+            t["text"].combine_chunks().cast(pa.string()),
+            pa.scalar(" v2"),
+            pa.scalar(""),
+        )
+        text = pc.if_else(
+            pa.array(_ids_np(t) % 11 == 0),
+            amended,
+            t["text"].combine_chunks(),
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    old = ds.map_batches(mk_old, batch_format="pyarrow")
+    new = ds.map_batches(mk_new, batch_format="pyarrow")
+    return snapshot_diff(old, new, key="doc_id", compare=["text"])

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from fineweb2_ro_ray.stages.versioning import content_fingerprint, snapshot_diff
+
+
+def _diff_df(old, new, **kw):
+    out = snapshot_diff(
+        rd.from_arrow(old), rd.from_arrow(new), key="doc_id", compare=["text"], **kw
+    )
+    return (
+        out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_snapshot_diff_statuses():
+    old = pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+    new = pa.table({"doc_id": [2, 3, 4, 5], "text": ["b", "X", "d", "e"]})
+    df = _diff_df(old, new, n_reducers=3)
+    assert list(df["doc_id"]) == [1, 2, 3, 4, 5]
+    assert list(df["status"]) == [
+        "removed",
+        "unchanged",
+        "changed",
+        "unchanged",
+        "added",
+    ]
+
+
+def test_snapshot_diff_exclude_unchanged_and_nulls():
+    # null text on both sides is "unchanged" (null fingerprints equal);
+    # null vs value is "changed"
+    old = pa.table({"doc_id": [1, 2, 3], "text": [None, None, "x"]})
+    new = pa.table({"doc_id": [1, 2, 3], "text": [None, "v", "x"]})
+    df = _diff_df(old, new, include_unchanged=False)
+    assert list(df["doc_id"]) == [2]
+    assert list(df["status"]) == ["changed"]
+
+
+def test_snapshot_diff_multi_column_compare_order_sensitive():
+    # the fingerprint fold is order-sensitive across compare columns:
+    # swapped values in (a, b) must register as changed
+    old = rd.from_arrow(
+        pa.table({"k": [1, 2], "a": ["x", "p"], "b": ["y", "q"]})
+    )
+    new = rd.from_arrow(
+        pa.table({"k": [1, 2], "a": ["y", "p"], "b": ["x", "q"]})
+    )
+    df = (
+        snapshot_diff(old, new, key="k", compare=["a", "b"])
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(df["status"]) == ["changed", "unchanged"]
+
+
+def test_content_fingerprint_dtype_canonical():
+    # int32 vs int64 physical representation must fingerprint equal
+    t32 = pa.table({"v": pa.array([1, 2, 3], pa.int32())})
+    t64 = pa.table({"v": pa.array([1, 2, 3], pa.int64())})
+    assert np.array_equal(
+        content_fingerprint(t32, ["v"]), content_fingerprint(t64, ["v"])
+    )
+    # and distinct values must (overwhelmingly) differ
+    ta = pa.table({"v": pa.array(np.arange(1000))})
+    fps = content_fingerprint(ta, ["v"])
+    assert len(np.unique(fps)) == 1000
