@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 late: corpus-versioning snapshot diff (thin
         # fingerprint exchange; oracle FULL OUTER JOIN compares text)
         "snapshot_diff": P.q_snapshot_diff,
+        # round-4 late: per-word chi-square drift between corpus slices
+        "word_drift_chi2": P.q_word_drift_chi2,
         # round-4 late window rotation: demoted but still oracle-exact
         "doc_pack_spans": P.q_doc_pack_spans,
         "events_percent_rank": P.q_events_percent_rank,
@@ -513,6 +515,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.text = n.text THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        "word_drift_chi2": """
+            WITH w AS (
+                SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), c AS (
+                SELECT word,
+                       CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cnt_a,
+                       CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cnt_b
+                FROM w GROUP BY word
+            ), t AS (
+                SELECT CAST(sum(cnt_a) AS DOUBLE) AS ta,
+                       CAST(sum(cnt_b) AS DOUBLE) AS tb
+                FROM c
+            ), f AS (
+                SELECT word, cnt_a, cnt_b, ta, tb,
+                       CAST(cnt_a AS DOUBLE) AS o11,
+                       CAST(cnt_b AS DOUBLE) AS o12,
+                       ta - CAST(cnt_a AS DOUBLE) AS o21,
+                       tb - CAST(cnt_b AS DOUBLE) AS o22
+                FROM c, t
+            ), g AS (
+                SELECT word, cnt_a, cnt_b, ta, tb,
+                       (o11 * o22 - o12 * o21) AS d,
+                       (o11 + o12) AS r1, (o21 + o22) AS r2
+                FROM f
+            )
+            SELECT word, cnt_a, cnt_b,
+                   ((ta + tb) * d * d) / (r1 * r2 * ta * tb) AS chi2
+            FROM g
+            ORDER BY chi2 DESC, word
+            LIMIT 200
         """,
         "url_domain_counts": _URL_CTE
         + """

@@ -3330,3 +3330,27 @@ def q_snapshot_diff(sf_dir: str):
     old = ds.map_batches(mk_old, batch_format="pyarrow")
     new = ds.map_batches(mk_new, batch_format="pyarrow")
     return snapshot_diff(old, new, key="doc_id", compare=["text"])
+
+
+def q_word_drift_chi2(sf_dir: str):
+    """Distribution-drift operator (stages.drift.word_drift_chi2):
+    per-word 2x2 chi-square between the English slice (side 0) and the
+    rest of the corpus, top-200 by (chi2 DESC, word ASC). Counts are
+    exact int64; chi2 is a fixed-order IEEE expression over them, so
+    the DuckDB oracle evaluating the same expression is value-exact."""
+    from ..stages.drift import word_drift_chi2
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def add_side(b: pa.Table) -> pa.Table:
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        side = pc.if_else(
+            pc.equal(lang, "en"), pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())
+        )
+        return pa.table({"text": b["text"], "side": side})
+
+    return word_drift_chi2(
+        ds.map_batches(add_side, batch_format="pyarrow"), top_k=200
+    )
