@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": P.q_snapshot_diff,
         # round-4 late: per-word chi-square drift between corpus slices
         "word_drift_chi2": P.q_word_drift_chi2,
+        # round-4 late: per-domain quota cap (C4-style max-k-per-host)
+        "url_domain_cap": P.q_url_domain_cap,
         # round-4 late window rotation: demoted but still oracle-exact
         "doc_pack_spans": P.q_doc_pack_spans,
         "events_percent_rank": P.q_events_percent_rank,
@@ -515,6 +517,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.text = n.text THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        "url_domain_cap": _URL_CTE
+        + """
+            SELECT doc_id, regdom
+            FROM parsed
+            QUALIFY row_number()
+                OVER (PARTITION BY regdom ORDER BY doc_id) <= 3
         """,
         "word_drift_chi2": """
             WITH w AS (

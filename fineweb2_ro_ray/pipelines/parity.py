@@ -3354,3 +3354,19 @@ def q_word_drift_chi2(sf_dir: str):
     return word_drift_chi2(
         ds.map_batches(add_side, batch_format="pyarrow"), top_k=200
     )
+
+
+def q_url_domain_cap(sf_dir: str):
+    """Per-domain quota (stages.mixing.cap_per_key — C4/FineWeb "at
+    most k pages per host"): keep the 3 lowest-doc_id documents per
+    registered domain. Thin (doc_id, regdom) rows ride one keyed
+    exchange; the oracle is the same cap via QUALIFY row_number()."""
+    from ..functions.url import parse_urls
+    from ..stages.mixing import cap_per_key
+
+    def thin(b: pa.Table) -> pa.Table:
+        p = parse_urls(b["url"])
+        return pa.table({"doc_id": b["doc_id"], "regdom": p["regdom"]})
+
+    ds = _with_urls(sf_dir).map_batches(thin, batch_format="pyarrow")
+    return cap_per_key(ds, "regdom", ["doc_id"], 3)

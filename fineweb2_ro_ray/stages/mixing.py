@@ -153,3 +153,34 @@ def upsample_by_key(
         return out.append_column(copy_col, pa.array(copy_idx, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cap_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: list[str],
+    k: int,
+) -> ray.data.Dataset:
+    """Per-key document QUOTA (the C4/FineWeb "at most k pages per
+    host" rule, and the general per-domain cap of mixture control):
+    keep the first ``k`` rows of every ``key`` group under the
+    deterministic ``order_by`` ascending order, dropping the rest.
+
+    One keyed hash exchange co-locates each key's rows; the
+    per-partition kernel is a vectorized sort + groupby head. Rows ride
+    the exchange whole (the output IS the surviving rows), so unlike
+    the thin-count exchanges this one moves payloads — callers capping
+    wide rows at scale should project to (key, order, row-id) first and
+    semi-join the survivors back, the same pattern as
+    stages.dedup.exact_dedup. Null keys form one group (capped like any
+    other)."""
+    from .exchange import hash_exchange_map_groups
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([key] + order_by, kind="mergesort")
+            .groupby(key, dropna=False)
+            .head(k)
+        )
+
+    return hash_exchange_map_groups(ds, per_part, key=key)

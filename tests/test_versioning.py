@@ -69,3 +69,24 @@ def test_content_fingerprint_dtype_canonical():
     ta = pa.table({"v": pa.array(np.arange(1000))})
     fps = content_fingerprint(ta, ["v"])
     assert len(np.unique(fps)) == 1000
+
+
+def test_cap_per_key_quota_and_null_group():
+    from fineweb2_ro_ray.stages.mixing import cap_per_key
+
+    t = pa.table(
+        {
+            "dom": ["a", "a", "a", "b", None, None, None, "b"],
+            "id": [5, 1, 3, 9, 4, 2, 6, 7],
+        }
+    )
+    out = (
+        cap_per_key(rd.from_arrow(t), "dom", ["id"], 2)
+        .to_pandas()
+        .sort_values(["dom", "id"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert [
+        (d if isinstance(d, str) else None, i)
+        for d, i in zip(out["dom"], out["id"])
+    ] == [("a", 1), ("a", 3), ("b", 7), ("b", 9), (None, 2), (None, 4)]
