@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_drift_chi2": P.q_word_drift_chi2,
         # round-4 late: per-domain quota cap (C4-style max-k-per-host)
         "url_domain_cap": P.q_url_domain_cap,
+        # round-4 late: HTML → text extraction (the web-corpus step
+        # upstream of the reference; fixed RE2 chain mirrored in the
+        # oracle)
+        "html_extract": P.q_html_extract,
         # round-4 late window rotation: demoted but still oracle-exact
         "doc_pack_spans": P.q_doc_pack_spans,
         "events_percent_rank": P.q_events_percent_rank,
@@ -517,6 +521,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.text = n.text THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        # the derived-html CTE mirrors functions.html.build_html; the
+        # extraction re-runs the engine's exact RE2 chain (block strips
+        # -> tag strip -> entity decode with &amp; last -> whitespace
+        # collapse -> trim) as DuckDB regexp_replace/replace — both
+        # engines are RE2, so the chain is value-exact
+        "html_extract": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                       || '</title><style>p { color: #333; }</style></head>'
+                       || '<body><script>if (1 < 2) { var q = "</p>"; }</script>'
+                       || '<h1>' || lang || ' &amp; ' || source
+                       || '</h1><!-- crawl ' || CAST(doc_id AS VARCHAR)
+                       || ' --><p>' || text
+                       || '</p><div class="f">&lt;tag&gt;&nbsp;&quot;q&quot; &#39;a&#39;</div>'
+                       || '</body></html>' AS html
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(regexp_replace(regexp_replace(
+                                   regexp_replace(html,
+                                       '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                                   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                                   '(?s)<!--.*?-->', ' ', 'g'),
+                                   '<[^>]*>', ' ', 'g'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                           '[ \t\r\n]+', ' ', 'g'), ' ') AS text_clean
+                FROM h
+            )
+            SELECT doc_id, title, text_clean,
+                   CAST(length(text_clean) AS BIGINT) AS n_clean
+            FROM e
         """,
         "url_domain_cap": _URL_CTE
         + """

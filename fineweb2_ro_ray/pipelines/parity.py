@@ -3370,3 +3370,21 @@ def q_url_domain_cap(sf_dir: str):
 
     ds = _with_urls(sf_dir).map_batches(thin, batch_format="pyarrow")
     return cap_per_key(ds, "regdom", ["doc_id"], 3)
+
+
+def q_html_extract(sf_dir: str):
+    """HTML → text extraction (functions.html — the web-corpus step
+    UPSTREAM of the reference, FineWeb arXiv:2406.17557 §3.1): strip
+    script/style/comment blocks, drop tags, decode entities, collapse
+    whitespace — one fused zero-shuffle map_batches pass of vectorized
+    RE2 kernels. The html column is derived (tables carry none);
+    construction is mirrored in the oracle CTE and the extraction chain
+    is re-run by the oracle as the identical regexp_replace sequence."""
+    from ..functions.html import build_html, extract_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return extract_docs(b.append_column("html", build_html(b)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -323,3 +323,66 @@ def test_url_parse_edges():
     # blocklist: hit dropped, miss kept, null regdom KEPT
     mask = blocklist_mask(t["regdom"], frozenset({"src3.co.uk"}))
     assert mask.to_pylist() == [False, True, True, True, True, True]
+
+
+def test_html_extract_rules():
+    """Each extraction rule against Python's own html.unescape +
+    hand-computed expectations: block strips (script body containing
+    quotes and a fake close tag), comment strip, tag strip, entity
+    decode order (&amp; last), whitespace collapse + trim, NULLs."""
+    from fineweb2_ro_ray.functions.html import (
+        extract_text,
+        extract_title,
+    )
+
+    html = pa.array(
+        [
+            "<p>a  b</p>",
+            "<script>var q = '</p>'; if (1<2) {}</script>rest",
+            "<style>p { x: 1; }</style>kept",
+            "pre<!-- hidden\nlines -->post",
+            "&amp;lt; stays &lt;literal&gt;",
+            "  \t\n x \r ",
+            None,
+            "<div class='a' data-x='1>'>deep <b>bold</b></div>",
+            "a&nbsp;b",
+        ]
+    )
+    got = extract_text(html).to_pylist()
+    assert got == [
+        "a b",
+        "rest",
+        "kept",
+        "pre post",
+        "&lt; stays <literal>",
+        "x",
+        None,
+        # RE2 <[^>]*> stops at the FIRST '>' (inside data-x) — the
+        # documented literal-regex contract, same on the oracle side
+        "'>deep bold",
+        "a b",
+    ]
+    t = extract_title(
+        pa.array(["<html><title>T1</title></html>", "<html>no title</html>", None])
+    ).to_pylist()
+    assert t == ["T1", None, None]
+
+
+def test_html_build_roundtrip_multibyte():
+    """Derived html → extraction recovers the body text (with the
+    template's fixed prefix/suffix), incl. multibyte Romanian text and
+    tab/newline collapse."""
+    from fineweb2_ro_ray.functions.html import build_html, extract_docs
+
+    b = pa.table(
+        {
+            "doc_id": [7],
+            "lang": ["ro"],
+            "source": ["cc"],
+            "text": ["ară\tși\n\nmănâncă"],
+        }
+    )
+    out = extract_docs(b.append_column("html", build_html(b))).to_pylist()[0]
+    assert out["title"] == "doc 7"
+    assert out["text_clean"] == "doc 7 ro & cc ară și mănâncă <tag> \"q\" 'a'"
+    assert out["n_clean"] == len(out["text_clean"])
