@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # upstream of the reference; fixed RE2 chain mirrored in the
         # oracle)
         "html_extract": P.q_html_extract,
+        # round-4 late: partitioned inverted-index artifact +
+        # file-pruned term lookup (the repeated-probe IR artifact)
+        "index_lookup": P.q_index_lookup,
         # round-4 late window rotation: demoted but still oracle-exact
         "doc_pack_spans": P.q_doc_pack_spans,
         "events_percent_rank": P.q_events_percent_rank,
@@ -558,6 +561,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, title, text_clean,
                    CAST(length(text_clean) AS BIGINT) AS n_clean
             FROM e
+        """,
+        "index_lookup": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM tok
+            WHERE term IN ('window', 'join', 'scan')
+            GROUP BY term, doc_id
         """,
         "url_domain_cap": _URL_CTE
         + """

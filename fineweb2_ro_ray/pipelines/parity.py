@@ -3388,3 +3388,19 @@ def q_html_extract(sf_dir: str):
         return extract_docs(b.append_column("html", build_html(b)))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_index_lookup(sf_dir: str):
+    """Inverted-index build + file-pruned term lookup
+    (stages.invindex): postings persisted once as a hash-partitioned
+    Parquet artifact, then three probe terms answered by reading only
+    the partitions they hash into. The oracle recomputes the same
+    postings from the raw table."""
+    import hashlib
+
+    from ..stages.invindex import build_inverted_index, lookup_terms
+
+    path = "/tmp/fw2_invindex_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    build_inverted_index(ds, path, n_parts=16)
+    return lookup_terms(path, ["window", "join", "scan"])

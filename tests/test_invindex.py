@@ -1,0 +1,100 @@
+"""Inverted-index artifact: build/lookup round-trip vs a DuckDB
+recount, rebuild staleness, partition pruning evidence."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from fineweb2_ro_ray.stages.invindex import (
+    build_inverted_index,
+    index_scan_fraction,
+    lookup_terms,
+    postings_partials,
+)
+
+
+def _corpus() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "ana are mere",
+                "are  are mere",  # double space -> empty token
+                None,
+                "mere",
+                "ana ana ana",
+            ],
+        }
+    )
+
+
+def _oracle(tbl: pa.Table, terms: list[str]):
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    ph = ", ".join("?" for _ in terms)
+    return con.execute(
+        f"""
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs)
+        WHERE term IN ({ph})
+        GROUP BY term, doc_id ORDER BY term, doc_id
+        """,
+        terms,
+    ).fetch_arrow_table()
+
+
+def test_build_lookup_matches_duckdb(tmp_path):
+    tbl = _corpus()
+    path = str(tmp_path / "idx")
+    meta = build_inverted_index(ray.data.from_arrow(tbl), path, n_parts=8)
+    # every distinct term, incl. the empty token
+    terms = sorted(
+        {w for t in tbl["text"].to_pylist() if t is not None for w in t.split(" ")}
+    )
+    got = lookup_terms(path, terms)
+    want = _oracle(tbl, terms)
+    assert got.to_pylist() == want.to_pylist()
+    assert meta["n_postings"] == want.num_rows
+    # absent term: empty, schema intact
+    miss = lookup_terms(path, ["nope"])
+    assert miss.num_rows == 0 and miss.schema.names == ["term", "doc_id", "tf"]
+
+
+def test_rebuild_clears_stale_partitions(tmp_path):
+    path = str(tmp_path / "idx")
+    build_inverted_index(ray.data.from_arrow(_corpus()), path, n_parts=8)
+    # rebuild over a corpus WITHOUT 'mere'; a stale partition file must
+    # not resurrect the old postings
+    small = pa.table({"doc_id": [9], "text": ["ana"]})
+    build_inverted_index(ray.data.from_arrow(small), path, n_parts=8)
+    assert lookup_terms(path, ["mere"]).num_rows == 0
+    assert lookup_terms(path, ["ana"]).to_pylist() == [
+        {"term": "ana", "doc_id": 9, "tf": 1}
+    ]
+
+
+def test_partition_pruning(tmp_path):
+    path = str(tmp_path / "idx")
+    build_inverted_index(ray.data.from_arrow(_corpus()), path, n_parts=16)
+    frac = index_scan_fraction(path, ["ana"])
+    assert frac == 1 / 16
+    # ≤ one file per probe term
+    assert index_scan_fraction(path, ["ana", "are", "mere"]) <= 3 / 16
+    assert len(glob.glob(os.path.join(path, "part=*", "*.parquet"))) <= 16
+
+
+def test_postings_kernel_edges():
+    empty = postings_partials(pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert empty.num_rows == 0
+    nulls = postings_partials(pa.table({"doc_id": [1], "text": pa.array([None], pa.string())}))
+    assert nulls.num_rows == 0
+    one = postings_partials(pa.table({"doc_id": [7], "text": [""]}))
+    # "" splits to one empty token — a real term, matching string_split
+    assert one.to_pylist() == [{"term": "", "doc_id": 7, "tf": 1}]
