@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 late: partitioned inverted-index artifact +
         # file-pruned term lookup (the repeated-probe IR artifact)
         "index_lookup": P.q_index_lookup,
+        # round-4 late: per-group OLS regression from exact integer
+        # sufficient stats (grouped calibration shape)
+        "lang_regression": P.q_lang_regression,
         # round-4 late window rotation: demoted but still oracle-exact
         "doc_pack_spans": P.q_doc_pack_spans,
         "events_percent_rank": P.q_events_percent_rank,
@@ -561,6 +564,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, title, text_clean,
                    CAST(length(text_clean) AS BIGINT) AS n_clean
             FROM e
+        """,
+        # same closed form as the engine: every factor is ONE
+        # nearest-double rounding of an exact HUGEINT — bit-equal in a
+        # fixed IEEE expression order (the score_correlations pattern)
+        "lang_regression": """
+            WITH t AS (
+                SELECT lang,
+                       CAST(n_chars AS HUGEINT) AS x,
+                       CAST(len(string_split(text, ' ')) AS HUGEINT) AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), s AS (
+                SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy,
+                       sum(y * y) AS syy
+                FROM t GROUP BY lang
+            )
+            SELECT lang, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                        - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS intercept,
+                   (CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE))
+                       / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+                          * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)) AS r2
+            FROM s
         """,
         "index_lookup": """
             WITH tok AS (

@@ -3404,3 +3404,17 @@ def q_index_lookup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     build_inverted_index(ds, path, n_parts=16)
     return lookup_terms(path, ["window", "join", "scan"])
+
+
+def q_lang_regression(sf_dir: str):
+    """Per-language OLS of space-word count on character length
+    (grouped sufficient-stats regression, stages.analysis
+    .grouped_regression): thin 7-number partials per (batch, group),
+    exact integer driver fold, one fixed closed form — bit-equal to the
+    oracle's HUGEINT-sum expressions."""
+    from ..stages.analysis import grouped_regression
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars", "text"]).map_batches(
+        doc_stats, batch_format="pyarrow"
+    )
+    return grouped_regression(ds, "lang", "n_chars", "n_space_words")

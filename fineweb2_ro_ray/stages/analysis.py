@@ -814,3 +814,107 @@ def top_k(
     cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values([col, tiebreak], ascending=[not descending, True]).head(k)
     return cand.reset_index(drop=True)
+
+
+def grouped_regression(
+    ds: ray.data.Dataset, group_col: str, x_col: str, y_col: str
+) -> pd.DataFrame:
+    """Per-group OLS fit y ~ a + b·x over two INTEGER columns (the
+    reference's per-scale score-vs-length calibration shape,
+    ``small_model_inference/results.ipynb``; SQL ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` per group).
+
+    Scale shape: ONE map pass emits a THIN per-(batch, group) partial
+    ``(g, n, sx, sy, sxx, sxy, syy)`` — 7 numbers per group per batch,
+    rows never shuffle; the driver folds partials with PYTHON INTS
+    (arbitrary precision — Σx² cannot overflow at any corpus size) and
+    evaluates ONE fixed closed form per group, each factor a single
+    nearest-double rounding of an exact integer:
+
+        slope = (n·sxy − sx·sy) / (n·sxx − sx²)
+        intercept = (sy − slope·sx) / n          (float ops, this order)
+        r2 = (n·sxy − sx·sy)² / ((n·sxx − sx²)·(n·syy − sy²))
+
+    so the values are bit-equal to a SQL engine evaluating the same
+    expressions over HUGEINT sums. Degenerate groups (constant x or
+    constant y) yield NULL slope/intercept/r2, matching NULLIF(den, 0).
+    NULL x/y rows are dropped pairwise (SQL regr_* semantics)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b[x_col]), pc.is_valid(b[y_col])))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "sxx": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                    "syy": pa.array([], pa.int64()),
+                }
+            )
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        dic = g.dictionary_encode()
+        idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(dic.dictionary)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "g": dic.dictionary,
+                "n": pa.array(np.bincount(idx, minlength=k), pa.int64()),
+                "sx": pa.array(
+                    np.bincount(idx, weights=x, minlength=k).astype(np.int64)
+                ),
+                "sy": pa.array(
+                    np.bincount(idx, weights=y, minlength=k).astype(np.int64)
+                ),
+                "sxx": pa.array(
+                    np.bincount(idx, weights=x * x, minlength=k).astype(np.int64)
+                ),
+                "sxy": pa.array(
+                    np.bincount(idx, weights=x * y, minlength=k).astype(np.int64)
+                ),
+                "syy": pa.array(
+                    np.bincount(idx, weights=y * y, minlength=k).astype(np.int64)
+                ),
+            }
+        )
+
+    parts = (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    acc: dict[str, list[int]] = {}
+    for row in parts.itertuples(index=False):
+        a = acc.setdefault(row.g, [0, 0, 0, 0, 0, 0])
+        a[0] += int(row.n)
+        a[1] += int(row.sx)
+        a[2] += int(row.sy)
+        a[3] += int(row.sxx)
+        a[4] += int(row.sxy)
+        a[5] += int(row.syy)
+    out = []
+    for g in sorted(acc):
+        n, sx, sy, sxx, sxy, syy = acc[g]
+        num = n * sxy - sx * sy
+        dxx = n * sxx - sx * sx
+        dyy = n * syy - sy * sy
+        if dxx == 0:
+            slope = intercept = r2 = None
+        else:
+            slope = float(num) / float(dxx)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            r2 = (
+                None
+                if dyy == 0
+                else (float(num) * float(num)) / (float(dxx) * float(dyy))
+            )
+        out.append((g, n, slope, intercept, r2))
+    return pd.DataFrame(
+        out, columns=[group_col, "n", "slope", "intercept", "r2"]
+    ).astype({"n": "int64"})

@@ -98,3 +98,35 @@ def test_postings_kernel_edges():
     one = postings_partials(pa.table({"doc_id": [7], "text": [""]}))
     # "" splits to one empty token — a real term, matching string_split
     assert one.to_pylist() == [{"term": "", "doc_id": 7, "tf": 1}]
+
+
+def test_grouped_regression_edges():
+    """Degenerate groups → NULLs; numpy closed-form parity; result
+    invariant to batch layout (exact integer fold)."""
+    import numpy as np
+
+    from fineweb2_ro_ray.stages.analysis import grouped_regression
+
+    tbl = pa.table(
+        {
+            "g": ["a"] * 4 + ["const_x"] * 3 + ["const_y"] * 3 + ["n1"],
+            "x": [1, 2, 3, 4, 5, 5, 5, 1, 2, 3, 9],
+            "y": [2, 4, 7, 8, 1, 2, 3, 6, 6, 6, 9],
+        }
+    )
+    for nblocks in (1, 4):
+        df = grouped_regression(
+            ray.data.from_arrow(tbl).repartition(nblocks), "g", "x", "y"
+        )
+        row = df[df.g == "a"].iloc[0]
+        sl, ic = np.polyfit([1, 2, 3, 4], [2, 4, 7, 8], 1)
+        assert abs(row.slope - sl) < 1e-12 and abs(row.intercept - ic) < 1e-12
+        r = np.corrcoef([1, 2, 3, 4], [2, 4, 7, 8])[0, 1]
+        assert abs(row.r2 - r * r) < 1e-12
+        cx = df[df.g == "const_x"].iloc[0]
+        assert cx.slope is None or np.isnan(cx.slope)
+        cy = df[df.g == "const_y"].iloc[0]  # flat line: slope 0, r2 NULL
+        assert cy.slope == 0.0 and (cy.r2 is None or np.isnan(cy.r2))
+        n1 = df[df.g == "n1"].iloc[0]  # single point: dxx = 0
+        assert n1.slope is None or np.isnan(n1.slope)
+        assert list(df.g) == sorted(df.g)
