@@ -380,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_distill": P.q_train_distill,
         "doc_lm_ppl": P.q_doc_lm_ppl,
         "doc_lm_ppl_artifact": P.q_doc_lm_ppl_artifact,
+        # rows-only: zlib cannot run in SQL; values pytest-pinned
+        "doc_compress_ratio": P.q_doc_compress_ratio,
         "tokenized_examples": P.q_tokenized_examples,
     }
 

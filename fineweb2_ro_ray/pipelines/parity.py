@@ -3418,3 +3418,14 @@ def q_lang_regression(sf_dir: str):
         doc_stats, batch_format="pyarrow"
     )
     return grouped_regression(ds, "lang", "n_chars", "n_space_words")
+
+
+def q_doc_compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (functions.compressq):
+    zlib-DEFLATE bytes per raw utf-8 byte, one zero-shuffle pass.
+    Rows-only in the gate (SQL cannot zlib); values pinned by pytest
+    against direct zlib calls."""
+    from ..functions.compressq import compress_ratio_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(compress_ratio_batch, batch_format="pyarrow")

@@ -7,6 +7,7 @@ import glob
 import os
 
 import duckdb
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -130,3 +131,49 @@ def test_grouped_regression_edges():
         n1 = df[df.g == "n1"].iloc[0]  # single point: dxx = 0
         assert n1.slope is None or np.isnan(n1.slope)
         assert list(df.g) == sorted(df.g)
+
+
+def test_compress_ratio_pins_zlib():
+    """Values equal direct zlib; repetitive < natural < random ratio
+    ordering; null/empty handling; batch-layout invariance."""
+    import zlib
+
+    from fineweb2_ro_ray.functions.compressq import (
+        compress_ratio_batch,
+        repetitive_mask,
+    )
+
+    rng = np.random.default_rng(3)
+    rand = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 4000))
+    rep = "spam " * 800
+    nat = ("the quick brown fox jumps over the lazy dog and keeps going " * 60)
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [rep, nat, rand, None, ""],
+        }
+    )
+    out = compress_ratio_batch(tbl).to_pylist()
+    for row, s in zip(out, tbl["text"].to_pylist()):
+        if s:
+            assert row["raw_bytes"] == len(s.encode())
+            assert row["comp_bytes"] == len(zlib.compress(s.encode(), 6))
+            assert row["compress_ratio"] == row["comp_bytes"] / row["raw_bytes"]
+    assert out[0]["compress_ratio"] < out[1]["compress_ratio"] < out[2]["compress_ratio"]
+    assert out[3]["raw_bytes"] is None and out[3]["compress_ratio"] is None
+    assert out[4]["raw_bytes"] == 0 and out[4]["compress_ratio"] is None
+    thr = (out[0]["compress_ratio"] + out[1]["compress_ratio"]) / 2
+    mask = repetitive_mask(
+        pa.table({"r": [r["compress_ratio"] for r in out]})["r"].combine_chunks(),
+        min_ratio=thr,
+    ).to_pylist()
+    assert mask == [False, True, True, False, False]
+    # ray path, split blocks
+    got = (
+        ray.data.from_arrow(tbl)
+        .repartition(3)
+        .map_batches(compress_ratio_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got.comp_bytes.tolist()[:3] == [r["comp_bytes"] for r in out[:3]]
