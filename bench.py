@@ -170,6 +170,10 @@ def run_bench() -> dict:
         # over events, and distributed BPE training over documents
         ("events_global_rank", P.q_events_global_rank),
         ("bpe_train", P.q_bpe_train),
+        # round-4 continuation 5: HTML extraction chain and the
+        # inverted-index build + pruned lookup over documents
+        ("html_extract", P.q_html_extract),
+        ("index_lookup", P.q_index_lookup),
         # round-3 continuation: cross-snapshot dedup at transcript scale
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
         # round-3 continuation: duplicate-span removal at transcript scale
