@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_drift_chi2": P.q_word_drift_chi2,
         # round-4 late: per-domain quota cap (C4-style max-k-per-host)
         "url_domain_cap": P.q_url_domain_cap,
+        # round-4 continuation-5: link-graph extraction family
+        # (all-matches href extraction + per-host inlink counts)
+        "html_links": P.q_html_links,
+        "link_hosts": P.q_link_hosts,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -487,6 +491,34 @@ _TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # regexp_extract here vs one combined RE2 extract there), so the
 # oracle checks the parser, not the builder. Suffix alternation order
 # matches functions.url.SUFFIXES (both sides are RE2: leftmost-first).
+# mirrors functions.html.build_html || build_nav (link queries)
+_LINKED_HTML_CTE = """
+    WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+               || '</title><style>p { color: #333; }</style></head>'
+               || '<body><script>if (1 < 2) { var q = "</p>"; }</script>'
+               || '<h1>' || lang || ' &amp; ' || source
+               || '</h1><!-- crawl ' || CAST(doc_id AS VARCHAR)
+               || ' --><p>' || text
+               || '</p><div class="f">&lt;tag&gt;&nbsp;&quot;q&quot; &#39;a&#39;</div>'
+               || '</body></html>'
+               || '<nav><a href="https://' || source || '.example.com/'
+               || lang || '/' || CAST(doc_id AS VARCHAR)
+               || '">next</a><a href="mailto:x@y">m</a>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<a href="http://ref.' || lang || '.org/p?id='
+                            || CAST(doc_id AS VARCHAR) || '">ref</a>'
+                       ELSE '<a href="broken' END
+               || '</nav>' AS html
+        FROM documents
+    ), links AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+        FROM h
+    )
+"""
+
 _URL_CTE = """
     WITH u AS (
         SELECT doc_id, lang, source,
@@ -613,6 +645,18 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
                           * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)) AS r2
             FROM s
+        """,
+        "html_links": _LINKED_HTML_CTE
+        + """
+            SELECT doc_id, href FROM links
+        """,
+        "link_hosts": _LINKED_HTML_CTE
+        + """
+            SELECT regexp_extract(href, '^[a-z]+://([^/]+)', 1) AS host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM links
+            WHERE regexp_matches(href, '^[a-z]+://')
+            GROUP BY 1
         """,
         "index_lookup": """
             WITH tok AS (

@@ -128,3 +128,86 @@ def extract_docs(b: pa.Table, html_col: str = "html") -> pa.Table:
             "n_clean": pc.cast(pc.utf8_length(clean), pa.int64()),
         }
     )
+
+
+def build_nav(b: pa.Table) -> pa.Array:
+    """Deterministic link section appended AFTER the document (link
+    queries only; keeps build_html and its oracle CTE frozen): one
+    absolute link, one mailto, and — every 3rd doc — a second absolute
+    link, else an UNCLOSED href (no closing quote ⇒ extracted by
+    neither engine; the malformed-markup case)."""
+    did = pc.cast(_s(b["doc_id"]), pa.string())
+    n = len(b)
+    base = pc.binary_join_element_wise(
+        pa.array(['<nav><a href="https://'] * n),
+        _s(b["source"]),
+        pa.array([".example.com/"] * n),
+        _s(b["lang"]),
+        pa.array(["/"] * n),
+        did,
+        pa.array(['">next</a><a href="mailto:x@y">m</a>'] * n),
+        "",
+    )
+    ref = pc.binary_join_element_wise(
+        pa.array(['<a href="http://ref.'] * n),
+        _s(b["lang"]),
+        pa.array([".org/p?id="] * n),
+        did,
+        pa.array(['">ref</a>'] * n),
+        "",
+    )
+    broken = pa.array(['<a href="broken'] * n)
+    is3 = pc.equal(
+        pc.subtract(_s(b["doc_id"]), pc.multiply(pc.divide(_s(b["doc_id"]), 3), 3)),
+        0,
+    )
+    tail = pc.if_else(is3, ref, broken)
+    return pc.binary_join_element_wise(
+        base, tail, pa.array(["</nav>"] * n), ""
+    )
+
+
+def extract_links(
+    b: pa.Table, html_col: str = "html", id_col: str = "doc_id"
+) -> pa.Table:
+    """ALL ``href="..."`` values per document, in document order —
+    the all-matches extraction Arrow has no single kernel for,
+    vectorized as split + offset-mask + prefix-to-quote (equivalent to
+    SQL ``regexp_extract_all(html, 'href="([^"]*)"', 1)``): an href
+    with no closing quote is extracted by neither. Output
+    ``(doc_id, href)`` rows.
+
+    Known non-equivalence outside well-formed markup: a literal
+    ``href="`` INSIDE an attribute value (``href="x href="y"``) makes
+    the regex capture ``x href=`` while the split form captures ``y``
+    — pathological double-quoting no HTML serializer emits; the
+    split form is the sane reading."""
+    import numpy as np
+
+    html = _s(b[html_col])
+    parts = pc.split_pattern(html, 'href="')
+    flat = pc.list_flatten(parts)
+    if len(flat) == 0:
+        return pa.table(
+            {id_col: pa.array([], b[id_col].type), "href": pa.array([], pa.string())}
+        )
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    # drop each list's FIRST element (text before the first href):
+    # positions where the flat index equals its list's start offset
+    pos = np.arange(len(flat), dtype=np.int64)
+    starts = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.add.at(starts, parent + 1, 1)
+    starts = np.cumsum(starts)  # starts[i] = first flat index of list i
+    keep = pos != starts[parent]
+    # ... and entries with no closing quote (malformed; regexp needs ")
+    has_quote = pc.not_equal(pc.find_substring(flat, '"'), -1).to_numpy(
+        zero_copy_only=False
+    )
+    keep &= has_quote
+    idx = pa.array(pos[keep], pa.int64())
+    kept = pc.take(flat, idx)
+    kept_parent = parent[keep]
+    # prefix up to the first quote
+    href = pc.list_element(pc.split_pattern(kept, '"', max_splits=1), 0)
+    ids = _s(b[id_col])
+    return pa.table({id_col: pc.take(ids, pa.array(kept_parent, pa.int64())), "href": href})

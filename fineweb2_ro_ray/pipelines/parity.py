@@ -3429,3 +3429,69 @@ def q_doc_compress_ratio(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(compress_ratio_batch, batch_format="pyarrow")
+
+
+def _with_linked_html(sf_dir: str) -> ray.data.Dataset:
+    """documents + derived html-with-nav column (build_html + build_nav;
+    both constructions mirrored in the link-query oracle CTE)."""
+    from ..functions.html import build_html, build_nav
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+
+    def add(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        html = _pc.binary_join_element_wise(build_html(b), build_nav(b), "")
+        return pa.table({"doc_id": b["doc_id"], "html": html})
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def q_html_links(sf_dir: str):
+    """All-matches link extraction (functions.html.extract_links): every
+    href="..." per document via split + offset-mask + prefix-to-quote —
+    the vectorized equivalent of regexp_extract_all, which the oracle
+    runs directly. Unclosed hrefs extracted by neither."""
+    from ..functions.html import extract_links
+
+    return _with_linked_html(sf_dir).map_batches(
+        extract_links, batch_format="pyarrow"
+    )
+
+
+def q_link_hosts(sf_dir: str):
+    """Per-host inlink counts over the extracted link graph (the
+    PageRank/domain-curation input): thin (host) partial counts per
+    batch, one keyed exchange sum; links without an absolute
+    scheme://host (mailto, malformed) are excluded on both sides."""
+    from ..functions.html import extract_links
+    from ..schema import from_pandas_like
+    from ..stages.exchange import hash_exchange_map_groups
+
+    def partial(b: pa.Table) -> pa.Table:
+        links = extract_links(b)
+        st = pc.extract_regex(
+            links["href"].combine_chunks()
+            if isinstance(links["href"], pa.ChunkedArray)
+            else links["href"],
+            r"^[a-z]+://(?P<h>[^/]+)",
+        )
+        host = pc.struct_field(st, "h")
+        t = pa.table({"host": host}).filter(pc.is_valid(host))
+        df = t.to_pandas().groupby("host", as_index=False).size()
+        df.columns = ["host", "partial_n"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = _with_linked_html(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out_schema = pa.schema([("host", pa.string()), ("n_links", pa.int64())])
+
+    def reduce_part(df):
+        import pandas as pd
+
+        g = df.groupby("host", as_index=False)["partial_n"].sum()
+        g.columns = ["host", "n_links"]
+        return g.astype({"n_links": "int64"})
+
+    return hash_exchange_map_groups(
+        parts, reduce_part, key="host", out_schema=out_schema
+    )

@@ -386,3 +386,29 @@ def test_html_build_roundtrip_multibyte():
     assert out["title"] == "doc 7"
     assert out["text_clean"] == "doc 7 ro & cc ară și mănâncă <tag> \"q\" 'a'"
     assert out["n_clean"] == len(out["text_clean"])
+
+
+def test_extract_links_edges():
+    from fineweb2_ro_ray.functions.html import extract_links
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "html": [
+                '<a href="u1">x</a><a href="u2">y</a>',  # two links
+                '<a href="unclosed',                      # no closing quote
+                "no links here",
+                None,
+            ],
+        }
+    )
+    got = extract_links(t).to_pylist()
+    assert got == [
+        {"doc_id": 1, "href": "u1"},
+        {"doc_id": 1, "href": "u2"},
+    ]
+    # all-empty batch
+    empty = extract_links(
+        pa.table({"doc_id": pa.array([], pa.int64()), "html": pa.array([], pa.string())})
+    )
+    assert empty.num_rows == 0 and empty.schema.names == ["doc_id", "href"]
