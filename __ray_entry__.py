@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (all-matches href extraction + per-host inlink counts)
         "html_links": P.q_html_links,
         "link_hosts": P.q_link_hosts,
+        # round-4 continuation-5: persisted bucketed layout + zero-
+        # exchange bucket join (the reusable-partitioning discipline)
+        "bucket_join_orders": P.q_bucket_join_orders,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -645,6 +648,11 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
                           * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)) AS r2
             FROM s
+        """,
+        "bucket_join_orders": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                   o.o_orderkey, o.o_totalprice
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         """,
         "html_links": _LINKED_HTML_CTE
         + """

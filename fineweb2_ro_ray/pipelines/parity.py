@@ -3495,3 +3495,32 @@ def q_link_hosts(sf_dir: str):
     return hash_exchange_map_groups(
         parts, reduce_part, key="host", out_schema=out_schema
     )
+
+
+def q_bucket_join_orders(sf_dir: str):
+    """Bucketed-layout join (stages.bucketed): customer and orders are
+    first PERSISTED bucketed by their join key (crc32 of the key's
+    string form, the engine-pinned partitioner), then joined with ZERO
+    exchange — one independent task per bucket pair, local Arrow hash
+    join inside. The oracle is the plain equality join; equality proves
+    the co-location invariant end to end."""
+    import hashlib
+
+    from ..stages.bucketed import bucket_join, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    pa_dir = f"/tmp/fw2_bucketed_cust_{tag}"
+    pb_dir = f"/tmp/fw2_bucketed_ord_{tag}"
+    write_bucketed(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+        pa_dir,
+        key="c_custkey",
+        n_buckets=16,
+    )
+    write_bucketed(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        pb_dir,
+        key="o_custkey",
+        n_buckets=16,
+    )
+    return bucket_join(pa_dir, pb_dir, join_type="inner")
