@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation-5: persisted bucketed layout + zero-
         # exchange bucket join (the reusable-partitioning discipline)
         "bucket_join_orders": P.q_bucket_join_orders,
+        # round-4 continuation-5: FineWeb-2-style script census
+        "script_census": P.q_script_census,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -648,6 +650,39 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
                           * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)) AS r2
             FROM s
+        """,
+        # counts via len(regexp_extract_all(..)) per fixed range class;
+        # main = argmax with first-in-order tie-break as a >=-chained
+        # CASE; ratio = ONE float division of exact ints (greatest /
+        # total) — both sides identical IEEE expression
+        "script_census": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS BIGINT) AS n_latin,
+                       CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+                       CAST(len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek,
+                       CAST(len(regexp_extract_all(text, '[؀-ۿ]')) AS BIGINT) AS n_arabic,
+                       CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk
+                FROM documents
+            ), t AS (
+                SELECT *,
+                       n_latin + n_cyrillic + n_greek + n_arabic + n_cjk AS total,
+                       greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) AS n_main
+                FROM c
+            )
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+                   CASE WHEN total IS NULL OR total = 0 THEN NULL
+                        WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                             AND n_latin >= n_arabic AND n_latin >= n_cjk THEN 'latin'
+                        WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+                             AND n_cyrillic >= n_cjk THEN 'cyrillic'
+                        WHEN n_greek >= n_arabic AND n_greek >= n_cjk THEN 'greek'
+                        WHEN n_arabic >= n_cjk THEN 'arabic'
+                        ELSE 'cjk' END AS main_script,
+                   CASE WHEN total IS NULL OR total = 0 THEN NULL
+                        ELSE CAST(n_main AS DOUBLE) / CAST(total AS DOUBLE)
+                        END AS script_ratio
+            FROM t
         """,
         "bucket_join_orders": """
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,

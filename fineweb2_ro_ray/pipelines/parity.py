@@ -3524,3 +3524,15 @@ def q_bucket_join_orders(sf_dir: str):
         n_buckets=16,
     )
     return bucket_join(pa_dir, pb_dir, join_type="inner")
+
+
+def q_script_census(sf_dir: str):
+    """Unicode-script census + dominant-script ratio (functions.script
+    — FineWeb-2's script-consistency gate): one RE2 count kernel per
+    script class, zero shuffle; argmax with first-in-order tie-break
+    and a single exact-int float division, both mirrored in the
+    oracle."""
+    from ..functions.script import script_census
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(script_census, batch_format="pyarrow")

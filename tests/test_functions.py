@@ -412,3 +412,53 @@ def test_extract_links_edges():
         pa.table({"doc_id": pa.array([], pa.int64()), "html": pa.array([], pa.string())})
     )
     assert empty.num_rows == 0 and empty.schema.names == ["doc_id", "href"]
+
+
+def test_script_census_multiscript():
+    """Cyrillic/Greek/CJK counting, argmax first-wins ties, no-signal
+    and NULL rows, and the consistency mask — plus a DuckDB re-run of
+    the oracle expressions on the same multiscript rows (the sf corpus
+    is ASCII-only, so the gate never exercises these ranges)."""
+    import duckdb
+
+    from fineweb2_ro_ray.functions.script import (
+        script_census,
+        script_consistent_mask,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "ară și mănâncă bine",   # Romanian diacritics -> latin
+                "привет мир hello",       # cyrillic-dominant
+                "αβγ abc",                # 3 vs 3 tie -> latin (first)
+                "你好世界",                # cjk
+                "123 .,!?",               # no scripted letters
+                None,
+            ],
+        }
+    )
+    out = script_census(t)
+    rows = out.to_pylist()
+    assert [r["main_script"] for r in rows] == [
+        "latin", "cyrillic", "latin", "cjk", None, None,
+    ]
+    assert rows[0]["n_latin"] == sum(ch.isalpha() for ch in t["text"][0].as_py())
+    assert rows[1]["n_cyrillic"] == 9 and rows[1]["n_latin"] == 5
+    assert rows[1]["script_ratio"] == 9 / 14
+    assert rows[2]["script_ratio"] == 0.5
+    assert rows[4]["script_ratio"] is None and rows[5]["n_latin"] is None
+    mask = script_consistent_mask(out, expect="latin", min_ratio=0.8).to_pylist()
+    assert mask == [True, False, False, False, False, False]
+    # DuckDB runs the oracle's range classes over the same rows
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.sql(
+        """SELECT CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT)
+           FROM docs ORDER BY doc_id"""
+    ).fetchall()
+    got = [(r["n_latin"], r["n_cyrillic"], r["n_cjk"]) for r in rows]
+    assert [tuple(w) for w in want] == got
