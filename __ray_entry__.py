@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_join_orders": P.q_bucket_join_orders,
         # round-4 continuation-5: FineWeb-2-style script census
         "script_census": P.q_script_census,
+        "bucket_agg_orders": P.q_bucket_agg_orders,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -688,6 +689,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "bucket_agg_orders": """
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders GROUP BY o_custkey
         """,
         "html_links": _LINKED_HTML_CTE
         + """

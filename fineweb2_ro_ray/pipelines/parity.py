@@ -3536,3 +3536,40 @@ def q_script_census(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(script_census, batch_format="pyarrow")
+
+
+def q_bucket_agg_orders(sf_dir: str):
+    """Zero-exchange grouped aggregation over the persisted bucketed
+    orders table (stages.bucketed.bucket_map_groups): per-customer
+    order count + exact integer-cents revenue, one task per bucket, no
+    shuffle — the layout from q_bucket_join_orders reused by a second
+    job, which is the whole point of bucketing."""
+    import hashlib
+
+    from ..stages.bucketed import bucket_map_groups, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    pb_dir = f"/tmp/fw2_bucketed_ord_{tag}"
+    write_bucketed(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        pb_dir,
+        key="o_custkey",
+        n_buckets=16,
+    )
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("sum_cents", pa.int64()),
+        ]
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        df = pa.table({"o_custkey": t["o_custkey"], "cents": cents}).to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(out_schema)
+
+    return bucket_map_groups(pb_dir, agg, out_schema=out_schema)

@@ -202,3 +202,39 @@ def bucket_join(
         .repartition(n)
         .map_batches(join_bucket, batch_format="pyarrow")
     )
+
+
+def bucket_map_groups(
+    path: str,
+    fn,
+    *,
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Key-complete per-group processing over a bucketed table with
+    ZERO exchange — the persisted layout already co-locates every key:
+    one task per bucket applies ``fn`` (same contract as
+    ``hash_exchange_map_groups``: an Arrow table holding EVERY row of
+    each key it sees; group internally). This is what "reuse the
+    partitioning key across stages" buys: any number of later grouped
+    jobs over the same table skip the shuffle entirely."""
+    import pyarrow.parquet as pq
+
+    meta = read_bucketed_meta(path)
+    n = meta["n_buckets"]
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in t["id"].to_pylist():
+            f = os.path.join(path, f"bucket={k:05d}", "data.parquet")
+            if not os.path.exists(f):
+                continue
+            outs.append(fn(pq.read_table(f)))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs).cast(out_schema)
+
+    return (
+        ray.data.range(n)
+        .repartition(n)
+        .map_batches(per_bucket, batch_format="pyarrow")
+    )

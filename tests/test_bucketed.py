@@ -110,3 +110,27 @@ def test_string_keys_and_meta(tmp_path):
     assert read_bucketed_meta(pa_dir)["hash"] == "crc32-str"
     got = bucket_join(pa_dir, pb_dir).to_pandas().sort_values("v")
     assert got[["s", "v", "w"]].values.tolist() == [["y", 2, 10], ["y", 3, 10]]
+
+
+def test_bucket_map_groups_key_complete(tmp_path):
+    """Every key's rows arrive in ONE fn call (the co-location
+    contract), across multiple buckets; empty buckets skipped."""
+    from fineweb2_ro_ray.stages.bucketed import bucket_map_groups
+
+    t = pa.table({"k": [1, 1, 2, 3, 3, 3], "v": [1, 2, 3, 4, 5, 6]})
+    p = str(tmp_path / "t")
+    write_bucketed(ray.data.from_arrow(t).repartition(3), p, key="k", n_buckets=8)
+    schema = pa.schema([("k", pa.int64()), ("n", pa.int64()), ("s", pa.int64())])
+
+    def agg(tab: pa.Table) -> pa.Table:
+        df = tab.to_pandas().groupby("k", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+    got = (
+        bucket_map_groups(p, agg, out_schema=schema)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got.values.tolist() == [[1, 2, 3], [2, 1, 3], [3, 3, 15]]
