@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation-5: FineWeb-2-style script census
         "script_census": P.q_script_census,
         "bucket_agg_orders": P.q_bucket_agg_orders,
+        # round-4 continuation-5: Deequ-style expectations report
+        "expectations": P.q_expectations,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -689,6 +691,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "expectations": """
+            SELECT 'not_null(max_frac=0.0)' AS "check", 'text' AS "column",
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS metric,
+                   (CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) <= 0.0 AS passed
+            FROM documents
+            UNION ALL
+            SELECT 'unique', 'doc_id',
+                   CAST(COALESCE(sum(n - 1), 0) AS DOUBLE),
+                   COALESCE(sum(n - 1), 0) = 0
+            FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id) g
+            WHERE n > 1
+            UNION ALL
+            SELECT 'in_range[0, 100000]', 'n_chars',
+                   CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 100000
+                                 THEN 1 ELSE 0 END) AS DOUBLE),
+                   sum(CASE WHEN n_chars < 0 OR n_chars > 100000
+                            THEN 1 ELSE 0 END) = 0
+            FROM documents
+            UNION ALL
+            SELECT 'foreign_key', 'o_custkey',
+                   CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+                            SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)
+                        THEN 1 ELSE 0 END) AS DOUBLE),
+                   sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+                            SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)
+                        THEN 1 ELSE 0 END) = 0
+            FROM orders o
         """,
         "bucket_agg_orders": """
             SELECT o_custkey,

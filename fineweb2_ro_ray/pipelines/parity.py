@@ -3573,3 +3573,31 @@ def q_bucket_agg_orders(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False).cast(out_schema)
 
     return bucket_map_groups(pb_dir, agg, out_schema=out_schema)
+
+
+def q_expectations(sf_dir: str):
+    """Data-quality expectations report (stages.expectations — the
+    Deequ-style publish gate): null-fraction / uniqueness / range /
+    referential-integrity checks as thin integer partials (one shared
+    scan + one thin exchange for uniqueness + a broadcast distinct set
+    for the FK), each metric a count or one fixed float division —
+    mirrored by the oracle as UNION ALL of the same SQL expressions."""
+    from ..stages.expectations import (
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+        validate,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey"])
+    rep1 = validate(
+        docs,
+        [not_null("text", 0.0), unique("doc_id"), in_range("n_chars", 0, 100000)],
+    )
+    rep2 = validate(orders, [foreign_key("o_custkey", customer, "c_custkey")])
+    import pandas as pd
+
+    return pd.concat([rep1, rep2], ignore_index=True)
