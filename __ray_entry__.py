@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_agg_orders": P.q_bucket_agg_orders,
         # round-4 continuation-5: Deequ-style expectations report
         "expectations": P.q_expectations,
+        # round-4 continuation-5: MERGE INTO (upsert/delete changeset)
+        "apply_changeset": P.q_apply_changeset,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -691,6 +693,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "apply_changeset": """
+            WITH ch AS (
+                SELECT doc_id, text, 'delete' AS op
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id, text || ' v2', 'upsert'
+                FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, 'new doc', 'upsert'
+                FROM documents WHERE doc_id % 11 = 0
+            ), m AS (
+                SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+                       CASE WHEN c.doc_id IS NOT NULL THEN c.text
+                            ELSE b.text END AS text,
+                       CASE WHEN c.doc_id IS NOT NULL THEN c.op
+                            ELSE 'keep' END AS op
+                FROM (SELECT doc_id, text FROM documents) b
+                FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+            )
+            SELECT doc_id, text FROM m WHERE op <> 'delete'
         """,
         "expectations": """
             SELECT 'not_null(max_frac=0.0)' AS "check", 'text' AS "column",

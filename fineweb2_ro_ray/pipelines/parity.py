@@ -3601,3 +3601,46 @@ def q_expectations(sf_dir: str):
     import pandas as pd
 
     return pd.concat([rep1, rep2], ignore_index=True)
+
+
+def q_apply_changeset(sf_dir: str):
+    """MERGE INTO (stages.versioning.apply_changeset — the write side
+    of snapshot_diff): a derived changeset (delete every 7th doc,
+    upsert ' v2' text for every 5th, insert shifted new ids for every
+    11th) applied through one keyed exchange; the oracle is the same
+    merge as a FULL OUTER JOIN + CASE."""
+    from ..stages.versioning import apply_changeset
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_changes(b: pa.Table) -> pa.Table:
+        did = b["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        m7 = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 7), 7)), 0)
+        m5 = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 5), 5)), 0)
+        m11 = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 11), 11)), 0)
+        del_t = pa.table(
+            {"doc_id": did, "text": txt, "op": pa.array(["delete"] * len(did))}
+        ).filter(m7)
+        up_t = pa.table(
+            {
+                "doc_id": did,
+                "text": pc.binary_join_element_wise(txt, " v2", ""),
+                "op": pa.array(["upsert"] * len(did)),
+            }
+        ).filter(pc.and_(m5, pc.invert(m7)))
+        ins_t = pa.table(
+            {
+                "doc_id": pc.add(did, 1000000),
+                "text": pa.array(["new doc"] * len(did)),
+                "op": pa.array(["upsert"] * len(did)),
+            }
+        ).filter(m11)
+        return pa.concat_tables([del_t, up_t, ins_t])
+
+    changes = base.map_batches(make_changes, batch_format="pyarrow")
+    return apply_changeset(base, changes, key="doc_id")

@@ -136,3 +136,81 @@ def snapshot_diff(
     return out.map_batches(
         lambda b: b.rename_columns([key, "status"]), batch_format="pyarrow"
     )
+
+
+def apply_changeset(
+    base: ray.data.Dataset,
+    changes: ray.data.Dataset,
+    *,
+    key: str,
+    op_col: str = "op",
+) -> ray.data.Dataset:
+    """MERGE INTO — apply an upsert/delete changeset to a keyed corpus
+    (the write side of :func:`snapshot_diff`): ``changes`` carries the
+    base's payload columns plus ``op`` ∈ {'upsert', 'delete'}; the
+    result keeps untouched base rows, replaces/creates upserted keys,
+    and drops deleted ones.
+
+    Scale shape: ONE keyed exchange co-locates each key's base row and
+    its (at most one — enforced) change row; the per-partition kernel
+    is a stable sort + keep-last + op filter, all vectorized. Rows move
+    exactly once; no driver state; output schema = base schema.
+
+    A key with MULTIPLE change rows is ambiguous (which write wins is
+    an upstream ordering question, not something a batch merge should
+    guess) — the kernel raises with the offending keys named."""
+    import pandas as pd
+
+    base_cols = base.schema().names
+    payload = [c for c in base_cols if c != key]
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {key: t[key]}
+            for c in payload:
+                cols[c] = t[c]
+            cols["__op"] = (
+                pa.array(["keep"] * t.num_rows)
+                if side == 0
+                else (
+                    t[op_col].combine_chunks()
+                    if isinstance(t[op_col], pa.ChunkedArray)
+                    else t[op_col]
+                )
+            )
+            cols["__side"] = pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)
+            )
+            return pa.table(cols)
+
+        return f
+
+    tagged = base.map_batches(tag(0), batch_format="pyarrow").union(
+        changes.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df[df["__side"] == 1]
+        dup = ch[key][ch[key].duplicated()]
+        if len(dup):
+            raise ValueError(
+                f"apply_changeset: multiple change rows for key(s) "
+                f"{sorted(set(dup))[:5]} — resolve upstream (e.g. keep "
+                "max-seq per key) before merging"
+            )
+        d = df.sort_values([key, "__side"], kind="stable")
+        d = d.drop_duplicates(subset=[key], keep="last")
+        d = d[d["__op"] != "delete"]
+        return d[base_cols]
+
+    from .exchange import hash_exchange_map_groups
+
+    base_arrow = pa.schema(
+        [
+            (n, t)
+            for n, t in zip(base.schema().names, base.schema().types)
+        ]
+    )
+    return hash_exchange_map_groups(
+        tagged, merge_part, key=key, out_schema=base_arrow
+    )

@@ -3,6 +3,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import pytest
+import ray.data
 import ray.data as rd
 
 from fineweb2_ro_ray.stages.versioning import content_fingerprint, snapshot_diff
@@ -90,3 +92,36 @@ def test_cap_per_key_quota_and_null_group():
         (d if isinstance(d, str) else None, i)
         for d, i in zip(out["dom"], out["id"])
     ] == [("a", 1), ("a", 3), ("b", 7), ("b", 9), (None, 2), (None, 4)]
+
+
+def test_apply_changeset_edges():
+    """Duplicate-change refusal; delete of a missing key is a no-op;
+    insert + upsert + delete coexist; layout invariance."""
+    from fineweb2_ro_ray.stages.versioning import apply_changeset
+
+    base = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    ch = pa.table(
+        {
+            "k": [2, 4, 9],
+            "v": ["B", "d", None],
+            "op": ["upsert", "upsert", "delete"],  # 9 never existed
+        }
+    )
+    for nb in (1, 3):
+        got = (
+            apply_changeset(
+                rd.from_arrow(base).repartition(nb),
+                rd.from_arrow(ch),
+                key="k",
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert got.values.tolist() == [[1, "a"], [2, "B"], [3, "c"], [4, "d"]]
+    dup = pa.table(
+        {"k": [5, 5], "v": ["x", "y"], "op": ["upsert", "upsert"]}
+    )
+    with pytest.raises(Exception, match="multiple change rows"):
+        apply_changeset(
+            rd.from_arrow(base), rd.from_arrow(dup), key="k"
+        ).to_pandas()
