@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations": P.q_expectations,
         # round-4 continuation-5: MERGE INTO (upsert/delete changeset)
         "apply_changeset": P.q_apply_changeset,
+        # round-4 continuation-5: URL canonicalization dedup
+        "url_canonical_dedup": P.q_url_canonical_dedup,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -693,6 +695,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "url_canonical_dedup": r"""
+            WITH cu AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'http://'
+                             ELSE 'https://' END)
+                       || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                       || source || '.example.com'
+                       || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                       || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+                       || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                               THEN '?utm=' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END) AS url
+                FROM documents
+            ), canon AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(url,
+                               '^[a-z][a-z0-9+.-]*://', '', 'g'),
+                               '^www\.', '', 'g'),
+                               ':(80|443)/', '/', 'g'),
+                               ':(80|443)$', '', 'g'),
+                               '\?.*$', '', 'g'),
+                               '/+$', '', 'g') AS canon_url
+                FROM cu
+            )
+            SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keep_id
+            FROM canon GROUP BY canon_url
         """,
         "apply_changeset": """
             WITH ch AS (

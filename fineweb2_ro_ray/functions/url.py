@@ -127,3 +127,70 @@ def blocklist_mask(regdom: pa.Array, blocked: frozenset[str]) -> pa.Array:
     content rules, they are not silently dropped here)."""
     hit = pc.is_in(regdom, value_set=pa.array(sorted(blocked), pa.string()))
     return pc.if_else(pc.is_valid(regdom), pc.invert(hit), pa.scalar(True))
+
+
+# fixed canonicalization chain (pattern, replacement), applied IN ORDER
+# with global substitution — mirrored verbatim in the SQL oracle. RE2
+# has no lookahead, so default ports use two patterns (mid / end).
+CANON_REGEXES: list[tuple[str, str]] = [
+    (r"^[a-z][a-z0-9+.-]*://", ""),   # scheme off (http ≡ https)
+    (r"^www\.", ""),                   # leading www.
+    (r":(80|443)/", "/"),              # default port, path follows
+    (r":(80|443)$", ""),               # default port at end
+    (r"\?.*$", ""),                    # query string (tracking params)
+    (r"/+$", ""),                      # trailing slash(es)
+]
+
+
+def canonicalize_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """URL → canonical dedup key (the FineWeb URL-dedup normalize):
+    scheme/www/default-port/query/trailing-slash insensitive. One RE2
+    kernel per step over the whole batch; NULL propagates."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    x = urls
+    for pat, rep in CANON_REGEXES:
+        x = pc.replace_substring_regex(x, pattern=pat, replacement=rep)
+    return x
+
+
+def build_colliding_urls(t: pa.Table) -> pa.Array:
+    """Derived URL set DESIGNED to collide after canonicalization
+    (scheme / www / default-port / query / trailing-slash variants of
+    a doc_id%50-bucketed path) — the url_canonical_dedup test input;
+    mirrored in the SQL oracle CTE."""
+    ids = t["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+
+    def mod(k: int) -> pa.Array:
+        return pc.subtract(ids, pc.multiply(pc.divide(ids, k), k))
+
+    n = len(ids)
+    scheme = pc.if_else(
+        pc.equal(mod(2), 0), pa.array(["http://"] * n), pa.array(["https://"] * n)
+    )
+    www = pc.if_else(
+        pc.equal(mod(3), 0), pa.array(["www."] * n), pa.array([""] * n)
+    )
+    port = pc.if_else(
+        pc.equal(mod(5), 0), pa.array([":443"] * n), pa.array([""] * n)
+    )
+    bucket = pc.cast(mod(50), pa.string())
+    q = pc.if_else(
+        pc.equal(mod(7), 0),
+        pc.binary_join_element_wise(
+            pa.array(["?utm="] * n), pc.cast(ids, pa.string()), ""
+        ),
+        pa.array([""] * n),
+    )
+    slash = pc.if_else(
+        pc.equal(mod(11), 0), pa.array(["/"] * n), pa.array([""] * n)
+    )
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    return pc.binary_join_element_wise(
+        scheme, www, src, pa.array([".example.com"] * n), port,
+        pa.array(["/page/"] * n), bucket, slash, q, "",
+    )

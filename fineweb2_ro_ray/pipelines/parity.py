@@ -3644,3 +3644,40 @@ def q_apply_changeset(sf_dir: str):
 
     changes = base.map_batches(make_changes, batch_format="pyarrow")
     return apply_changeset(base, changes, key="doc_id")
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """URL canonicalization + canonical-group dedup (the FineWeb URL
+    dedup normalize, functions.url.canonicalize_urls): scheme / www /
+    default-port / query / trailing-slash variants collapse to one
+    canonical key; per-group (n_docs, keep_id=min doc_id) via thin
+    per-batch partials + one keyed exchange. Input URLs are derived to
+    collide (build_colliding_urls), construction mirrored in the
+    oracle CTE; the canonicalization chain re-run by the oracle."""
+    from ..functions.url import build_colliding_urls, canonicalize_urls
+    from ..stages.exchange import hash_exchange_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(build_colliding_urls(b))
+        df = pa.table({"canon_url": canon, "doc_id": b["doc_id"]}).to_pandas()
+        g = df.groupby("canon_url", as_index=False).agg(
+            pn=("doc_id", "size"), pmin=("doc_id", "min")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("canon_url", pa.string()), ("n_docs", pa.int64()), ("keep_id", pa.int64())]
+    )
+
+    def reduce_part(df):
+        g = df.groupby("canon_url", as_index=False).agg(
+            n_docs=("pn", "sum"), keep_id=("pmin", "min")
+        )
+        return g.astype({"n_docs": "int64", "keep_id": "int64"})
+
+    return hash_exchange_map_groups(
+        parts, reduce_part, key="canon_url", out_schema=out_schema
+    )

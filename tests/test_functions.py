@@ -462,3 +462,30 @@ def test_script_census_multiscript():
     ).fetchall()
     got = [(r["n_latin"], r["n_cyrillic"], r["n_cjk"]) for r in rows]
     assert [tuple(w) for w in want] == got
+
+
+def test_canonicalize_urls_rules():
+    from fineweb2_ro_ray.functions.url import canonicalize_urls
+
+    got = canonicalize_urls(
+        pa.array(
+            [
+                "https://www.a.com:443/x/?utm=1",
+                "http://a.com/x",
+                "http://a.com:80/x",
+                "https://a.com:8080/x",   # non-default port KEPT
+                "http://wwwx.com/y",       # www. only as a label prefix
+                "https://a.com///",
+                None,
+            ]
+        )
+    ).to_pylist()
+    assert got == [
+        "a.com/x",
+        "a.com/x",
+        "a.com/x",
+        "a.com:8080/x",
+        "wwwx.com/y",
+        "a.com",
+        None,
+    ]
