@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_changeset": P.q_apply_changeset,
         # round-4 continuation-5: URL canonicalization dedup
         "url_canonical_dedup": P.q_url_canonical_dedup,
+        # round-4 continuation-5: N-way cogroup primitive
+        "nation_cogroup": P.q_nation_cogroup,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -695,6 +697,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "nation_cogroup": """
+            SELECT n.n_nationkey, n.n_name,
+                   CAST(COALESCE(s.c, 0) AS BIGINT) AS n_suppliers,
+                   CAST(COALESCE(cu.c, 0) AS BIGINT) AS n_customers
+            FROM nation n
+            LEFT JOIN (SELECT s_nationkey, count(*) AS c
+                       FROM supplier GROUP BY 1) s
+                   ON s.s_nationkey = n.n_nationkey
+            LEFT JOIN (SELECT c_nationkey, count(*) AS c
+                       FROM customer GROUP BY 1) cu
+                   ON cu.c_nationkey = n.n_nationkey
         """,
         "url_canonical_dedup": r"""
             WITH cu AS (

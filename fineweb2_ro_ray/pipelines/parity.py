@@ -3681,3 +3681,50 @@ def q_url_canonical_dedup(sf_dir: str):
     return hash_exchange_map_groups(
         parts, reduce_part, key="canon_url", out_schema=out_schema
     )
+
+
+def q_nation_cogroup(sf_dir: str):
+    """3-way cogroup (stages.joins.cogroup): nation + supplier +
+    customer co-located by nation key through ONE exchange, per-nation
+    supplier/customer counts computed key-complete — the N-way
+    join/aggregate without pairwise shuffles. Oracle: nation LEFT JOIN
+    two grouped counts."""
+    import pandas as pd
+
+    from ..stages.joins import cogroup
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_suppkey"])
+    customer = _read(sf_dir, "customer", ["c_nationkey", "c_custkey"])
+    out_schema = pa.schema(
+        [
+            ("n_nationkey", pa.int64()),
+            ("n_name", pa.string()),
+            ("n_suppliers", pa.int64()),
+            ("n_customers", pa.int64()),
+        ]
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby("k"):
+            names = g.loc[g["__side"] == 0, "s0_n_name"]
+            if names.empty:
+                continue  # no nation row: mirrors FROM nation
+            rows.append(
+                (
+                    int(k),
+                    names.iloc[0],
+                    int((g["__side"] == 1).sum()),
+                    int((g["__side"] == 2).sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["n_nationkey", "n_name", "n_suppliers", "n_customers"]
+        )
+
+    return cogroup(
+        [(nation, "n_nationkey"), (supplier, "s_nationkey"), (customer, "c_nationkey")],
+        per_part,
+        out_schema=out_schema,
+    )

@@ -546,3 +546,63 @@ def _broadcast_cached_get(ref):
             _BROADCAST_CACHE.clear()
         _BROADCAST_CACHE[k] = v
     return v
+
+
+def cogroup(
+    sides: list[tuple[ray.data.Dataset, str]],
+    fn,
+    *,
+    out_schema: pa.Schema,
+    n_reducers: int | None = None,
+) -> ray.data.Dataset:
+    """N-way cogroup (the Spark ``cogroup`` primitive, generalizing the
+    2-way exchange join): every side's rows for a key value land in ONE
+    ``fn`` call, through ONE exchange — the N-way join/aggregate shape
+    without N-1 pairwise shuffles.
+
+    ``sides`` is ``[(ds, key_col), ...]`` (key types must agree).
+    Each side is projected map-side to the UNION layout: the key as
+    ``k``, a ``__side`` int8 tag, and every non-key column renamed
+    ``s{i}_{name}`` (other sides' columns ride as nulls — thin, since
+    null columns cost bits, not values). ``fn`` is partition-local and
+    key-complete over that layout (pandas frame), same contract as
+    ``hash_exchange_map_groups``.
+    """
+    from ..stages.exchange import hash_exchange_map_groups
+
+    schemas = [_arrow_schema(ds) for ds, _ in sides]
+    key_type = schemas[0].field(sides[0][1]).type
+    union_fields: list[tuple[str, pa.DataType]] = [
+        ("k", key_type), ("__side", pa.int8())
+    ]
+    for i, ((_, keycol), sch) in enumerate(zip(sides, schemas)):
+        for f in sch:
+            if f.name != keycol:
+                union_fields.append((f"s{i}_{f.name}", f.type))
+
+    def mk(i: int, keycol: str):
+        def f(t: pa.Table) -> pa.Table:
+            cols: dict = {
+                "k": t[keycol],
+                "__side": pa.array(
+                    np.full(t.num_rows, i, dtype=np.int8)
+                ),
+            }
+            mine = {f"s{i}_{c}": c for c in t.schema.names if c != keycol}
+            for name, typ in union_fields[2:]:
+                if name in mine:
+                    cols[name] = t[mine[name]]
+                else:
+                    cols[name] = pa.nulls(t.num_rows, typ)
+            return pa.table(cols)
+
+        return f
+
+    tagged = None
+    for i, (ds, keycol) in enumerate(sides):
+        part = ds.map_batches(mk(i, keycol), batch_format="pyarrow")
+        tagged = part if tagged is None else tagged.union(part)
+
+    return hash_exchange_map_groups(
+        tagged, fn, key="k", out_schema=out_schema, n_reducers=n_reducers
+    )

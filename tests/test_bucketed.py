@@ -134,3 +134,48 @@ def test_bucket_map_groups_key_complete(tmp_path):
         .sort_values("k", ignore_index=True)
     )
     assert got.values.tolist() == [[1, 2, 3], [2, 1, 3], [3, 3, 15]]
+
+
+def test_cogroup_three_sides():
+    """Key-completeness across 3 sides, absent-side handling, null
+    padding of other sides' columns, layout invariance."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.joins import cogroup
+
+    a = pa.table({"k": [1, 2], "name": ["one", "two"]})
+    b = pa.table({"bk": [1, 1, 3], "x": [10, 11, 30]})
+    c = pa.table({"ck": [2, 2, 2], "y": ["p", "q", "r"]})
+    schema = pa.schema(
+        [("k", pa.int64()), ("name", pa.string()),
+         ("nb", pa.int64()), ("nc", pa.int64())]
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby("k"):
+            names = g.loc[g["__side"] == 0, "s0_name"]
+            if names.empty:
+                continue
+            rows.append(
+                (int(k), names.iloc[0],
+                 int((g["__side"] == 1).sum()), int((g["__side"] == 2).sum()))
+            )
+        return pd.DataFrame(rows, columns=["k", "name", "nb", "nc"])
+
+    for nb_parts in (1, 2):
+        got = (
+            cogroup(
+                [
+                    (ray.data.from_arrow(a).repartition(nb_parts), "k"),
+                    (ray.data.from_arrow(b), "bk"),
+                    (ray.data.from_arrow(c), "ck"),
+                ],
+                fn,
+                out_schema=schema,
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        # k=3 has no side-0 row -> dropped; k=1: 2 b-rows; k=2: 3 c-rows
+        assert got.values.tolist() == [[1, "one", 2, 0], [2, "two", 0, 3]]
