@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": P.q_url_canonical_dedup,
         # round-4 continuation-5: N-way cogroup primitive
         "nation_cogroup": P.q_nation_cogroup,
+        # round-4 continuation-5: domain-level quality gate
+        "domain_quality_filter": P.q_domain_quality_filter,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -697,6 +699,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "domain_quality_filter": _URL_CTE
+        + """
+            , stats AS (
+                SELECT p.regdom,
+                       count(*) AS n_docs,
+                       sum(CAST(d.n_chars AS HUGEINT)) AS sum_chars
+                FROM parsed p JOIN documents d USING (doc_id)
+                GROUP BY p.regdom
+            )
+            SELECT p.doc_id, p.regdom
+            FROM parsed p JOIN stats s ON p.regdom = s.regdom
+            WHERE s.sum_chars >= 300 * s.n_docs
         """,
         "nation_cogroup": """
             SELECT n.n_nationkey, n.n_name,

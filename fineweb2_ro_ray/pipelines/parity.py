@@ -3728,3 +3728,75 @@ def q_nation_cogroup(sf_dir: str):
         per_part,
         out_schema=out_schema,
     )
+
+
+def q_domain_quality_filter(sf_dir: str):
+    """Domain-level quality gating (RefinedWeb/FineWeb-style: score the
+    DOMAIN, then keep/drop its documents): per-registered-domain doc
+    count + total chars via thin partials + one keyed exchange, the
+    qualifying-domain rule evaluated in EXACT INTEGER arithmetic
+    (sum_chars >= 300 * n_docs — no float avg), qualifying set
+    broadcast back over a second streamed pass. Docs never shuffle.
+    Output: kept (doc_id, regdom)."""
+    import ray as _ray
+
+    from ..functions.url import parse_urls
+    from ..stages.exchange import hash_exchange_map_groups
+
+    def thin(b: pa.Table) -> pa.Table:
+        p = parse_urls(b["url"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "regdom": p["regdom"],
+                "n_chars": b["n_chars"],
+            }
+        )
+
+    from ..functions.url import build_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def add(b: pa.Table) -> pa.Table:
+        return b.append_column("url", build_urls(b))
+
+    thin_ds = ds.map_batches(add, batch_format="pyarrow").map_batches(
+        thin, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["regdom", "n_chars"]).to_pandas()
+        g = df.groupby("regdom", as_index=False, dropna=False).agg(
+            pn=("n_chars", "size"), ps=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([("regdom", pa.string())])
+
+    def qualifying(df):
+        import pandas as pd
+
+        g = df.groupby("regdom", as_index=False, dropna=False)[["pn", "ps"]].sum()
+        keep = g[g["ps"] >= 300 * g["pn"]]
+        return keep[["regdom"]]
+
+    good = hash_exchange_map_groups(
+        thin_ds.map_batches(partial, batch_format="pyarrow"),
+        qualifying,
+        key="regdom",
+        out_schema=out_schema,
+    ).to_pandas()
+    vals = (
+        sorted(good["regdom"].dropna()) if "regdom" in good.columns else []
+    )
+    good_ref = _ray.put(pa.array(vals, pa.string()))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ref = _ray.get(good_ref)
+        rd = b["regdom"]
+        if isinstance(rd, pa.ChunkedArray):
+            rd = rd.combine_chunks()
+        mask = pc.fill_null(pc.is_in(rd, ref), False)
+        return b.select(["doc_id", "regdom"]).filter(mask)
+
+    return thin_ds.map_batches(keep, batch_format="pyarrow")
