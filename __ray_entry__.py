@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_cogroup": P.q_nation_cogroup,
         # round-4 continuation-5: domain-level quality gate
         "domain_quality_filter": P.q_domain_quality_filter,
+        # round-4 continuation-5: grouped exact top-k vocabulary
+        "lang_top_words": P.q_lang_top_words,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -699,6 +701,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "lang_top_words": """
+            WITH w AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS word
+                FROM documents
+                WHERE text IS NOT NULL AND lang IS NOT NULL
+            ), c AS (
+                SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+                FROM w GROUP BY lang, word
+            )
+            SELECT lang, word, n FROM c
+            QUALIFY row_number()
+                OVER (PARTITION BY lang ORDER BY n DESC, word ASC) <= 10
         """,
         "domain_quality_filter": _URL_CTE
         + """

@@ -3800,3 +3800,14 @@ def q_domain_quality_filter(sf_dir: str):
         return b.select(["doc_id", "regdom"]).filter(mask)
 
     return thin_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_lang_top_words(sf_dir: str):
+    """Exact top-10 words per language (grouped heavy-hitter shape,
+    stages.analysis.grouped_top_words): two thin exchanges, sound
+    partition-local pre-select, (n DESC, word ASC) tie-break — the
+    oracle is the same QUALIFY row_number() rule."""
+    from ..stages.analysis import grouped_top_words
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return grouped_top_words(ds, "lang", "text", k=10)

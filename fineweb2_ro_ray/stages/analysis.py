@@ -918,3 +918,91 @@ def grouped_regression(
     return pd.DataFrame(
         out, columns=[group_col, "n", "slope", "intercept", "r2"]
     ).astype({"n": "int64"})
+
+
+def grouped_top_words(
+    ds: ray.data.Dataset,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Exact per-group top-k vocabulary (top words per language — the
+    grouped variant of the exact heavy-hitter pass in
+    ``stages.sketches``): ONE map pass emits THIN (group, word, n)
+    partials (dictionary-encode + composite bincount, raw text never
+    moves); one exchange keyed on (group, word) completes each pair's
+    total; each partition pre-selects its local per-group top-k
+    (sound: every (group, word) total is complete within one
+    partition, so the global top-k per group is a subset of the union
+    of partition-local top-k's); a second THIN exchange keyed on group
+    picks the exact winners with the (n DESC, word ASC) tie-break.
+    Bytes through both exchanges are vocabulary-sized, k-bounded after
+    the pre-select."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(pc.is_valid(b[text_col]), pc.is_valid(b[group_col]))
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        gdic = grp.dictionary_encode()
+        gidx = gdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wdic = flat.dictionary_encode()
+        widx = wdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kw = len(wdic.dictionary)
+        code = gidx[parent] * kw + widx
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "g": pc.take(gdic.dictionary, pa.array(uniq // kw, pa.int64())),
+                "word": pc.take(wdic.dictionary, pa.array(uniq % kw, pa.int64())),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    mid_schema = pa.schema(
+        [("g", pa.string()), ("word", pa.string()), ("n", pa.int64())]
+    )
+
+    def merge_and_preselect(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby(["g", "word"], as_index=False)["n"].sum()
+        m = m.sort_values(["g", "n", "word"], ascending=[True, False, True])
+        return m.groupby("g", as_index=False, sort=False).head(k)
+
+    from .exchange import hash_exchange_map_groups
+
+    cand = hash_exchange_map_groups(
+        parts, merge_and_preselect, key=["g", "word"], out_schema=mid_schema
+    )
+
+    out_schema = pa.schema(
+        [(group_col, pa.string()), ("word", pa.string()), ("n", pa.int64())]
+    )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.sort_values(["g", "n", "word"], ascending=[True, False, True])
+        m = m.groupby("g", as_index=False, sort=False).head(k)
+        return m.rename(columns={"g": group_col})
+
+    return hash_exchange_map_groups(
+        cand, final_topk, key="g", out_schema=out_schema
+    )
