@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quality_filter": P.q_domain_quality_filter,
         # round-4 continuation-5: grouped exact top-k vocabulary
         "lang_top_words": P.q_lang_top_words,
+        # round-4 continuation-5: dynamic partition pruning (semi-join
+        # filter pushed into the scan)
+        "orders_dynamic_prune": P.q_orders_dynamic_prune,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -701,6 +704,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "orders_dynamic_prune": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'AUTOMOBILE')
         """,
         "lang_top_words": """
             WITH w AS (

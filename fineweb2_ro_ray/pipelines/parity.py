@@ -3811,3 +3811,31 @@ def q_lang_top_words(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
     return grouped_top_words(ds, "lang", "text", k=10)
+
+
+def q_orders_dynamic_prune(sf_dir: str):
+    """Dynamic partition pruning (the optimizer's semi-join pushdown):
+    the SMALL side (AUTOMOBILE-segment customer keys) is computed
+    first, then pushed INTO the orders parquet scan as an ``isin``
+    dataset filter — row groups whose o_custkey statistics miss the set
+    never leave storage, surviving groups are row-filtered before any
+    block enters the object store. The big side never carries
+    non-qualifying rows at all. Oracle: the plain semi join."""
+    import pyarrow.dataset as pds
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["c_mktsegment"], "AUTOMOBILE")
+        return b.filter(m).select(["c_custkey"])
+
+    keys = sorted(
+        cust.map_batches(seg, batch_format="pyarrow").to_pandas()["c_custkey"]
+    )
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=pds.field("o_custkey").isin(keys),
+    )
+    return ds
