@@ -380,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation-5: dynamic partition pruning (semi-join
         # filter pushed into the scan)
         "orders_dynamic_prune": P.q_orders_dynamic_prune,
+        # round-4 continuation-5: incremental view maintenance
+        "matview_refresh": P.q_matview_refresh,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -704,6 +706,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "matview_refresh": """
+            WITH merged AS (
+                SELECT lang FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT lang FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM merged GROUP BY lang
         """,
         "orders_dynamic_prune": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice

@@ -3839,3 +3839,49 @@ def q_orders_dynamic_prune(sf_dir: str):
         filter=pds.field("o_custkey").isin(keys),
     )
     return ds
+
+
+def q_matview_refresh(sf_dir: str):
+    """Incremental materialized-view maintenance (stages.matview): a
+    persisted docs-per-language counts view is built from the base
+    corpus, then REFRESHED with the changeset's per-key deltas (−1 per
+    deleted doc, +1 per inserted doc) — O(|delta|) work, untouched
+    partitions never read. The oracle recomputes the view from the
+    merged corpus; equality proves refresh ≡ rebuild."""
+    import hashlib
+
+    from ..stages.matview import (
+        build_counts_view,
+        read_counts_view,
+        refresh_counts_view,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/fw2_matview_{tag}"
+    base = _read(sf_dir, "documents", ["doc_id", "lang"])
+    build_counts_view(base, path, "lang", n_parts=8)
+
+    def deltas(b: pa.Table) -> pa.Table:
+        did = b["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+
+        def mod(k: int):
+            return pc.equal(
+                pc.subtract(did, pc.multiply(pc.divide(did, k), k)), 0
+            )
+
+        dels = pa.table(
+            {"key": lang, "dn": pa.array([-1] * len(did), pa.int64())}
+        ).filter(mod(7))
+        ins = pa.table(
+            {"key": lang, "dn": pa.array([1] * len(did), pa.int64())}
+        ).filter(mod(11))
+        return pa.concat_tables([dels, ins])
+
+    refresh_counts_view(path, base.map_batches(deltas, batch_format="pyarrow"))
+    out = read_counts_view(path)
+    return pa.table({"lang": out["key"], "n": out["n"]})

@@ -125,3 +125,58 @@ def test_apply_changeset_edges():
         apply_changeset(
             rd.from_arrow(base), rd.from_arrow(dup), key="k"
         ).to_pandas()
+
+
+def test_matview_refresh_equals_rebuild():
+    """refresh(build(base), deltas) ≡ build(merged) on randomized
+    tables; key drop at zero; new-key appearance; untouched-partition
+    behavior (file mtimes unchanged for partitions with no deltas)."""
+    import os
+    import time
+
+    from fineweb2_ro_ray.stages.matview import (
+        build_counts_view,
+        read_counts_view,
+        refresh_counts_view,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = [f"k{i}" for i in range(20)]
+    base = pa.table(
+        {"g": [keys[i] for i in rng.integers(0, 20, 300)]}
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "view")
+        build_counts_view(rd.from_arrow(base), p, "g", n_parts=8)
+        # deltas: remove ALL of k0 (drop to zero), add brand-new key
+        n_k0 = base.to_pandas().g.eq("k0").sum()
+        deltas = pa.table(
+            {
+                "key": ["k0", "brand_new", "k1"],
+                "dn": pa.array([-int(n_k0), 5, 2], pa.int64()),
+            }
+        )
+        import glob as _g
+
+        before = {
+            f: os.path.getmtime(f)
+            for f in _g.glob(os.path.join(p, "part=*", "counts.parquet"))
+        }
+        time.sleep(0.05)
+        refresh_counts_view(p, rd.from_arrow(deltas))
+        got = read_counts_view(p).to_pandas()
+        # rebuild oracle
+        df = base.to_pandas().g.value_counts().to_dict()
+        df.pop("k0")
+        df["brand_new"] = 5
+        df["k1"] = df.get("k1", 0) + 2
+        want = sorted(df.items())
+        assert list(map(tuple, got.values.tolist())) == want
+        # partitions that received no delta were not rewritten
+        touched = 0
+        for f, m in before.items():
+            if os.path.getmtime(f) != m:
+                touched += 1
+        assert touched <= 3  # at most the partitions of the 3 delta keys
