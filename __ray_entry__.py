@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dynamic_prune": P.q_orders_dynamic_prune,
         # round-4 continuation-5: incremental view maintenance
         "matview_refresh": P.q_matview_refresh,
+        # round-4 continuation-5: CSV interchange round-trip
+        "csv_roundtrip": P.q_csv_roundtrip,
+        # round-4 continuation-5: readability quality signal
+        "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "lang_source_counts": P.q_lang_source_counts,
@@ -706,6 +710,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "doc_readability": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                           AS n_sentences,
+                       CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                           AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words IS NULL OR n_words = 0 THEN NULL
+                        ELSE 206.835
+                             - 1.015 * (CAST(n_words AS DOUBLE)
+                                        / CAST(greatest(n_sentences, 1) AS DOUBLE))
+                             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE))
+                        END AS flesch
+            FROM c
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, lang, text, n_chars FROM documents
         """,
         "matview_refresh": """
             WITH merged AS (

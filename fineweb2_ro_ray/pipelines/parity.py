@@ -3885,3 +3885,68 @@ def q_matview_refresh(sf_dir: str):
     refresh_counts_view(path, base.map_batches(deltas, batch_format="pyarrow"))
     out = read_counts_view(path)
     return pa.table({"lang": out["key"], "n": out["n"]})
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV interchange round-trip (sources.io.read_csv_shards /
+    write_csv_shards): documents → CSV shards (RFC-4180 quoting across
+    embedded commas/quotes/newlines) → read back with pinned types.
+    The oracle is the original table — byte-faithful round-trip is the
+    claim."""
+    import hashlib
+
+    from ..sources.io import read_csv_shards, write_csv_shards
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/fw2_csv_{tag}"
+    import shutil as _sh
+
+    _sh.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+    write_csv_shards(ds, out)
+    back = read_csv_shards(
+        out, column_types={"doc_id": pa.int64(), "n_chars": pa.int64()}
+    )
+    return back
+
+
+def q_doc_readability(sf_dir: str):
+    """Flesch-reading-ease heuristic per doc (the classic readability
+    quality signal): words = single-space tokens, sentences = [.!?]+
+    runs (min 1), syllables ≈ vowel-group runs — each an RE2 count
+    kernel; the score is ONE fixed IEEE expression over exact integer
+    counts (206.835 − 1.015·w/s − 84.6·syl/w), mirrored in the oracle.
+    NULL/wordless text → NULL score."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        null_mask = pc.is_null(text)
+        filled = pc.fill_null(text, "")
+        words = pc.list_value_length(pc.split_pattern(filled, " ")).cast(pa.int64())
+        sent = pc.count_substring_regex(filled, r"[.!?]+").cast(pa.int64())
+        syl = pc.count_substring_regex(filled, r"[aeiouyAEIOUY]+").cast(pa.int64())
+        w = words.to_numpy(zero_copy_only=False).astype("int64")
+        s = np.maximum(sent.to_numpy(zero_copy_only=False).astype("int64"), 1)
+        y = syl.to_numpy(zero_copy_only=False).astype("int64")
+        nulls = null_mask.to_numpy(zero_copy_only=False)
+        ok = (~nulls) & (w > 0)
+        score = np.where(
+            ok, 206.835 - 1.015 * (w / np.maximum(s, 1)) - 84.6 * (y / np.maximum(w, 1)), np.nan
+        )
+        ni = pa.scalar(None, pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": pc.if_else(null_mask, ni, words),
+                "n_sentences": pc.if_else(null_mask, ni, sent),
+                "n_syllables": pc.if_else(null_mask, ni, syl),
+                "flesch": pc.if_else(
+                    pa.array(~ok), pa.scalar(None, pa.float64()), pa.array(score)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

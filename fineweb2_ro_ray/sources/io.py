@@ -262,3 +262,30 @@ def concat_shards(src: str, dst: str) -> None:
     — at scale keep multi-file output; repartition(1) only for small
     exports."""
     ray.data.read_parquet(src).repartition(1).write_parquet(dst)
+
+
+def read_csv_shards(
+    path: str | list[str],
+    *,
+    column_types: dict | None = None,
+) -> ray.data.Dataset:
+    """S-family extension: CSV shard loader — Ray-native
+    ``read_csv`` with optional explicit column types (Arrow CSV
+    inference can mis-type an all-digits id shard; pin with
+    ``column_types={'doc_id': pa.int64()}``). Quoted fields carry
+    embedded newlines/commas/quotes correctly (RFC 4180)."""
+    import pyarrow as pa  # noqa: F401
+    from pyarrow import csv as pacsv
+
+    kwargs = {}
+    if column_types:
+        kwargs["convert_options"] = pacsv.ConvertOptions(
+            column_types=column_types
+        )
+    return ray.data.read_csv(path, **kwargs)
+
+
+def write_csv_shards(ds: ray.data.Dataset, path: str) -> None:
+    """CSV shard writer (interchange with non-Arrow tooling); one file
+    per block, RFC-4180 quoting."""
+    ds.write_csv(path)
