@@ -221,7 +221,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": P.q_ann_cosine,
         "embedding_neardup": P.q_embedding_neardup,
         "contamination": P.q_contamination,
-        "supplier_sole_returner": P.q_supplier_sole_returner,
+        # window slot (round 4, continuation 5): bucket_join_orders —
+        # the persisted bucketed layout joined with ZERO exchange (a
+        # substrate shape nothing else in-window has). Displaces
+        # supplier_sole_returner (EXISTS-shape adjacent to
+        # orders_semi_join), still oracle-exact below.
+        "bucket_join_orders": P.q_bucket_join_orders,
         "dedup_clusters": P.q_dedup_clusters,
         # window slot (round 4, late): kmeans_assign — broadcast
         # nearest-centroid assignment over the vector column (the
@@ -234,9 +239,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": P.q_kmeans_assign,
         "embedding_unnest": P.q_embedding_unnest,
         "source_mode_lang": P.q_source_mode_lang,
-        "orders_top_revenue": P.q_orders_top_revenue,
+        # window slot: nation_cogroup — 3-way cogroup through ONE
+        # exchange. Displaces orders_top_revenue (grouped top-k
+        # adjacent to top_longest_by_lang), still oracle-exact below.
+        "nation_cogroup": P.q_nation_cogroup,
         "word_heavy_hitters": P.q_word_heavy_hitters,
-        "label_centroid_sums": P.q_label_centroid_sums,
+        # window slot: matview_refresh — incremental view maintenance
+        # (refresh ≡ rebuild). Displaces label_centroid_sums (vector
+        # aggregation adjacent to kmeans_assign), still oracle-exact.
+        "matview_refresh": P.q_matview_refresh,
         # window slot (round 4, late): pagerank_suppliers — the
         # iterative-graph shape (K dependent rounds of exchange join +
         # keyed sum over a materialized invariant edge set), which
@@ -244,7 +255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (fifth member of the window-function family here) demoted
         # below, still value-exact via scripts/check_oracle.py + pytest
         "pagerank_suppliers": P.q_pagerank_suppliers,
-        "customer_order_counts": P.q_customer_order_counts,
+        # window slot: expectations — the Deequ-style validation
+        # report (4 check families in one query). Displaces
+        # customer_order_counts (join-count adjacent to
+        # nation_cogroup), still oracle-exact below.
+        "expectations": P.q_expectations,
         "lang_source_rollup": P.q_lang_source_rollup,
         # window slot (round 4, late): contamination_ngram — Pile-style
         # 13-gram overlap decontamination (gram-set membership semi-join
@@ -278,7 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # below, still value-exact via scripts/check_oracle.py + pytest
         "doc_pack_examples": P.q_doc_pack_examples,
         "doc_word_repetition": P.q_doc_word_repetition,
-        "userday_click_purchase": P.q_userday_click_purchase,
+        # window slot: apply_changeset — MERGE INTO semantics (its
+        # oracle subsumes the FULL OUTER shape of the displaced
+        # userday_click_purchase, which stays oracle-exact below).
+        "apply_changeset": P.q_apply_changeset,
         "dedup_incremental": P.q_dedup_incremental,
         "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
@@ -361,18 +379,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hosts": P.q_link_hosts,
         # round-4 continuation-5: persisted bucketed layout + zero-
         # exchange bucket join (the reusable-partitioning discipline)
-        "bucket_join_orders": P.q_bucket_join_orders,
         # round-4 continuation-5: FineWeb-2-style script census
         "script_census": P.q_script_census,
         "bucket_agg_orders": P.q_bucket_agg_orders,
-        # round-4 continuation-5: Deequ-style expectations report
-        "expectations": P.q_expectations,
-        # round-4 continuation-5: MERGE INTO (upsert/delete changeset)
-        "apply_changeset": P.q_apply_changeset,
         # round-4 continuation-5: URL canonicalization dedup
         "url_canonical_dedup": P.q_url_canonical_dedup,
-        # round-4 continuation-5: N-way cogroup primitive
-        "nation_cogroup": P.q_nation_cogroup,
         # round-4 continuation-5: domain-level quality gate
         "domain_quality_filter": P.q_domain_quality_filter,
         # round-4 continuation-5: grouped exact top-k vocabulary
@@ -380,14 +391,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation-5: dynamic partition pruning (semi-join
         # filter pushed into the scan)
         "orders_dynamic_prune": P.q_orders_dynamic_prune,
-        # round-4 continuation-5: incremental view maintenance
-        "matview_refresh": P.q_matview_refresh,
         # round-4 continuation-5: CSV interchange round-trip
         "csv_roundtrip": P.q_csv_roundtrip,
+        "ipc_roundtrip": P.q_ipc_roundtrip,
+        "events_asof_forward": P.q_events_asof_forward,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
+        "supplier_sole_returner": P.q_supplier_sole_returner,
+        "orders_top_revenue": P.q_orders_top_revenue,
+        "label_centroid_sums": P.q_label_centroid_sums,
+        "customer_order_counts": P.q_customer_order_counts,
+        "userday_click_purchase": P.q_userday_click_purchase,
         "lang_source_counts": P.q_lang_source_counts,
         "dedup_keep_longest": P.q_dedup_keep_longest,
         "events_hourly": P.q_events_hourly,
@@ -732,6 +748,9 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "csv_roundtrip": """
+            SELECT doc_id, lang, text, n_chars FROM documents
+        """,
+        "ipc_roundtrip": """
             SELECT doc_id, lang, text, n_chars FROM documents
         """,
         "matview_refresh": """
@@ -1817,6 +1836,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_asof_forward": """
+            SELECT c.event_id, p.p_ts AS purchase_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF JOIN (SELECT user_id AS p_user, ts AS p_ts FROM events
+                       WHERE event_type = 'purchase') p
+              ON c.user_id = p.p_user AND c.ts <= p.p_ts
         """,
         "lineitem_range_orders": """
             SELECT l.l_orderkey AS li_orderkey, l.l_linenumber,

@@ -3950,3 +3950,55 @@ def q_doc_readability(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) interchange round-trip
+    (sources.io.write_ipc_shards / read_ipc_shards): documents → IPC
+    shards written in-task → file-parallel decode. Oracle = original
+    table; byte-faithful round-trip is the claim."""
+    import hashlib
+    import shutil as _sh
+
+    from ..sources.io import read_ipc_shards, write_ipc_shards
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/fw2_ipc_{tag}"
+    _sh.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+    write_ipc_shards(ds, out)
+    return read_ipc_shards(out)
+
+
+def q_events_asof_forward(sf_dir: str):
+    """Forward as-of join (stages.joins.asof_join direction="forward"):
+    each click event matched to the same user's EARLIEST purchase at or
+    after the click — the other half of the as-of family (the backward
+    direction is events_asof_orders). Tie-proof output: matched
+    purchase ts, not event id."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def purchases_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({"p_user": t["user_id"], "p_ts": t["ts"]})
+
+    purchases = ev.map_batches(purchases_only, batch_format="pyarrow")
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        right_key="p_user",
+        left_ts="ts",
+        right_ts="p_ts",
+        direction="forward",
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "purchase_ts": b["p_ts"]})
+
+    return joined.map_batches(fmt, batch_format="pyarrow")

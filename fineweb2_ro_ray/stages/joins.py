@@ -156,10 +156,13 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     n_partitions: int = 512,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """For each left row, attach the greatest ``right_ts <= left_ts`` row
-    of the same key (backward as-of, inner semantics: unmatched left
-    rows are dropped) — DuckDB ``ASOF JOIN`` equivalent.
+    of the same key (``direction="backward"``, the default — DuckDB
+    ``ASOF JOIN ... >=`` equivalent) or the smallest ``right_ts >=
+    left_ts`` row (``direction="forward"``, the ``<=`` variant). Inner
+    semantics: unmatched left rows are dropped.
 
     One keyed shuffle (see :func:`_bucket_union`); each bucket runs a
     POSITIONS-ONLY sorted ``pd.merge_asof``: pandas sees just the thin
@@ -182,7 +185,7 @@ def asof_join(
         rpos["ri"] = np.arange(rt.num_rows, dtype=np.int64)
         lpos = lpos.sort_values("t", kind="mergesort")
         rpos = rpos.sort_values("t", kind="mergesort")
-        pairs = pd.merge_asof(lpos, rpos, on="t", by="k", direction="backward")
+        pairs = pd.merge_asof(lpos, rpos, on="t", by="k", direction=direction)
         pairs = pairs[pairs["ri"].notna()]  # inner semantics
         li = pa.array(pairs["li"].to_numpy(), type=pa.int64())
         ri = pa.array(pairs["ri"].to_numpy(np.int64), type=pa.int64())
