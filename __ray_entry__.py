@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": P.q_csv_roundtrip,
         "ipc_roundtrip": P.q_ipc_roundtrip,
         "events_asof_forward": P.q_events_asof_forward,
+        "doc_ttr": P.q_doc_ttr,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -445,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_ppl_artifact": P.q_doc_lm_ppl_artifact,
         # rows-only: zlib cannot run in SQL; values pytest-pinned
         "doc_compress_ratio": P.q_doc_compress_ratio,
+        # rows-only: per-line frozen-LID code-switch detection
+        "doc_code_switch": P.q_doc_code_switch,
         "tokenized_examples": P.q_tokenized_examples,
     }
 
@@ -1836,6 +1839,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "doc_ttr": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct
+                FROM w GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   c.n_words, c.n_distinct,
+                   CASE WHEN c.n_words IS NULL OR c.n_words = 0 THEN NULL
+                        ELSE CAST(c.n_distinct AS DOUBLE)
+                             / CAST(c.n_words AS DOUBLE) END AS ttr
+            FROM documents d LEFT JOIN c USING (doc_id)
         """,
         "events_asof_forward": """
             SELECT c.event_id, p.p_ts AS purchase_ts

@@ -4002,3 +4002,118 @@ def q_events_asof_forward(sf_dir: str):
         return pa.table({"event_id": b["event_id"], "purchase_ts": b["p_ts"]})
 
     return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_doc_ttr(sf_dir: str):
+    """Type-token ratio per doc (lexical-diversity quality signal):
+    distinct words / words, the distinct count via the same composite
+    (row, word)-code np.unique kernel as the inverted-index postings —
+    zero shuffle, one float division of exact ints. NULL text → NULL;
+    empty text has ONE empty token (string_split convention), TTR 1."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        null_mask = pc.is_null(text)
+        filled = pc.fill_null(text, "")
+        words = pc.split_pattern(filled, " ")
+        n_words = pc.list_value_length(words).cast(pa.int64())
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        dic = flat.dictionary_encode()
+        idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(len(dic.dictionary), 1)
+        uniq = np.unique(parent * k + idx)
+        n_distinct = np.bincount(
+            (uniq // k).astype(np.int64), minlength=b.num_rows
+        ).astype(np.int64)
+        nw = n_words.to_numpy(zero_copy_only=False)
+        nulls = null_mask.to_numpy(zero_copy_only=False)
+        ttr = np.where(nw > 0, n_distinct / np.maximum(nw, 1), np.nan)
+        ni = pa.scalar(None, pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": pc.if_else(null_mask, ni, n_words),
+                "n_distinct": pc.if_else(
+                    null_mask, ni, pa.array(n_distinct)
+                ),
+                "ttr": pc.if_else(
+                    pc.or_(null_mask, pa.array(nw == 0)),
+                    pa.scalar(None, pa.float64()),
+                    pa.array(ttr),
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_code_switch(sf_dir: str):
+    """Per-line language-ID / code-switch detection (the CCNet
+    per-paragraph LID shape, arXiv:1911.00359 §4.2): each doc's lines
+    run through the frozen LID independently (explode via
+    list_parent_indices, ONE lang_id_batch call per batch — no per-line
+    Python), then per-doc fold: dominant line language, fraction of
+    lines agreeing with it, and a code_switch flag (< 0.8 agreement).
+    Rows-only: the frozen-lexicon LID is not SQL; values are pinned by
+    the LID golden tests + this query's deterministic fold."""
+    from ..functions.lid import lang_id_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        filled = pc.fill_null(text, "")
+        lines = pc.split_pattern(filled, "\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        scored = lang_id_batch(pa.table({"text": flat}))
+        df = pd.DataFrame(
+            {
+                "row": parent,
+                "lang": scored["lang"].to_pandas(),
+            }
+        )
+        # dominant line lang per row with (count desc, lang asc) tie-break
+        cnt = (
+            df.groupby(["row", "lang"]).size().reset_index(name="n")
+            .sort_values(["row", "n", "lang"], ascending=[True, False, True])
+        )
+        top = cnt.groupby("row", as_index=False).first()
+        tot = df.groupby("row", as_index=False).size()
+        m = top.merge(tot, on="row")
+        n_rows = b.num_rows
+        main = np.full(n_rows, None, dtype=object)
+        frac = np.full(n_rows, np.nan)
+        main[m["row"].to_numpy()] = m["lang"].to_numpy()
+        frac[m["row"].to_numpy()] = m["n"].to_numpy() / m["size"].to_numpy()
+        nulls = pc.is_null(text).to_numpy(zero_copy_only=False)
+        ok = ~nulls
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "main_line_lang": pa.array(
+                    [main[i] if ok[i] else None for i in range(n_rows)],
+                    pa.string(),
+                ),
+                "line_agreement": pc.if_else(
+                    pa.array(~ok),
+                    pa.scalar(None, pa.float64()),
+                    pa.array(frac),
+                ),
+                "code_switch": pc.if_else(
+                    pa.array(~ok),
+                    pa.scalar(None, pa.bool_()),
+                    pa.array(frac < 0.8),
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
