@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": P.q_ipc_roundtrip,
         "events_asof_forward": P.q_events_asof_forward,
         "doc_ttr": P.q_doc_ttr,
+        "events_pseudonymized": P.q_events_pseudonymized,
+        "k_anonymity": P.q_k_anonymity,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -1839,6 +1841,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_pseudonymized": """
+            SELECT event_id,
+                   md5('fw2salt:' || CAST(user_id AS VARCHAR)) AS user_token,
+                   event_type
+            FROM events
+        """,
+        "k_anonymity": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY lang, source
+            HAVING count(*) < 5
         """,
         "doc_ttr": """
             WITH w AS (

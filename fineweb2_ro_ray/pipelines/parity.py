@@ -4117,3 +4117,33 @@ def q_doc_code_switch(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_events_pseudonymized(sf_dir: str):
+    """Pseudonymized event log (functions.privacy.pseudonymize): user
+    ids → stable keyed md5 tokens; longitudinal joins survive, raw ids
+    don't ship. Oracle: md5(salt || id) in SQL."""
+    from ..functions.privacy import pseudonymize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_token": pseudonymize(b["user_id"], "fw2salt:"),
+                "event_type": b["event_type"],
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (functions.privacy.k_anonymity_report) on the
+    (lang, source) quasi-identifier pair over documents, k=5: the
+    under-k groups a release must suppress. Oracle: GROUP BY HAVING."""
+    from ..functions.privacy import k_anonymity_report
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return k_anonymity_report(ds, ["lang", "source"], k=5)
