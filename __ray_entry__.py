@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compress_ratio": P.q_doc_compress_ratio,
         # rows-only: per-line frozen-LID code-switch detection
         "doc_code_switch": P.q_doc_code_switch,
+        # rows-only: grouped mergeable quantile sketch (rank-error
+        # bound pytest-pinned vs exact grouped percentiles)
+        "nchars_grouped_sketch": P.q_nchars_grouped_sketch,
         "tokenized_examples": P.q_tokenized_examples,
     }
 

@@ -4147,3 +4147,14 @@ def q_k_anonymity(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "source"])
     return k_anonymity_report(ds, ["lang", "source"], k=5)
+
+
+def q_nchars_grouped_sketch(sf_dir: str):
+    """Per-language approximate percentiles of n_chars via the
+    mergeable ε-summary (stages.sketches.grouped_quantile_sketch) —
+    the 100-TB path beside the exact grouped percentiles. Rows-only:
+    rank error ≤ 2/m is pytest-pinned against the exact answer."""
+    from ..stages.sketches import grouped_quantile_sketch
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantile_sketch(ds, "lang", "n_chars", [25.0, 50.0, 90.0])

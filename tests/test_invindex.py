@@ -177,3 +177,30 @@ def test_compress_ratio_pins_zlib():
         .sort_values("doc_id", ignore_index=True)
     )
     assert got.comp_bytes.tolist()[:3] == [r["comp_bytes"] for r in out[:3]]
+
+
+def test_grouped_quantile_sketch_rank_error():
+    """Per-group sketch quantiles within the 2/m rank-error bound of
+    exact per-group quantiles, across batch layouts; tiny groups are
+    exact (fewer points than m)."""
+    from fineweb2_ro_ray.stages.sketches import grouped_quantile_sketch
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    g = np.where(rng.random(n) < 0.5, "a", "b")
+    # different distributions per group
+    v = np.where(g == "a", rng.normal(100, 10, n), rng.exponential(40, n))
+    tbl = pa.table({"g": g.tolist() + ["tiny"] * 3, "x": v.tolist() + [1.0, 2.0, 3.0]})
+    m = 128
+    for nb in (1, 5):
+        out = grouped_quantile_sketch(
+            ray.data.from_arrow(tbl).repartition(nb), "g", "x", [50.0], m=m
+        )
+        for grp in ("a", "b"):
+            vals = np.sort(v[g == grp])
+            got = out[(out.g == grp) & (out.q == 50.0)]["value"].iloc[0]
+            # rank of the sketch answer must be within 2/m of 0.5
+            rank = np.searchsorted(vals, got) / len(vals)
+            assert abs(rank - 0.5) <= 2.0 / m + 0.01
+        tiny = out[out.g == "tiny"]["value"].iloc[0]
+        assert tiny == 2.0  # exact on tiny groups
