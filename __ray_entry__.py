@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": P.q_doc_ttr,
         "events_pseudonymized": P.q_events_pseudonymized,
         "k_anonymity": P.q_k_anonymity,
+        "corpus_profile": P.q_corpus_profile,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -1856,6 +1857,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, source
             HAVING count(*) < 5
+        """,
+        "corpus_profile": """
+            SELECT 'dup_texts' AS metric,
+                   CAST(count(text) - count(DISTINCT text) AS DOUBLE) AS value
+            FROM documents
+            UNION ALL
+            SELECT 'mean_chars',
+                   CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'n_docs', CAST(count(*) AS DOUBLE) FROM documents
+            UNION ALL
+            SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+            UNION ALL
+            SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'null_texts',
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'total_chars',
+                   CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+            FROM documents
         """,
         "doc_ttr": """
             WITH w AS (

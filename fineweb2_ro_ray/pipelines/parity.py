@@ -4158,3 +4158,92 @@ def q_nchars_grouped_sketch(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     return grouped_quantile_sketch(ds, "lang", "n_chars", [25.0, 50.0, 90.0])
+
+
+def q_corpus_profile(sf_dir: str):
+    """One-stop corpus profile (the publish-time dashboard the
+    expectations gate feeds): doc/lang/source cardinalities, total and
+    mean length, null-text and duplicate-text counts — every metric a
+    count, an exact-int sum, or ONE float division. Distinct-text dups
+    ride a THIN (fingerprint, n) exchange (the snapshot_diff 64-bit
+    content hash; collision trade documented there — the oracle
+    compares real text, so a collision surfaces as a gate mismatch);
+    lang/source sets are tiny and fold on the driver; raw text never
+    leaves the scan."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_exchange_map_groups
+    from ..stages.versioning import content_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "nulls": pa.array(
+                    [pc.sum(pc.is_null(text).cast(pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "chars": pa.array(
+                    [pc.sum(b["n_chars"]).as_py() or 0], pa.int64()
+                ),
+                "langs": pa.array([b["lang"].to_pandas().dropna().unique().tolist()]),
+                "sources": pa.array(
+                    [b["source"].to_pandas().dropna().unique().tolist()]
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    nulls = int(parts["nulls"].sum())
+    chars = int(parts["chars"].sum())
+    langs: set = set()
+    sources: set = set()
+    for row in parts.itertuples(index=False):
+        langs.update(row.langs)
+        sources.update(row.sources)
+
+    # duplicate texts: thin (fp, n) partials -> one keyed exchange ->
+    # per-partition extra = sum(n-1); only ONE int returns per partition
+    def fp_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return pa.table({"fp": pa.array([], pa.string()), "pn": pa.array([], pa.int64())})
+        fp = content_fingerprint(t, ["text"])
+        uniq, cnt = np.unique(fp, return_counts=True)
+        return pa.table(
+            {
+                "fp": pa.array([str(u) for u in uniq], pa.string()),
+                "pn": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def extra_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp", as_index=False)["pn"].sum()
+        return pd.DataFrame({"extra": [int((g["pn"] - 1).clip(lower=0).sum())]})
+
+    out_schema = pa.schema([("extra", pa.int64())])
+    dup_texts = int(
+        hash_exchange_map_groups(
+            ds.map_batches(fp_partial, batch_format="pyarrow"),
+            extra_part,
+            key="fp",
+            out_schema=out_schema,
+        ).sum("extra")
+        or 0
+    )
+    rows = [
+        ("dup_texts", float(dup_texts)),
+        ("mean_chars", float(chars) / float(n) if n else float("nan")),
+        ("n_docs", float(n)),
+        ("n_langs", float(len(langs))),
+        ("n_sources", float(len(sources))),
+        ("null_texts", float(nulls)),
+        ("total_chars", float(chars)),
+    ]
+    return pd.DataFrame(rows, columns=["metric", "value"])
