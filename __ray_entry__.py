@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pseudonymized": P.q_events_pseudonymized,
         "k_anonymity": P.q_k_anonymity,
         "corpus_profile": P.q_corpus_profile,
+        "nchars_zscore_by_lang": P.q_nchars_zscore_by_lang,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -1857,6 +1858,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, source
             HAVING count(*) < 5
+        """,
+        "nchars_zscore_by_lang": """
+            WITH s AS (
+                SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                       sum(CAST(n_chars AS HUGEINT)) AS sx,
+                       sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang,
+                   CASE WHEN s.n * s.sxx - s.sx * s.sx <= 0 THEN NULL
+                        ELSE (CAST(d.n_chars AS DOUBLE)
+                              - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+                             / (sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+                                / CAST(s.n AS DOUBLE))
+                        END AS z
+            FROM documents d JOIN s USING (lang)
         """,
         "corpus_profile": """
             SELECT 'dup_texts' AS metric,

@@ -4247,3 +4247,65 @@ def q_corpus_profile(sf_dir: str):
         ("total_chars", float(chars)),
     ]
     return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+def q_nchars_zscore_by_lang(sf_dir: str):
+    """Per-group feature normalization (the ML-preprocessing staple):
+    z-score n_chars within each language. Two passes — per-group exact
+    integer (n, Σx, Σx²) partials folded on the driver, the tiny
+    (group → mean, std) map broadcast via closure into one streamed
+    normalize pass. mean, std and z are each ONE fixed IEEE expression
+    over exact ints (population std, the SQL mirror), so values are
+    bit-equal to the oracle. Constant-x groups → NULL z."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["lang", "n_chars"]).to_pandas()
+        g = df.groupby("lang", as_index=False)["n_chars"].agg(
+            n="size", sx="sum"
+        )
+        g["sxx"] = (
+            df.assign(sq=df.n_chars.astype("int64") ** 2)
+            .groupby("lang")["sq"]
+            .sum()
+            .to_numpy()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc: dict[str, list[int]] = {}
+    for r in parts.itertuples(index=False):
+        a = acc.setdefault(r.lang, [0, 0, 0])
+        a[0] += int(r.n)
+        a[1] += int(r.sx)
+        a[2] += int(r.sxx)
+    stats = {}
+    for g, (n, sx, sxx) in acc.items():
+        mean = float(sx) / float(n)
+        var_num = n * sxx - sx * sx
+        std = math.sqrt(float(var_num)) / float(n)
+        stats[g] = (mean, std)
+
+    def norm(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = b["lang"].to_pandas()
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype("float64")
+        mean = lang.map(lambda g: stats.get(g, (np.nan, np.nan))[0]).to_numpy()
+        std = lang.map(lambda g: stats.get(g, (np.nan, np.nan))[1]).to_numpy()
+        z = np.where(std > 0, (x - mean) / std, np.nan)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "z": pc.if_else(
+                    pa.array(~(std > 0)),
+                    pa.scalar(None, pa.float64()),
+                    pa.array(z),
+                ),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
