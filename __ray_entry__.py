@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": P.q_k_anonymity,
         "corpus_profile": P.q_corpus_profile,
         "nchars_zscore_by_lang": P.q_nchars_zscore_by_lang,
+        "lang_source_cube": P.q_lang_source_cube,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -1858,6 +1859,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, source
             HAVING count(*) < 5
+        """,
+        "lang_source_cube": """
+            SELECT lang, source,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY CUBE(lang, source)
         """,
         "nchars_zscore_by_lang": """
             WITH s AS (

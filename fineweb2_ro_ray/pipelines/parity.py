@@ -4309,3 +4309,68 @@ def q_nchars_zscore_by_lang(sf_dir: str):
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def q_lang_source_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) with GROUPING ids — the full
+    grouping-sets lattice in ONE scan (unlike the rollup query's
+    three-plan union): each batch pre-aggregates its detail counts and
+    DERIVES the three coarser sets from them map-side, emitting one
+    thin (lang, source, gid, pn) partial stream; one keyed exchange
+    sums. gid = GROUPING(lang)*2 + GROUPING(source), matching the SQL
+    function."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["lang", "source"]).to_pandas()
+        detail = df.groupby(["lang", "source"], as_index=False, dropna=False).size()
+        detail.columns = ["lang", "source", "pn"]
+        per_lang = detail.groupby("lang", as_index=False, dropna=False)["pn"].sum()
+        per_lang["source"] = None
+        per_src = detail.groupby("source", as_index=False, dropna=False)["pn"].sum()
+        per_src["lang"] = None
+        total = pd.DataFrame(
+            {"lang": [None], "source": [None], "pn": [int(detail["pn"].sum())]}
+        )
+        detail["gid"] = 0
+        per_lang["gid"] = 1   # GROUPING(source) = 1
+        per_src["gid"] = 2    # GROUPING(lang) = 1
+        total["gid"] = 3
+        out = pd.concat(
+            [detail, per_lang, per_src, total], ignore_index=True
+        )[["lang", "source", "gid", "pn"]]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("gid", pa.int64()),
+                    ("pn", pa.int64()),
+                ]
+            )
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("gid", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["gid", "lang", "source"], as_index=False, dropna=False)[
+            "pn"
+        ].sum()
+        g = g.rename(columns={"pn": "n"})
+        return g[["lang", "source", "gid", "n"]].astype({"n": "int64", "gid": "int64"})
+
+    from ..stages.exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        parts, reduce_part, key=["gid", "lang", "source"], out_schema=out_schema
+    )
