@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_profile": P.q_corpus_profile,
         "nchars_zscore_by_lang": P.q_nchars_zscore_by_lang,
         "lang_source_cube": P.q_lang_source_cube,
+        "dedup_funnel": P.q_dedup_funnel,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -1859,6 +1860,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, source
             HAVING count(*) < 5
+        """,
+        "dedup_funnel": r"""
+            WITH cu AS (
+                SELECT doc_id, text, n_chars,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'http://'
+                             ELSE 'https://' END)
+                       || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                       || source || '.example.com'
+                       || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                       || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+                       || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                               THEN '?utm=' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END) AS url
+                FROM documents
+            ), canon AS (
+                SELECT doc_id, text, n_chars,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(url,
+                               '^[a-z][a-z0-9+.-]*://', '', 'g'),
+                               '^www\.', '', 'g'),
+                               ':(80|443)/', '/', 'g'),
+                               ':(80|443)$', '', 'g'),
+                               '\?.*$', '', 'g'),
+                               '/+$', '', 'g') AS canon_url
+                FROM cu WHERE text IS NOT NULL
+            ), s1 AS (
+                SELECT * FROM canon
+                QUALIFY row_number()
+                    OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+            ), s2 AS (
+                SELECT * FROM s1
+                QUALIFY row_number()
+                    OVER (PARTITION BY text ORDER BY doc_id) = 1
+            )
+            SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            UNION ALL
+            SELECT '1_url_canonical', CAST(count(*) AS BIGINT) FROM s1
+            UNION ALL
+            SELECT '2_exact_text', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT '3_min_length', CAST(count(*) AS BIGINT)
+            FROM s2 WHERE n_chars >= 100
         """,
         "lang_source_cube": """
             SELECT lang, source,

@@ -4374,3 +4374,82 @@ def q_lang_source_cube(sf_dir: str):
     return hash_exchange_map_groups(
         parts, reduce_part, key=["gid", "lang", "source"], out_schema=out_schema
     )
+
+
+def q_dedup_funnel(sf_dir: str):
+    """The composed dedup funnel a real curation run reports: docs
+    remaining after each stage — input → URL-canonical keep-min →
+    exact-text dedup → min-length gate. Each stage reuses the engine
+    operator (canonicalize_urls + thin keyed exchanges); the counts are
+    folded into one (stage, n_docs) report. Oracle: the same funnel as
+    chained CTEs."""
+    import pandas as pd
+
+    from ..functions.url import build_colliding_urls, canonicalize_urls
+    from ..stages.exchange import hash_exchange_map_groups
+    from ..stages.versioning import content_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text", "n_chars"])
+
+    def thin(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        fp = content_fingerprint(t, ["text"]) if t.num_rows else None
+        fp_col = (
+            pa.array([str(x) for x in fp], pa.string())
+            if fp is not None
+            else pa.array([], pa.string())
+        )
+        # re-attach canon for the filtered rows by re-deriving on t
+        canon_t = canonicalize_urls(build_colliding_urls(t))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "canon": canon_t,
+                "fp": fp_col,
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    thin_ds = ds.map_batches(thin, batch_format="pyarrow")
+    n_input = int(_read(sf_dir, "documents", ["doc_id"]).count())
+
+    # stage 1: keep min doc_id per canonical url
+    s1_schema = pa.schema(
+        [("doc_id", pa.int64()), ("fp", pa.string()), ("n_chars", pa.int64())]
+    )
+
+    def keep_min_canon(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.sort_values("doc_id").drop_duplicates("canon", keep="first")
+        return k[["doc_id", "fp", "n_chars"]]
+
+    s1 = hash_exchange_map_groups(
+        thin_ds, keep_min_canon, key="canon", out_schema=s1_schema
+    )
+    n_s1 = int(s1.count())
+
+    # stage 2: keep min doc_id per exact text (among stage-1 survivors)
+    s2_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+
+    def keep_min_fp(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.sort_values("doc_id").drop_duplicates("fp", keep="first")
+        return k[["doc_id", "n_chars"]]
+
+    s2 = hash_exchange_map_groups(s1, keep_min_fp, key="fp", out_schema=s2_schema)
+    n_s2 = int(s2.count())
+
+    # stage 3: length gate
+    n_s3 = int(
+        s2.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_chars"], 100)),
+            batch_format="pyarrow",
+        ).count()
+    )
+    return pd.DataFrame(
+        [
+            ("0_input", n_input),
+            ("1_url_canonical", n_s1),
+            ("2_exact_text", n_s2),
+            ("3_min_length", n_s3),
+        ],
+        columns=["stage", "n_docs"],
+    ).astype({"n_docs": "int64"})
