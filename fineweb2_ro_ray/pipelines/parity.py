@@ -4199,14 +4199,17 @@ def q_corpus_profile(sf_dir: str):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n = int(parts["n"].sum())
-    nulls = int(parts["nulls"].sum())
-    chars = int(parts["chars"].sum())
+    # an all-empty corpus produces zero partial blocks -> column-less df
+    empty = "n" not in parts.columns
+    n = 0 if empty else int(parts["n"].sum())
+    nulls = 0 if empty else int(parts["nulls"].sum())
+    chars = 0 if empty else int(parts["chars"].sum())
     langs: set = set()
     sources: set = set()
-    for row in parts.itertuples(index=False):
-        langs.update(row.langs)
-        sources.update(row.sources)
+    if not empty:
+        for row in parts.itertuples(index=False):
+            langs.update(row.langs)
+            sources.update(row.sources)
 
     # duplicate texts: thin (fp, n) partials -> one keyed exchange ->
     # per-partition extra = sum(n-1); only ONE int returns per partition

@@ -443,10 +443,18 @@ def word_counts(
         .sum()
         .rename(columns={"partial_n": "n"}),
         key="word",
+        # schema pin: an all-empty corpus otherwise yields a column-less
+        # frame and the top-k sort below KeyErrors (empty-input sweep)
+        out_schema=pa.schema([("word", pa.string()), ("n", pa.int64())]),
     )
     if top is None:
         return merged
     df = merged.to_pandas()
+    if "n" not in df.columns:
+        # Ray's to_pandas on a 0-row dataset drops columns even with a
+        # pinned schema — rebuild the empty frame shape (empty-input
+        # sweep)
+        df = pd.DataFrame({"word": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")})
     df = df.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(top)
     return df.reset_index(drop=True)
 
