@@ -54,20 +54,21 @@ def build_html(b: pa.Table) -> pa.Array:
     parts = [
         pa.array(["<html><head><title>doc "] * len(b), pa.string()),
         did,
-        pa.array(["</title><style>p { color: #333; }</style></head>"] * len(b)),
-        pa.array(["<body><script>if (1 < 2) { var q = \"</p>\"; }</script>"] * len(b)),
-        pa.array(["<h1>"] * len(b)),
+        pa.array(["</title><style>p { color: #333; }</style></head>"] * len(b), pa.string()),
+        pa.array(["<body><script>if (1 < 2) { var q = \"</p>\"; }</script>"] * len(b), pa.string()),
+        pa.array(["<h1>"] * len(b), pa.string()),
         _s(b["lang"]),
-        pa.array([" &amp; "] * len(b)),
+        pa.array([" &amp; "] * len(b), pa.string()),
         _s(b["source"]),
-        pa.array(["</h1><!-- crawl "] * len(b)),
+        pa.array(["</h1><!-- crawl "] * len(b), pa.string()),
         did,
-        pa.array([" --><p>"] * len(b)),
+        pa.array([" --><p>"] * len(b), pa.string()),
         _s(b["text"]),
         pa.array(
-            ['</p><div class="f">&lt;tag&gt;&nbsp;&quot;q&quot; &#39;a&#39;</div>'] * len(b)
+            ['</p><div class="f">&lt;tag&gt;&nbsp;&quot;q&quot; &#39;a&#39;</div>'] * len(b),
+            pa.string(),
         ),
-        pa.array(["</body></html>"] * len(b)),
+        pa.array(["</body></html>"] * len(b), pa.string()),
     ]
     return pc.binary_join_element_wise(*parts, "")
 
@@ -139,31 +140,31 @@ def build_nav(b: pa.Table) -> pa.Array:
     did = pc.cast(_s(b["doc_id"]), pa.string())
     n = len(b)
     base = pc.binary_join_element_wise(
-        pa.array(['<nav><a href="https://'] * n),
+        pa.array(['<nav><a href="https://'] * n, pa.string()),
         _s(b["source"]),
-        pa.array([".example.com/"] * n),
+        pa.array([".example.com/"] * n, pa.string()),
         _s(b["lang"]),
-        pa.array(["/"] * n),
+        pa.array(["/"] * n, pa.string()),
         did,
-        pa.array(['">next</a><a href="mailto:x@y">m</a>'] * n),
+        pa.array(['">next</a><a href="mailto:x@y">m</a>'] * n, pa.string()),
         "",
     )
     ref = pc.binary_join_element_wise(
-        pa.array(['<a href="http://ref.'] * n),
+        pa.array(['<a href="http://ref.'] * n, pa.string()),
         _s(b["lang"]),
-        pa.array([".org/p?id="] * n),
+        pa.array([".org/p?id="] * n, pa.string()),
         did,
-        pa.array(['">ref</a>'] * n),
+        pa.array(['">ref</a>'] * n, pa.string()),
         "",
     )
-    broken = pa.array(['<a href="broken'] * n)
+    broken = pa.array(['<a href="broken'] * n, pa.string())
     is3 = pc.equal(
         pc.subtract(_s(b["doc_id"]), pc.multiply(pc.divide(_s(b["doc_id"]), 3), 3)),
         0,
     )
     tail = pc.if_else(is3, ref, broken)
     return pc.binary_join_element_wise(
-        base, tail, pa.array(["</nav>"] * n), ""
+        base, tail, pa.array(["</nav>"] * n, pa.string()), ""
     )
 
 

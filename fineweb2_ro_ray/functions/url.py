@@ -168,29 +168,29 @@ def build_colliding_urls(t: pa.Table) -> pa.Array:
 
     n = len(ids)
     scheme = pc.if_else(
-        pc.equal(mod(2), 0), pa.array(["http://"] * n), pa.array(["https://"] * n)
+        pc.equal(mod(2), 0), pa.array(["http://"] * n, pa.string()), pa.array(["https://"] * n, pa.string())
     )
     www = pc.if_else(
-        pc.equal(mod(3), 0), pa.array(["www."] * n), pa.array([""] * n)
+        pc.equal(mod(3), 0), pa.array(["www."] * n, pa.string()), pa.array([""] * n, pa.string())
     )
     port = pc.if_else(
-        pc.equal(mod(5), 0), pa.array([":443"] * n), pa.array([""] * n)
+        pc.equal(mod(5), 0), pa.array([":443"] * n, pa.string()), pa.array([""] * n, pa.string())
     )
     bucket = pc.cast(mod(50), pa.string())
     q = pc.if_else(
         pc.equal(mod(7), 0),
         pc.binary_join_element_wise(
-            pa.array(["?utm="] * n), pc.cast(ids, pa.string()), ""
+            pa.array(["?utm="] * n, pa.string()), pc.cast(ids, pa.string()), ""
         ),
-        pa.array([""] * n),
+        pa.array([""] * n, pa.string()),
     )
     slash = pc.if_else(
-        pc.equal(mod(11), 0), pa.array(["/"] * n), pa.array([""] * n)
+        pc.equal(mod(11), 0), pa.array(["/"] * n, pa.string()), pa.array([""] * n, pa.string())
     )
     src = t["source"]
     if isinstance(src, pa.ChunkedArray):
         src = src.combine_chunks()
     return pc.binary_join_element_wise(
-        scheme, www, src, pa.array([".example.com"] * n), port,
-        pa.array(["/page/"] * n), bucket, slash, q, "",
+        scheme, www, src, pa.array([".example.com"] * n, pa.string()), port,
+        pa.array(["/page/"] * n, pa.string()), bucket, slash, q, "",
     )

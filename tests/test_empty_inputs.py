@@ -68,3 +68,52 @@ def test_query_on_empty_corpus(empty_sf, qname, want):
     if qname == "q_corpus_profile":
         vals = dict(zip(df.metric, df.value))
         assert vals["n_docs"] == 0.0 and vals["dup_texts"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def allnull_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("allnull_sf")
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([None, None, None], pa.string()),
+            "lang": pa.array(["ro", "en", None], pa.string()),
+            "source": pa.array(["s0", None, "s1"], pa.string()),
+            "n_chars": pa.array([0, 0, 0], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+NULL_CASES = [
+    "q_doc_stats",            # null stats propagate
+    "q_word_counts_top",      # no tokens at all
+    "q_dedup_exact",
+    "q_lang_top_words",
+    "q_doc_ttr",
+    "q_script_census",
+    "q_doc_readability",
+    "q_doc_compress_ratio",
+    "q_corpus_profile",
+    "q_dedup_funnel",
+    "q_html_extract",         # NULL text -> NULL html -> NULL extract
+]
+
+
+@pytest.mark.parametrize("qname", NULL_CASES)
+def test_query_on_allnull_text(allnull_sf, qname):
+    fn = getattr(P, qname)
+    res = fn(allnull_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    # must not crash; per-doc queries keep their 3 rows, aggregates
+    # produce a well-defined frame
+    if qname in ("q_doc_stats", "q_doc_ttr", "q_script_census",
+                 "q_doc_readability", "q_doc_compress_ratio", "q_html_extract"):
+        assert len(df) == 3
+    if qname == "q_corpus_profile":
+        vals = dict(zip(df.metric, df.value))
+        assert vals["null_texts"] == 3.0 and vals["dup_texts"] == 0.0
+    if qname == "q_dedup_funnel":
+        # all texts null -> funnel stages after input are 0
+        assert df.n_docs.tolist()[0] == 3 and df.n_docs.tolist()[1:] == [0, 0, 0]
