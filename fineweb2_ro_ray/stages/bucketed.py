@@ -19,6 +19,13 @@ atomic + idempotent (one deterministic file per bucket); a build
 clears stale buckets first. Buckets with no rows write nothing —
 readers treat a missing file as empty.
 
+Sizing rule: one bucket pair is joined in ONE task, so pick
+``n_buckets`` so each side's largest bucket is a few hundred MB
+(``total_bytes / 256 MB``, rounded up — the same 256 MB discipline as
+the exchange's reducer auto-sizing); a pathological hot key can still
+concentrate one bucket, in which case the key belongs in a broadcast
+or salted-exchange join, not a bucketed layout.
+
 ``bucket_join`` REFUSES key-incompatible inputs (different n_buckets
 or different key hash discipline) instead of silently mis-joining:
 compatibility is exactly "same n_buckets", since the hash is pinned
