@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_zscore_by_lang": P.q_nchars_zscore_by_lang,
         "lang_source_cube": P.q_lang_source_cube,
         "dedup_funnel": P.q_dedup_funnel,
+        "events_overlap_join": P.q_events_overlap_join,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -1860,6 +1861,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, source
             HAVING count(*) < 5
+        """,
+        "events_overlap_join": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND c.ts < p.ts + INTERVAL 30 MINUTE
+             AND p.ts < c.ts + INTERVAL 30 MINUTE
         """,
         "dedup_funnel": r"""
             WITH cu AS (

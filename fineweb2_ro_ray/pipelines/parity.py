@@ -4456,3 +4456,49 @@ def q_dedup_funnel(sf_dir: str):
         ],
         columns=["stage", "n_docs"],
     ).astype({"n_docs": "int64"})
+
+
+def q_events_overlap_join(sf_dir: str):
+    """Interval-overlap join (stages.joins.interval_overlap_join — the
+    interval×interval sibling of the point-in-interval range join):
+    every (click, purchase) pair of the same user whose 30-minute
+    activity windows intersect. Oracle: the plain overlap-predicate
+    join."""
+    from ..stages.joins import interval_overlap_join
+
+    W = 30 * 60 * 1_000_000  # 30 min in µs
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(kind: str, prefix: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind))
+            ts = pc.cast(t["ts"], pa.int64())
+            return pa.table(
+                {
+                    f"{prefix}id": t["event_id"],
+                    f"{prefix}user": t["user_id"],
+                    f"{prefix}s": ts,
+                    f"{prefix}e": pc.add(ts, W),
+                }
+            )
+
+        return f
+
+    clicks = ev.map_batches(prep("click", "c_"), batch_format="pyarrow")
+    purch = ev.map_batches(prep("purchase", "p_"), batch_format="pyarrow")
+    joined = interval_overlap_join(
+        clicks,
+        purch,
+        key="c_user",
+        right_key="p_user",
+        left_start="c_s",
+        left_end="c_e",
+        right_start="p_s",
+        right_end="p_e",
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"click_id": b["c_id"], "purchase_id": b["p_id"]})
+
+    return joined.map_batches(fmt, batch_format="pyarrow")

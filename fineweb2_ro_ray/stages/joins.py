@@ -609,3 +609,98 @@ def cogroup(
     return hash_exchange_map_groups(
         tagged, fn, key="k", out_schema=out_schema, n_reducers=n_reducers
     )
+
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    right_key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    n_partitions: int = 512,
+) -> ray.data.Dataset:
+    """Interval × interval OVERLAP join: every (left, right) pair with
+    equal keys whose half-open intervals intersect
+    (``l.start < r.end AND r.start < l.end``) — the two-sided sibling
+    of :func:`range_join` (point-in-interval). Same single-shuffle
+    shape: one keyed exchange co-locates both sides, the per-partition
+    kernel is a sorted sweep.
+
+    Kernel: right side sorted by (key, start); for each left interval,
+    candidates are the right rows of the same key with
+    ``r.start < l.end`` (prefix via searchsorted on the sorted starts)
+    — filtered to ``r.end > l.start``. Output cost is the true pair
+    count; the searchsorted prefix bound keeps the candidate scan
+    near-output-linear for non-pathological interval length
+    distributions (a key where every interval overlaps every other is
+    inherently quadratic in its OWN partition only)."""
+    both, l_cols, r_cols, out_schema = _bucket_union(
+        left, right, key, right_key, n_partitions
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        lt, rt = _split_sides_arrow(g, l_cols, r_cols)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        # shared key factorization across both sides
+        lk = pd.factorize(
+            pd.concat(
+                [
+                    pd.Series(_col_np(lt, key)),
+                    pd.Series(_col_np(rt, right_key)),
+                ],
+                ignore_index=True,
+            )
+        )[0]
+        lcode, rcode = lk[: lt.num_rows], lk[lt.num_rows :]
+        rs = _col_np(rt, right_start)
+        re_ = _col_np(rt, right_end)
+        order = np.lexsort((rs, rcode))
+        rcode_s, rs_s, re_s = rcode[order], rs[order], re_[order]
+        # per-key block bounds in the sorted right side
+        ls = _col_np(lt, left_start)
+        le = _col_np(lt, left_end)
+        # loop over KEYS (not rows): vectorized interior per key —
+        # cuts via one searchsorted over the key's sorted starts,
+        # candidate expansion via the repeat+arange trick, one overlap
+        # filter. Python iterations = distinct keys in the partition.
+        li_out, ri_out = [], []
+        lorder = np.argsort(lcode, kind="stable")
+        lcode_s = lcode[lorder]
+        for kcode in np.unique(lcode_s):
+            llo = int(np.searchsorted(lcode_s, kcode, side="left"))
+            lhi = int(np.searchsorted(lcode_s, kcode, side="right"))
+            rlo = int(np.searchsorted(rcode_s, kcode, side="left"))
+            rhi = int(np.searchsorted(rcode_s, kcode, side="right"))
+            if rlo == rhi or llo == lhi:
+                continue
+            lidx = lorder[llo:lhi]
+            cuts = np.searchsorted(rs_s[rlo:rhi], le[lidx], side="left")
+            total = int(cuts.sum())
+            if total == 0:
+                continue
+            # expansion: for left j, candidates rlo..rlo+cuts[j]
+            reps = np.repeat(np.arange(len(lidx)), cuts)
+            offs = np.concatenate(([0], np.cumsum(cuts)[:-1]))
+            cand = rlo + (np.arange(total) - np.repeat(offs, cuts))
+            keep = re_s[cand] > ls[lidx][reps]
+            if keep.any():
+                li_out.append(lidx[reps[keep]])
+                ri_out.append(order[cand[keep]])
+        if not li_out:
+            return out_schema.empty_table()
+        li = pa.array(np.concatenate(li_out), pa.int64())
+        ri = pa.array(np.concatenate(ri_out), pa.int64())
+        cols = {c: pc.take(lt[c], li) for c in l_cols}
+        cols.update({c: pc.take(rt[c], ri) for c in r_cols})
+        return pa.table(cols).cast(out_schema)
+
+    from .exchange import hash_exchange_map_groups
+
+    return hash_exchange_map_groups(
+        both, per_part, key="part", batch_format="pyarrow", out_schema=out_schema
+    )

@@ -179,3 +179,49 @@ def test_cogroup_three_sides():
         )
         # k=3 has no side-0 row -> dropped; k=1: 2 b-rows; k=2: 3 c-rows
         assert got.values.tolist() == [[1, "one", 2, 0], [2, "two", 0, 3]]
+
+
+def test_interval_overlap_join_edges():
+    """Hand-built intervals: strict half-open overlap (touching
+    endpoints do NOT match), multi-key isolation, all-pairs within a
+    dense key, empty sides."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.joins import interval_overlap_join
+
+    left = pa.table(
+        {
+            "lid": [1, 2, 3, 4],
+            "lk": ["u", "u", "v", "w"],
+            "ls": [0, 100, 0, 0],
+            "le": [10, 110, 10, 10],
+        }
+    )
+    right = pa.table(
+        {
+            "rid": [10, 11, 12, 13, 14],
+            "rk": ["u", "u", "u", "v", "x"],
+            "rs": [5, 10, 105, 3, 0],
+            "re": [7, 20, 106, 4, 10],
+        }
+    )
+    got = (
+        interval_overlap_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            key="lk",
+            right_key="rk",
+            left_start="ls",
+            left_end="le",
+            right_start="rs",
+            right_end="re",
+            n_partitions=7,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"], ignore_index=True)
+    )
+    pairs = list(map(tuple, got[["lid", "rid"]].values.tolist()))
+    # lid1 [0,10): overlaps rid10 [5,7); rid11 [10,20) touches -> NO
+    # lid2 [100,110): overlaps rid12 [105,106)
+    # lid3 v [0,10): overlaps rid13 [3,4); lid4 w: no right rows
+    assert pairs == [(1, 10), (2, 12), (3, 13)]
