@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_cube": P.q_lang_source_cube,
         "dedup_funnel": P.q_dedup_funnel,
         "events_overlap_join": P.q_events_overlap_join,
+        "doc_tree_depths": P.q_doc_tree_depths,
         # round-4 continuation-5: readability quality signal
         "doc_readability": P.q_doc_readability,
         # round-4 continuation-5 rotation: demoted but still
@@ -1861,6 +1862,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, source
             HAVING count(*) < 5
+        """,
+        "doc_tree_depths": """
+            WITH RECURSIVE r AS (
+                SELECT doc_id AS node, doc_id AS cur, CAST(0 AS BIGINT) AS d
+                FROM documents
+                UNION ALL
+                SELECT node, cur // 10, d + 1 FROM r WHERE cur >= 10
+            )
+            SELECT node AS doc_id, CAST(max(d) AS BIGINT) AS depth
+            FROM r GROUP BY node
         """,
         "events_overlap_join": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id

@@ -4502,3 +4502,30 @@ def q_events_overlap_join(sf_dir: str):
         return pa.table({"click_id": b["c_id"], "purchase_id": b["p_id"]})
 
     return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_doc_tree_depths(sf_dir: str):
+    """Pointer-doubling tree depth (stages.graph.tree_depths — the
+    LOG-round iterative shape next to pagerank's linear rounds): a
+    derived forest over doc ids (parent = doc_id // 10, ids < 10 are
+    roots) resolved in ⌈log2 64⌉ cogroup rounds. Oracle: recursive
+    CTE walking the same chain."""
+    from ..stages.graph import tree_depths
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        par = pc.if_else(pc.less(d, 10), d, pc.divide(d, 10))
+        return pa.table({"node": d, "parent": par})
+
+    out = tree_depths(
+        ds.map_batches(edges, batch_format="pyarrow"), max_depth=64
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "depth": b["depth"]})
+
+    return out.map_batches(fmt, batch_format="pyarrow")

@@ -225,3 +225,27 @@ def test_interval_overlap_join_edges():
     # lid2 [100,110): overlaps rid12 [105,106)
     # lid3 v [0,10): overlaps rid13 [3,4); lid4 w: no right rows
     assert pairs == [(1, 10), (2, 12), (3, 13)]
+
+
+def test_tree_depths_pointer_doubling():
+    """Deep chain (depth 40 > 2^5) resolves exactly in 6 rounds;
+    multiple roots; forest isolation; root column correct."""
+    import pandas as pd
+
+    from fineweb2_ro_ray.stages.graph import tree_depths
+
+    # chain 0<-1<-2<-...<-40 (parent(i)=i-1, root 0) + a star at 100
+    nodes = list(range(41)) + [100, 101, 102]
+    parents = [0] + list(range(40)) + [100, 100, 100]
+    t = pa.table({"node": nodes, "parent": parents})
+    got = (
+        tree_depths(ray.data.from_arrow(t).repartition(3), max_depth=64)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    chain = got[got.node <= 40]
+    assert chain.depth.tolist() == list(range(41))
+    assert (chain.root == 0).all()
+    star = got[got.node >= 100]
+    assert star.depth.tolist() == [0, 1, 1]
+    assert (star.root == 100).all()
