@@ -190,7 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep-rule family keeps dedup_exact + dedup_clusters
         # in-window), still value-exact via scripts/check_oracle.py.
         "index_lookup": P.q_index_lookup,
-        "jaccard_pairs": P.q_jaccard_pairs,
+        # window slot (continuation 5, late): doc_tree_depths — the
+        # LOG-round pointer-doubling iterative shape (vs pagerank's
+        # linear rounds). Displaces jaccard_pairs (similarity-join
+        # family keeps editdist_pairs + embedding_neardup in-window),
+        # still oracle-exact below.
+        "doc_tree_depths": P.q_doc_tree_depths,
         # window slot (round 4, continuation 5): lang_regression —
         # grouped OLS from exact integer sufficient stats (per-group
         # float closed form; score_correlations covers only the global
@@ -238,7 +243,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/check_oracle.py + pytest.
         "kmeans_assign": P.q_kmeans_assign,
         "embedding_unnest": P.q_embedding_unnest,
-        "source_mode_lang": P.q_source_mode_lang,
+        # window slot (continuation 5, late): events_overlap_join —
+        # interval×interval overlap (the two-sided sibling of the
+        # point-in-interval range join). Displaces source_mode_lang
+        # (grouped-mode, shape-adjacent to the grouped-count family),
+        # still oracle-exact below.
+        "events_overlap_join": P.q_events_overlap_join,
         # window slot: nation_cogroup — 3-way cogroup through ONE
         # exchange. Displaces orders_top_revenue (grouped top-k
         # adjacent to top_longest_by_lang), still oracle-exact below.
@@ -409,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation-5 rotation: demoted but still
         # oracle-exact via scripts/check_oracle.py + pytest
         "supplier_sole_returner": P.q_supplier_sole_returner,
+        "source_mode_lang": P.q_source_mode_lang,
+        "jaccard_pairs": P.q_jaccard_pairs,
         "orders_top_revenue": P.q_orders_top_revenue,
         "label_centroid_sums": P.q_label_centroid_sums,
         "customer_order_counts": P.q_customer_order_counts,
