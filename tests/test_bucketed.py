@@ -249,3 +249,32 @@ def test_tree_depths_pointer_doubling():
     star = got[got.node >= 100]
     assert star.depth.tolist() == [0, 1, 1]
     assert (star.root == 100).all()
+
+
+def test_asof_nearest_direction():
+    """direction='nearest' (the third merge_asof mode) through the
+    same positions-only exchange kernel: each left row attaches the
+    right row with minimal |Δts| of its key."""
+    from fineweb2_ro_ray.stages.joins import asof_join
+
+    left = pa.table(
+        {"lid": [1, 2, 3], "k": ["u", "u", "u"], "lts": [10, 55, 300]}
+    )
+    right = pa.table(
+        {"rid": [7, 8, 9], "rk": ["u", "u", "u"], "rts": [0, 60, 200]}
+    )
+    got = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            key="k",
+            right_key="rk",
+            left_ts="lts",
+            right_ts="rts",
+            direction="nearest",
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    # 10 -> 0 (|10|<|50|); 55 -> 60 (|5|); 300 -> 200
+    assert got[["lid", "rid"]].values.tolist() == [[1, 7], [2, 8], [3, 9]]
