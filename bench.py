@@ -174,6 +174,10 @@ def run_bench() -> dict:
         # inverted-index build + pruned lookup over documents
         ("html_extract", P.q_html_extract),
         ("index_lookup", P.q_index_lookup),
+        # continuation 5, late: interval-overlap join over events and
+        # the log-round pointer-doubling resolve over documents
+        ("events_overlap_join", P.q_events_overlap_join),
+        ("doc_tree_depths", P.q_doc_tree_depths),
         # round-3 continuation: cross-snapshot dedup at transcript scale
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
         # round-3 continuation: duplicate-span removal at transcript scale
