@@ -203,7 +203,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_rolling, events_sessions, events_global_rank
         # in-window), still value-exact via scripts/check_oracle.py.
         "lang_regression": P.q_lang_regression,
-        "events_sessions": P.q_events_sessions,
+        # window slot (round 5, VERDICT r4 #5): events_lag_delta — the
+        # dedicated LAG/LEAD window op (per-key prev/next row reference
+        # + bit-exact cents delta, honest NULLs at key boundaries),
+        # oracle-exact vs DuckDB LAG()/LEAD() OVER. Displaces
+        # events_sessions (gap-based sessionization — whose internal
+        # primitive IS this lag diff; window family keeps
+        # events_rolling + events_global_rank + events_lag_delta
+        # in-window), still value-exact via scripts/check_oracle.py +
+        # pytest.
+        "events_lag_delta": P.q_events_lag_delta,
         "orders_join_native": P.q_orders_join_native,
         "events_asof_orders": P.q_events_asof_orders,
         "lineitem_range_orders": P.q_lineitem_range_orders,
@@ -232,7 +241,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # supplier_sole_returner (EXISTS-shape adjacent to
         # orders_semi_join), still oracle-exact below.
         "bucket_join_orders": P.q_bucket_join_orders,
-        "dedup_clusters": P.q_dedup_clusters,
+        # window slot (round 5, VERDICT r4 #1): minhash_dedup_full —
+        # the COMPOSED near-dedup funnel (pairs → connected components
+        # → keep-MIN-per-cluster + cluster_size passenger column for
+        # EVERY doc, singletons included) as ONE operator
+        # (stages.dedup.near_dedup_full). Subsumes and displaces
+        # dedup_clusters (components + cluster_size for involved docs
+        # only), which stays value-exact via scripts/check_oracle.py +
+        # pytest; bench.py's minhash_dedup_full entry drives the same
+        # composition with probabilistic MinHash+LSH pairs over the
+        # full transcript corpus.
+        "minhash_dedup_full": P.q_minhash_dedup_full,
         # window slot (round 4, late): kmeans_assign — broadcast
         # nearest-centroid assignment over the vector column (the
         # distributed-clustering building block; exact-L2 argmin with
@@ -311,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_scrub": P.q_doc_boilerplate_scrub,
         # --- oracle-SQL-backed overflow (past the 50-entry driver window;
         # value-exact via scripts/check_oracle.py + pytest) ---
+        # round-5 rotation: demoted but still oracle-exact
+        "dedup_clusters": P.q_dedup_clusters,
+        "events_sessions": P.q_events_sessions,
         "lang_source_pivot": P.q_lang_source_pivot,
         "orders_anti_join": P.q_orders_anti_join,
         "count_metrics": P.q_count_metrics,
@@ -1085,6 +1107,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
                        AS cluster_size
             FROM comp c
+        """,
+        # the composed funnel: the SAME component graph as
+        # dedup_clusters, LEFT-joined back to the corpus — singletons
+        # get cluster_size 1, kept true; cluster survivors are the MIN
+        # doc id of their component
+        "minhash_dedup_full": """
+            WITH RECURSIVE s AS (
+                SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+                FROM documents
+            ), e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                          / len(list_distinct(a.w || b.w)) >= 0.5
+            ), ee AS (
+                SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), reach(src, dst) AS (
+                SELECT src, dst FROM ee
+                UNION
+                SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src
+            ), comp AS (
+                SELECT src AS doc_id,
+                       LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src
+            ), sized AS (
+                SELECT doc_id, component,
+                       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+                           AS cluster_size
+                FROM comp
+            )
+            SELECT d.doc_id,
+                   COALESCE(z.cluster_size, 1) AS cluster_size,
+                   (z.doc_id IS NULL OR z.doc_id = z.component) AS kept
+            FROM documents d LEFT JOIN sized z ON d.doc_id = z.doc_id
+        """,
+        "events_lag_delta": """
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   COALESCE(LAG(event_id) OVER w, -1) AS prev_event_id,
+                   COALESCE(LEAD(event_id) OVER w, -1) AS next_event_id,
+                   COALESCE(CAST(round(value * 100) AS BIGINT)
+                       - LAG(CAST(round(value * 100) AS BIGINT)) OVER w,
+                       0) AS delta_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "customer_order_counts": """
             SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS n_orders

@@ -529,6 +529,21 @@ def q_events_interarrival(sf_dir: str):
     return per_key_interarrival(ds, key="user_id", id_col="event_id", ts_col="ts")
 
 
+def q_events_lag_delta(sf_dir: str):
+    """§2.9 LAG/LEAD (round-5 window rotation, VERDICT r4 #5): per-user
+    previous/next event id and cents delta in (ts, event_id) total
+    order — ``stages.windows.lag_lead_delta``, oracle-exact vs DuckDB
+    ``LAG()/LEAD() OVER``. First/last rows per key take the
+    ``per_key_interarrival`` sentinel discipline (-1 / 0, null-free
+    for value hashing; the oracle COALESCEs identically)."""
+    from ..stages.windows import lag_lead_delta
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return lag_lead_delta(
+        ds, key="user_id", id_col="event_id", ts_col="ts", val_col="value"
+    )
+
+
 def q_distinct_users_approx(sf_dir: str):
     """Mergeable HLL cardinality sketch (rows-only: the estimate is
     approximate by construction; accuracy is pytest-gated within 5%)."""
@@ -1066,6 +1081,29 @@ def q_dedup_clusters(sf_dir: str):
         return t.append_column("cluster_size", pa.array(cs, pa.int64()))
 
     return comp.map_batches(attach, batch_format="pyarrow")
+
+
+def q_minhash_dedup_full(sf_dir: str):
+    """The COMPOSED near-dedup funnel (round-5 window rotation, VERDICT
+    r4 #1): pairs → connected components → keep-MIN-per-cluster +
+    ``cluster_size`` passenger column for EVERY doc (singletons get
+    cluster_size=1, kept=true) — the engine restatement of FineWeb-2's
+    ``minhash_cluster_size`` producer (``fineweb/fineweb2_download.py:22``)
+    as ONE operator (``stages.dedup.near_dedup_full``). This window
+    entry drives the composition with the oracle-exact word-set-Jaccard
+    pair generator (grouped by source, like the dedup_clusters slot it
+    subsumes); bench.py's ``minhash_dedup_full`` entry drives the
+    IDENTICAL composition with probabilistic MinHash+LSH pairs over the
+    full transcript corpus. Output: (doc_id, cluster_size, kept) for
+    every document."""
+    from ..stages.dedup import near_dedup_full
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    pairs = jaccard_pairs_skew_safe(ds, group_col="source", threshold=0.5)
+    out = near_dedup_full(
+        ds.select_columns(["doc_id"]), pairs, id_col="doc_id", keep_all=True
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

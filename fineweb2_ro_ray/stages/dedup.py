@@ -1523,3 +1523,133 @@ def jaccard_pairs_distributed(
         return out.filter(pa.array(jac >= t))
 
     return wab.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dedup_full(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    keep_all: bool = False,
+    n_partitions: int = 512,
+) -> ray.data.Dataset:
+    """Composed near-dedup funnel — the engine's restatement of the
+    FineWeb-2 ``minhash_cluster_size`` producer the reference consumes
+    as a passenger column (``fineweb/fineweb2_download.py:22``): a
+    near-dup pair graph → connected components → keep the MIN doc id
+    per cluster → every doc annotated with its ``cluster_size`` (1 for
+    singletons) and ``kept`` flag.
+
+    ``pairs`` is any (doc_a, doc_b) near-dup pair Dataset — MinHash+LSH
+    (:func:`minhash_lsh_pairs`, the probabilistic corpus-scale path) or
+    the oracle-exact word-set-Jaccard generators — so the funnel
+    composition is identical whichever candidate generator drives it.
+
+    Scale shape: components run over the DEDUP-RATE-BOUNDED pair graph
+    (never the corpus); per-doc cluster sizes are computed inside ONE
+    keyed exchange on ``component`` (pandas ``transform('size')`` per
+    partition — each component is wholly co-located); the corpus gets
+    its annotation through ONE hash-join exchange on the doc id, never
+    a corpus-wide broadcast. Docs in no pair never enter the component
+    machinery at all — they take the null side of the LEFT join and
+    are filled ``cluster_size=1, kept=True`` in-place.
+
+    Returns ``ds``'s columns + ``cluster_size`` (int64) + ``kept``
+    (bool) when ``keep_all=True``; with the default ``keep_all=False``
+    only surviving rows are returned (kept column dropped) — the shape
+    a curation run feeds downstream.
+    """
+    import pyarrow.compute as pc
+
+    from .components import connected_components
+    from .exchange import hash_exchange_map_groups
+    from .joins import hash_join
+
+    comp = connected_components(pairs)  # (doc_id, component); label == min id
+
+    def with_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "_nd_id": df["doc_id"].astype("int64"),
+                "_nd_component": df["component"].astype("int64"),
+            }
+        )
+        out["_nd_cluster_size"] = (
+            out.groupby("_nd_component")["_nd_id"].transform("size").astype("int64")
+        )
+        return out
+
+    perdoc = hash_exchange_map_groups(
+        comp,
+        with_sizes,
+        key="component",
+        # pinned: an EMPTY pair graph otherwise leaves the exchange
+        # advertising its input schema, colliding with ds in the join
+        out_schema=pa.schema(
+            [
+                pa.field("_nd_id", pa.int64()),
+                pa.field("_nd_component", pa.int64()),
+                pa.field("_nd_cluster_size", pa.int64()),
+            ]
+        ),
+    )
+
+    joined = hash_join(
+        ds,
+        perdoc,
+        key=id_col,
+        right_key="_nd_id",
+        how="left",
+        n_partitions=n_partitions,
+    )
+
+    own_cols = ds.schema().names
+
+    def finish(t: pa.Table) -> pa.Table:
+        size = pc.fill_null(t["_nd_cluster_size"], 1)
+        # label propagation converges to the MIN node id, so the
+        # cluster survivor is exactly the doc whose id equals its label
+        kept = pc.or_kleene(
+            pc.is_null(t["_nd_component"]),
+            pc.equal(t[id_col].cast(pa.int64()), t["_nd_component"]),
+        )
+        out = t.select(own_cols)
+        out = out.append_column("cluster_size", size.cast(pa.int64()))
+        if keep_all:
+            return out.append_column("kept", pc.fill_null(kept, True))
+        return out.filter(pc.fill_null(kept, True))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def minhash_dedup_full(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    keep_all: bool = False,
+    n_partitions: int = 2048,
+) -> ray.data.Dataset:
+    """End-to-end MinHash near-dedup: banded-LSH candidate pairs →
+    connected components → keep-one-per-cluster + ``cluster_size``
+    column, in one call — the corpus-scale composition
+    :func:`near_dedup_full` documents. The window query drives the
+    identical composition with the oracle-exact Jaccard pair generator
+    (``pipelines/parity.q_minhash_dedup_full``); this entry point is
+    the probabilistic production path benched over the full transcript
+    corpus (bench.py ``minhash_dedup_full``)."""
+    pairs = minhash_lsh_pairs(
+        ds,
+        id_col=id_col,
+        k=k,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        n_partitions=n_partitions,
+    )
+    return near_dedup_full(
+        ds, pairs, id_col=id_col, keep_all=keep_all, n_partitions=512
+    )
