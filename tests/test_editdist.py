@@ -169,3 +169,50 @@ def test_editdist_low_gram_disjoint_sets_regression(ray_session):
     )
     got2 = editdistance_pairs_distributed(ds2, max_dist=16, q=3).to_pandas()
     assert sorted(map(tuple, got2.to_numpy().tolist())) == [(7, 8, ed)]
+
+
+def test_banded_lev_flat_equals_scalar_core():
+    """Round-5 cross-pair banded DP (the verify kernel) is cell-exact
+    vs the scalar reference over adversarial length/edit mixes,
+    including band edges (k=1), empty strings, and identical pairs."""
+    import numpy as np
+
+    from fineweb2_ro_ray.stages.editdist import (
+        _banded_lev_core,
+        _banded_lev_flat,
+    )
+
+    rng = np.random.default_rng(1717)
+
+    def rand_pair(maxlen, alpha=4):
+        la, lb = rng.integers(0, maxlen, 2)
+        a = rng.integers(97, 97 + alpha, la).astype(np.uint8)
+        b = rng.integers(97, 97 + alpha, lb).astype(np.uint8)
+        if rng.random() < 0.5 and la > 0:
+            b = a.copy()
+            for _ in range(int(rng.integers(0, 8))):
+                if len(b) == 0:
+                    break
+                i = int(rng.integers(0, len(b)))
+                op = int(rng.integers(0, 3))
+                if op == 0:
+                    b[i] = rng.integers(97, 97 + alpha)
+                elif op == 1:
+                    b = np.delete(b, i)
+                else:
+                    b = np.insert(b, i, rng.integers(97, 97 + alpha))
+        return a, b
+
+    for maxlen, k in [(30, 5), (200, 16), (200, 3), (5, 2), (600, 16), (50, 1)]:
+        pairs = [rand_pair(maxlen) for _ in range(300)]
+        pairs.append((np.zeros(0, np.uint8), np.zeros(0, np.uint8)))
+        pairs.append((pairs[0][0], pairs[0][0].copy()))  # identical
+        fa = np.concatenate([p[0] for p in pairs])
+        fb = np.concatenate([p[1] for p in pairs])
+        la = np.array([len(p[0]) for p in pairs], np.int64)
+        lb = np.array([len(p[1]) for p in pairs], np.int64)
+        got = _banded_lev_flat(fa, la, fb, lb, k)
+        exp = np.array(
+            [_banded_lev_core(p[0], p[1], k) for p in pairs], np.int64
+        )
+        assert np.array_equal(got, exp), (maxlen, k)
