@@ -182,6 +182,14 @@ def run_bench() -> dict:
         ("incremental_dedup", lambda _sf: _incremental_dedup_bench()),
         # round-3 continuation: duplicate-span removal at transcript scale
         ("dedup_spans", lambda _sf: _dedup_spans_bench()),
+        # round-5 (VERDICT r4 #1): the COMPOSED minhash near-dedup
+        # funnel over the FULL corpus — signatures -> banded-LSH bucket
+        # star edges (datatrove clustering semantic; strictly linear in
+        # bucket size) -> connected components -> keep-one +
+        # cluster_size. Signature math dominates (~6M docs x 64 perms);
+        # capped at 2 repeats to protect the suite wall on a degraded
+        # host (every other op keeps the x3 min).
+        ("minhash_dedup_full", lambda _sf: _minhash_dedup_full_bench(), 2),
     ]
 
     def _dedup_spans_bench():
@@ -246,6 +254,62 @@ def run_bench() -> dict:
             idx,
         )
         return kept.count()
+    def _minhash_dedup_full_bench() -> int:
+        """Composed MinHash near-dedup funnel (stages.dedup.
+        minhash_dedup_full, cluster mode) over the FULL bench corpus:
+        (conv_id, turn_idx) -> int64 ids, 64-perm signatures, 8-band
+        (r=8) bucket star edges, components, keep-min + cluster_size.
+        r=8 banding (collision 1-(1-J^8)^8, effective threshold ~0.85)
+        — the r=4 default chained 88% of the corpus into one cluster
+        on this template-heavy synthetic corpus. Consumed with a thin
+        (kept, cluster_size) grouped count: the per-doc annotations
+        stay distributed."""
+        import glob
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from fineweb2_ro_ray.schema import hash_key_u64
+        from fineweb2_ro_ray.stages.analysis import grouped_counts
+        from fineweb2_ro_ray.stages.dedup import minhash_dedup_full
+
+        files = sorted(glob.glob(f"{BENCH_DIR}/*.parquet"))
+        ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+
+        def uid(t: pa.Table) -> pa.Table:
+            u = hash_key_u64(
+                pc.binary_join_element_wise(
+                    t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "#"
+                )
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        (u >> np.uint64(1)).astype(np.int64), pa.int64()
+                    ),
+                    "text": t["text"],
+                }
+            )
+
+        out = minhash_dedup_full(
+            ds.map_batches(uid, batch_format="pyarrow"),
+            keep_all=True,
+            num_perm=64,
+            bands=8,
+        )
+        hist = grouped_counts(
+            out.map_batches(
+                lambda t: pa.table(
+                    {"kept": t["kept"], "cs": t["cluster_size"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["kept", "cs"],
+        ).to_pandas()
+        return int(hist[hist.kept]["n"].sum())
+
     def _flagship_once() -> None:
         # headline: full quality-filter DAG + conversation reassembly → sink
         out_dir = f"/tmp/fineweb2_ro_bench/out_{NUM_CPUS}"
@@ -265,7 +329,11 @@ def run_bench() -> dict:
     t_run0 = time.time()
     for rep in range(repeats):
         _flagship_once()
-        for name, fn in op_benches:
+        for entry in op_benches:
+            name, fn = entry[0], entry[1]
+            rep_cap = entry[2] if len(entry) > 2 else repeats
+            if rep >= rep_cap:
+                continue
             t0 = time.time()
             res = fn(SF_DIR)
             if hasattr(res, "to_pandas"):

@@ -76,6 +76,14 @@ def _default_pool() -> tuple[int, int]:
     return (1, max(2, cpus // 3))
 
 
+# Test-only fault injection for the fused actor pool: set to
+# ("annotate", marker_path) and the FIRST Annotator batch to run
+# SIGKILLs its actor (atomically claimed via O_EXCL on the marker).
+# Read driver-side at annotate() wiring time and shipped as a plain
+# constructor argument. Exercised by tests/test_actor_faults.py.
+_TEST_FAILPOINT: tuple[str, str] | None = None
+
+
 class Annotator:
     """Fused actor-pool stage: stats → LID → perplexity → scrub →
     decide in one ``__call__``.
@@ -89,7 +97,10 @@ class Annotator:
     composition."""
 
     def __init__(
-        self, cfg: FilterConfig | None = None, project: list[str] | None = None
+        self,
+        cfg: FilterConfig | None = None,
+        project: list[str] | None = None,
+        failpoint: tuple[str, str] | None = None,
     ) -> None:
         # each actor is a 1-CPU worker: pin Arrow's internal pools so 30
         # actors don't spawn 30×32 threads and thrash the node
@@ -97,11 +108,22 @@ class Annotator:
         pa.set_io_thread_count(2)
         self.cfg = cfg or FilterConfig()
         self.project = project
+        self._failpoint = failpoint
         self.lid = LangIdScorer()
         self.ppl = PerplexityScorer()
         self.scrub = Scrubber()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._failpoint is not None:
+            # test-only: SIGKILL exactly one actor mid-stream (atomic
+            # marker claim — the exchange's _maybe_die); Ray Data must
+            # restart the actor and re-run the lost batch, and the
+            # flagship output must be byte-identical (the engine's
+            # answer to the reference's mid-run crash recovery,
+            # fineweb/big_inference.py:296-303)
+            from ..stages.exchange import _maybe_die
+
+            _maybe_die(self._failpoint, "annotate")
         # fused route: stats hands its dictionary-encoded tokenization
         # (and byte-kernel diacritic counts) straight to LID in-process —
         # no transient _toks column, no re-encode
@@ -152,7 +174,14 @@ def annotate(
         pool = max(1, cpus - 2) if cpus >= 4 else max(1, cpus - 1)
         return ds.map_batches(
             Annotator,
-            fn_constructor_kwargs={"cfg": cfg, "project": project},
+            # failpoint read driver-side at wiring time and shipped as a
+            # plain constructor argument (the exchange's test-only fault
+            # pattern — tests/test_actor_faults.py)
+            fn_constructor_kwargs={
+                "cfg": cfg,
+                "project": project,
+                "failpoint": _TEST_FAILPOINT,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,

@@ -181,6 +181,20 @@ def sample_fraction_by_hash(
 _MERSENNE = (1 << 61) - 1
 
 
+def _mod_mersenne(y: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+    """``y % (2^61 - 1)`` WITHOUT integer division (round-5: the
+    generic uint64 ``%`` was ~half the 58 s corpus signature pass).
+    2^61 ≡ 1 (mod M) ⇒ y = q·2^61 + r ≡ q + r, with q = y >> 61 ≤ 7
+    and r = y & M ≤ M, so one conditional subtract finishes the
+    reduction. BIT-IDENTICAL to ``y % M`` for every uint64 input
+    (pytest-pinned), so signatures are unchanged."""
+    M = np.uint64(_MERSENNE)
+    r = np.bitwise_and(y, M, out=out)
+    r += y >> np.uint64(61)
+    np.subtract(r, M, out=r, where=r >= M)
+    return r
+
+
 class MinHasher:
     """Actor-pool stage: char-shingle MinHash signatures.
 
@@ -213,7 +227,7 @@ class MinHasher:
                 h = h * base + arr[j : len(arr) - k + 1 + j]
             # no unique(): min over a multiset equals min over its set,
             # and the dedup sort cost more than the extra multiplies
-            vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+            vals = _mod_mersenne(h[None, :] * self.a[:, None] + self.b[:, None])
         return vals.min(axis=1)
 
     def signature(self, text: str) -> np.ndarray:
@@ -293,9 +307,9 @@ class MinHasher:
                 with np.errstate(over="ignore"):
                     for s, e in zip(gstart, gend):
                         hc = hv[bnd[s] : bnd[e]]
-                        vals = (
+                        vals = _mod_mersenne(
                             hc[None, :] * self.a[:, None] + self.b[:, None]
-                        ) % M
+                        )
                         mins[s:e] = np.minimum.reduceat(
                             vals, bnd[s:e] - bnd[s], axis=1
                         ).T
@@ -1622,34 +1636,213 @@ def near_dedup_full(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def minhash_dedup_full(
+def minhash_cluster_edges(
     ds: ray.data.Dataset,
     *,
     id_col: str = "doc_id",
     k: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    sigs: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """LSH bucket STAR edges — the datatrove/FineWeb minhash-dedup
+    clustering semantic (bucket members are unioned directly, no
+    pairwise verify): for every band bucket with >= 2 members, emit
+    (bucket_min_id, member) edges. STRICTLY LINEAR in bucket size
+    where the pairwise generator is quadratic — the m(m-1)/2 blowup a
+    few-thousand-member near-identical template family produces took
+    the corpus bench down twice (9 GB OOM reduce, then a 200 GB+
+    spill); a star is component-equivalent to the clique the bucket
+    implies. Effective similarity threshold is encoded by the banding
+    scheme (collision prob 1-(1-J^r)^b with r = num_perm//bands), as
+    in the reference corpus tooling. Output: distinct (doc_a, doc_b)
+    with doc_a the bucket min."""
+    from .exchange import hash_exchange_map_groups
+
+    rows = num_perm // bands
+    if sigs is None:
+        sigs = minhash_signatures(ds, k=k, num_perm=num_perm)
+    exploded = sigs.map_batches(
+        lambda b: _explode_bands_thin(b, bands, rows, id_col),
+        batch_format="pyarrow",
+    )
+    pair_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+    )
+
+    def star_per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pair_schema.empty_table()
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, buckets))
+        buckets, ids = buckets[order], ids[order]
+        n = len(ids)
+        starts = np.flatnonzero(
+            np.concatenate([[True], buckets[1:] != buckets[:-1]])
+        )
+        runlen = np.diff(np.concatenate([starts, [n]]))
+        mask = np.ones(n, dtype=bool)
+        mask[starts] = False  # drop each bucket's min (the star center)
+        doc_b = ids[mask]
+        doc_a = np.repeat(ids[starts], runlen - 1)
+        df = pd.DataFrame({"doc_a": doc_a, "doc_b": doc_b}).drop_duplicates()
+        return pa.table(
+            {
+                "doc_a": pa.array(df["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(df["doc_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    edges = hash_exchange_map_groups(
+        exploded,
+        star_per_part,
+        key="bucket",
+        batch_format="pyarrow",
+        out_schema=pair_schema,
+    )
+    # same edge repeats across bands (<= bands x): one thin distinct
+    # exchange bounds the component stage's input
+    return hash_exchange_map_groups(
+        edges,
+        lambda df: df.drop_duplicates(),
+        key=["doc_a", "doc_b"],
+        out_schema=pair_schema,
+    )
+
+
+def minhash_dedup_full(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
     threshold: float = 0.7,
     keep_all: bool = False,
     n_partitions: int = 2048,
+    mode: str = "cluster",
+    collapse_exact: bool = True,
+    exact_broadcast_limit: int = 20_000_000,
 ) -> ray.data.Dataset:
-    """End-to-end MinHash near-dedup: banded-LSH candidate pairs →
-    connected components → keep-one-per-cluster + ``cluster_size``
-    column, in one call — the corpus-scale composition
-    :func:`near_dedup_full` documents. The window query drives the
-    identical composition with the oracle-exact Jaccard pair generator
+    """End-to-end MinHash near-dedup: LSH edges → connected components
+    → keep-one-per-cluster + ``cluster_size`` column, in one call —
+    the corpus-scale composition :func:`near_dedup_full` documents.
+    The window query drives the identical composition with the
+    oracle-exact Jaccard pair generator
     (``pipelines/parity.q_minhash_dedup_full``); this entry point is
     the probabilistic production path benched over the full transcript
-    corpus (bench.py ``minhash_dedup_full``)."""
+    corpus (bench.py ``minhash_dedup_full``).
+
+    ``mode="cluster"`` (default — the datatrove/FineWeb semantic the
+    reference's ``minhash_cluster_size`` column comes from): bucket
+    members are unioned directly via :func:`minhash_cluster_edges`
+    star edges — STRICTLY LINEAR in bucket size, the only shape that
+    survives a corpus whose near-identical template families reach
+    thousands of members (the pairwise generator's m²/2 took the
+    bench corpus down twice: a 9 GB OOM reduce, then a 200 GB+
+    spill). ``threshold`` is advisory here — the effective threshold
+    is the banding scheme's collision curve (1-(1-J^r)^b).
+
+    ``mode="pairs"``: the previous composition over
+    :func:`minhash_lsh_pairs` (pairwise est_jaccard >= threshold),
+    for corpora whose bucket sizes are known-bounded.
+    ``collapse_exact`` (default on, pairs mode only) pre-collapses
+    EXACT-duplicate families through one md5-keyed thin exchange into
+    star edges + a single LSH representative — identical texts are
+    guaranteed J=1 cliques, so clusters/sizes/survivors are IDENTICAL
+    (pytest-pinned against collapse_exact=False); non-representative
+    exclusion is broadcast (``pc.is_in``) under
+    ``exact_broadcast_limit`` ids, else the anti hash-join."""
+    assert mode in ("cluster", "pairs"), mode
+    pair_cols = ["doc_a", "doc_b"]
+    if mode == "cluster":
+        edges = minhash_cluster_edges(
+            ds, id_col=id_col, k=k, num_perm=num_perm, bands=bands
+        )
+        return near_dedup_full(
+            ds, edges, id_col=id_col, keep_all=keep_all, n_partitions=512
+        )
+    star = None
+    lsh_input = ds
+    if collapse_exact:
+        import pyarrow.compute as pc
+
+        from .exchange import hash_exchange_map_groups
+        from .joins import hash_join
+
+        thin = ds.map_batches(
+            lambda b: add_md5(b.select([id_col, text_col]), col=text_col)
+            .drop_columns([text_col]),
+            batch_format="pyarrow",
+        )
+
+        def fam(df: pd.DataFrame) -> pd.DataFrame:
+            rep = df.groupby("text_md5", dropna=False)[id_col].transform("min").to_numpy()
+            ids = df[id_col].to_numpy()
+            m = rep != ids
+            return pd.DataFrame(
+                {
+                    "doc_a": rep[m].astype("int64"),
+                    "doc_b": ids[m].astype("int64"),
+                }
+            )
+
+        star = hash_exchange_map_groups(
+            thin,
+            fam,
+            key="text_md5",
+            out_schema=pa.schema(
+                [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+            ),
+        ).materialize()  # thin, exact-dup-rate bounded; consumed twice
+        n_non = star.count()
+        if n_non == 0:
+            pass  # no exact dups; LSH sees the full corpus
+        elif n_non <= exact_broadcast_limit:
+            dup_ids = pa.array(
+                np.concatenate(
+                    [
+                        t["doc_b"].to_numpy(zero_copy_only=False)
+                        for t in star.select_columns(["doc_b"]).iter_batches(
+                            batch_format="pyarrow"
+                        )
+                    ]
+                ),
+                pa.int64(),
+            )
+            lsh_input = ds.map_batches(
+                lambda t: t.filter(
+                    pc.invert(
+                        pc.is_in(t[id_col].cast(pa.int64()), value_set=dup_ids)
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            lsh_input = hash_join(
+                ds,
+                star.select_columns(["doc_b"]).map_batches(
+                    lambda t: pa.table({"_dup_id": t["doc_b"]}),
+                    batch_format="pyarrow",
+                ),
+                key=id_col,
+                right_key="_dup_id",
+                how="anti",
+                n_partitions=512,
+            )
     pairs = minhash_lsh_pairs(
-        ds,
+        lsh_input,
         id_col=id_col,
         k=k,
         num_perm=num_perm,
         bands=bands,
         threshold=threshold,
         n_partitions=n_partitions,
-    )
+    ).select_columns(pair_cols)
+    if star is not None:
+        pairs = pairs.union(star)
     return near_dedup_full(
         ds, pairs, id_col=id_col, keep_all=keep_all, n_partitions=512
     )

@@ -581,3 +581,67 @@ def test_from_pandas_like_pins_only_lossy_columns():
     t0 = from_pandas_like(df.iloc[:0], like)
     assert t0.schema.field("k").type == pa.string()
     assert t0.schema.field("n").type == pa.int64()
+
+
+def test_ingest_jsonl_quarantine(tmp_path):
+    """Round-5 (VERDICT r4 #6): corrupted-shard ingestion — bad JSON,
+    non-object rows, and rows missing required keys land in quarantine
+    shards with lineage; the job never fails; good rows shard as usual;
+    a resumed replay reproduces the identical quarantine set."""
+    import gzip
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fineweb2_ro_ray.sources.io import ingest_jsonl_quarantine
+
+    good = [
+        {"conv_id": f"c{i}", "turn_idx": j, "text": f"turn {i}.{j}"}
+        for i in range(40)
+        for j in range(3)
+    ]
+    src1 = tmp_path / "a.jsonl"
+    with open(src1, "w") as f:
+        for k, rec in enumerate(good[:60]):
+            f.write(json.dumps(rec) + "\n")
+            if k == 10:
+                f.write('{"conv_id": "broken", "turn_idx": 0, "text": \n')  # torn JSON
+            if k == 20:
+                f.write("[1, 2, 3]\n")  # not an object
+            if k == 30:
+                f.write('{"conv_id": "c-miss"}\n')  # missing keys
+    src2 = tmp_path / "b.jsonl.gz"
+    with gzip.open(src2, "wt") as f:
+        for rec in good[60:]:
+            f.write(json.dumps(rec) + "\n")
+        f.write("utter garbage not json at all\n")
+
+    out = str(tmp_path / "spool")
+    s = ingest_jsonl_quarantine(
+        [str(src1), str(src2)], out, shard_rows=50
+    )
+    assert s["rows_written"] == 120
+    assert s["rows_quarantined"] == 4
+    assert s["quarantine_shards"] == 1
+
+    qfiles = sorted(os.listdir(os.path.join(out, "quarantine")))
+    qt = pq.read_table(os.path.join(out, "quarantine", qfiles[0]))
+    assert qt.num_rows == 4
+    errors = qt["error"].to_pylist()
+    assert any("JSONDecodeError" in e for e in errors)
+    assert any("not a JSON object" in e for e in errors)
+    assert any("missing keys" in e for e in errors)
+    assert any("garbage" in r for r in qt["raw"].to_pylist())
+    # lineage points at the right files/lines
+    assert str(src1) in set(qt["source_file"].to_pylist())
+    assert str(src2) in set(qt["source_file"].to_pylist())
+
+    # resume: existing shards skipped, quarantine rebuilt identically,
+    # and the good-row shard content is unchanged
+    s2 = ingest_jsonl_quarantine([str(src1), str(src2)], out, shard_rows=50)
+    assert s2["rows_written"] == 0
+    assert s2["shards_skipped"] == s["shards"]
+    assert s2["rows_quarantined"] == 4
+    qt2 = pq.read_table(os.path.join(out, "quarantine", qfiles[0]))
+    assert qt2.equals(qt)
