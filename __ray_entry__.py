@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": P.q_events_hourly,
         # round-4 late window rotation: demoted but still oracle-exact
         "doc_pack_spans": P.q_doc_pack_spans,
+        # round-5: RANGE window frame (time-interval sibling of the
+        # ROWS frame; peers share the frame total) — oracle-exact
+        "events_range_frame": P.q_events_range_frame,
         "events_percent_rank": P.q_events_percent_rank,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
@@ -1141,6 +1144,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(z.cluster_size, 1) AS cluster_size,
                    (z.doc_id IS NULL OR z.doc_id = z.component) AS kept
             FROM documents d LEFT JOIN sized z ON d.doc_id = z.doc_id
+        """,
+        "events_range_frame": """
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                 AND CURRENT ROW
+                   ) AS BIGINT) AS range_cents
+            FROM events
         """,
         "events_lag_delta": """
             SELECT user_id, event_id,

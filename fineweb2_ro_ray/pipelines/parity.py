@@ -544,6 +544,22 @@ def q_events_lag_delta(sf_dir: str):
     )
 
 
+def q_events_range_frame(sf_dir: str):
+    """§2.9 RANGE window frame (round-5): per-user trailing-1-hour
+    cents sum — ``stages.windows.range_frame_sum``, oracle-exact vs
+    DuckDB ``SUM() OVER (... RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW)``. The time-interval sibling of events_rolling's
+    ROWS frame: tied timestamps are PEERS and all see the frame
+    total."""
+    from ..stages.windows import range_frame_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return range_frame_sum(
+        ds, key="user_id", id_col="event_id", ts_col="ts", val_col="value",
+        window_s=3600,
+    )
+
+
 def q_distinct_users_approx(sf_dir: str):
     """Mergeable HLL cardinality sketch (rows-only: the estimate is
     approximate by construction; accuracy is pytest-gated within 5%)."""

@@ -180,3 +180,101 @@ def lag_lead_delta(
         key=key,
         batch_format="pyarrow",
     )
+
+
+def range_frame_sum(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    window_s: int = 3600,
+) -> ray.data.Dataset:
+    """§2.9 RANGE window frame (round-5): per-key sum of integer cents
+    over the trailing TIME interval ``[ts - window_s, ts]`` — the
+    time-based sibling of ``rolling_sum_cents``'s ROWS frame (a ROWS
+    frame counts rows; a RANGE frame includes every PEER row inside
+    the interval, so tied timestamps all see the same total, exactly
+    SQL's ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``).
+
+    Shape: one hash exchange on the key, per-partition Arrow sort by
+    (key, ts), then a fully vectorized two-pointer evaluation —
+    prefix sums + ``searchsorted`` for the left frame edge and the
+    peer-group right edge; no per-row Python. Output: (key, id, cents,
+    range_cents)."""
+    import pyarrow.compute as pc
+
+    from .analysis import round_half_away
+    from .exchange import hash_exchange_map_groups
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        us = (
+            b[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = round_half_away(b[val_col].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                key: b[key],
+                id_col: b[id_col],
+                "_ts_us": pa.array(us, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    win_us = np.int64(window_s) * 1_000_000
+
+    def frame(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key, "ascending"), ("_ts_us", "ascending"), (id_col, "ascending")],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        k = t[key].to_numpy(zero_copy_only=False)
+        ts = t["_ts_us"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        out = np.zeros(n, np.int64)
+        if n:
+            # per-key segments: new-key boundaries
+            seg_start_mask = np.zeros(n, dtype=bool)
+            seg_start_mask[0] = True
+            seg_start_mask[1:] = k[1:] != k[:-1]
+            seg_starts = np.flatnonzero(seg_start_mask)
+            seg_ends = np.concatenate([seg_starts[1:], [n]])
+            csum = np.concatenate([[0], np.cumsum(cents)])
+            # ts is sorted only WITHIN a key's segment (the global
+            # array interleaves keys), so the frame edges come from
+            # per-segment searchsorted on the segment's own slice —
+            # Python iterations = distinct keys in the partition (the
+            # bucket_pairs discipline), interior fully vectorized
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for s, e in zip(seg_starts, seg_ends):
+                seg_ts = ts[s:e]
+                # left edge: first peer with ts >= ts_i - win; right
+                # edge: past the last PEER (same ts) — RANGE frames
+                # include every peer of the current row
+                lo[s:e] = s + np.searchsorted(seg_ts, seg_ts - win_us, side="left")
+                hi[s:e] = s + np.searchsorted(seg_ts, seg_ts, side="right")
+            out = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                key: t[key],
+                id_col: t[id_col],
+                "cents": t["cents"],
+                "range_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    return hash_exchange_map_groups(
+        ds.select_columns([key, id_col, ts_col, val_col]).map_batches(
+            to_cents, batch_format="pyarrow"
+        ),
+        frame,
+        key=key,
+        batch_format="pyarrow",
+    )

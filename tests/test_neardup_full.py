@@ -194,3 +194,37 @@ def test_minhash_dedup_full_cluster_mode_matches_pairs_mode(ray_session):
     )
     by_id = dict(zip(a["doc_id"], a["cluster_size"]))
     assert by_id[0] == 6 and by_id[50] == 6 and by_id[10] == 3 and by_id[100] == 1
+
+
+def test_range_frame_sum_peers_and_window(ray_session):
+    """RANGE frame semantics: tied timestamps are peers (both see the
+    full frame total), events outside the trailing interval fall out,
+    and keys are isolated."""
+    from fineweb2_ro_ray.stages.windows import range_frame_sum
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": np.array([1, 2, 3, 4, 5], np.int64),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:30:00",
+                    "2024-01-01 00:30:00",  # peer of event 2
+                    "2024-01-01 02:00:00",  # outside 1h of everything
+                    "2024-01-01 00:10:00",  # other key
+                ]
+            ),
+            "value": [1.00, 2.00, 3.00, 4.00, 50.00],
+        }
+    )
+    out = (
+        range_frame_sum(ray.data.from_pandas(df), window_s=3600)
+        .to_pandas()
+        .set_index("event_id")["range_cents"]
+        .to_dict()
+    )
+    assert out[1] == 100
+    assert out[2] == out[3] == 600  # peers: 100+200+300 each
+    assert out[4] == 400            # only itself
+    assert out[5] == 5000           # key isolation
