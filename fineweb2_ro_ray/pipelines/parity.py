@@ -1116,10 +1116,11 @@ def q_minhash_dedup_full(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     pairs = jaccard_pairs_skew_safe(ds, group_col="source", threshold=0.5)
-    out = near_dedup_full(
-        ds.select_columns(["doc_id"]), pairs, id_col="doc_id", keep_all=True
-    )
-    return out
+    # schema-bearing pruned read (NOT select_columns: a zero-row
+    # dataset loses its schema through a lazy projection — the
+    # test_empty_inputs class of crash)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return near_dedup_full(docs, pairs, id_col="doc_id", keep_all=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1338,7 +1338,13 @@ def jaccard_pairs_skew_safe(
     from .analysis import grouped_counts
 
     sizes = grouped_counts(ds.select_columns([group_col]), [group_col]).to_pandas()
-    big = sizes[sizes["n"] > large_group_cutoff][group_col].tolist()
+    # empty corpus: Ray's empty to_pandas drops columns entirely (the
+    # test_empty_inputs class of crash) — no groups means no big groups
+    big = (
+        sizes[sizes["n"] > large_group_cutoff][group_col].tolist()
+        if "n" in sizes.columns
+        else []
+    )
     if not big:
         return jaccard_pairs_by_group(
             ds, group_col=group_col, id_col=id_col, threshold=threshold

@@ -45,7 +45,18 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
             ]
         )
 
-    sch = ds.schema().base_schema
+    sch_obj = ds.schema()
+    if sch_obj is None:
+        # only reachable on a ZERO-ROW dataset downstream of a lazy
+        # projection (select_columns/map_batches leave nothing to
+        # sample) — callers must hand a schema-bearing dataset (e.g. a
+        # pruned read) instead
+        raise ValueError(
+            "dataset schema unavailable (empty input after a lazy "
+            "projection); pass a schema-bearing dataset, e.g. "
+            "read_parquet(..., columns=...)"
+        )
+    sch = sch_obj.base_schema
     if isinstance(sch, pa.Schema):
         return resolve_null_fields(sch)
     for b in ds.limit(1).iter_batches(batch_format="pyarrow"):
@@ -75,8 +86,8 @@ def _bucket_union(
     key (one column or a composite list), and union — ONE
     identically-keyed shuffle co-locates both sides. Returns
     (both, l_cols, r_cols, out_schema)."""
-    l_cols = left.schema().names
-    r_cols = right.schema().names
+    l_cols = _arrow_schema(left).names
+    r_cols = _arrow_schema(right).names
     overlap = set(l_cols) & set(r_cols)
     assert not overlap, f"rename overlapping columns first: {overlap}"
 

@@ -117,3 +117,38 @@ def test_query_on_allnull_text(allnull_sf, qname):
     if qname == "q_dedup_funnel":
         # all texts null -> funnel stages after input are 0
         assert df.n_docs.tolist()[0] == 3 and df.n_docs.tolist()[1:] == [0, 0, 0]
+
+
+# round-5 additions: empty events table + the composed dedup funnel
+EVENTS_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def empty_events_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_events_sf")
+    pq.write_table(
+        EVENTS_SCHEMA.empty_table(), os.path.join(str(d), "events.parquet")
+    )
+    pq.write_table(
+        DOC_SCHEMA.empty_table(), os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname", ["q_events_lag_delta", "q_events_range_frame", "q_minhash_dedup_full"]
+)
+def test_round5_queries_on_empty_corpus(empty_events_sf, qname):
+    fn = getattr(P, qname)
+    res = fn(empty_events_sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) == 0
