@@ -1623,7 +1623,9 @@ def near_dedup_full(
         n_partitions=n_partitions,
     )
 
-    own_cols = ds.schema().names
+    from .joins import _arrow_schema
+
+    own_cols = _arrow_schema(ds).names  # clear error on schemaless empty input
 
     def finish(t: pa.Table) -> pa.Table:
         size = pc.fill_null(t["_nd_cluster_size"], 1)
