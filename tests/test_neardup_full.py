@@ -228,3 +228,54 @@ def test_range_frame_sum_peers_and_window(ray_session):
     assert out[2] == out[3] == 600  # peers: 100+200+300 each
     assert out[4] == 400            # only itself
     assert out[5] == 5000           # key isolation
+
+
+def test_round5_ops_layout_invariant(ray_session):
+    """Determinism across block layouts: the funnel, LAG/LEAD, and the
+    RANGE frame produce identical results whatever the input
+    partitioning (the engine's parallelism-invariance contract)."""
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "epsilon"], 12)
+        )
+        for _ in range(60)
+    ] * 3  # plenty of exact dups
+    docs = _docs(list(enumerate(texts)))
+
+    a = (
+        minhash_dedup_full(docs, keep_all=True)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        minhash_dedup_full(docs.repartition(7), keep_all=True)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    from fineweb2_ro_ray.stages.windows import lag_lead_delta, range_frame_sum
+
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 15, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 50_000, n), unit="s"),
+            "value": rng.uniform(0, 30, n).round(2),
+        }
+    )
+    for op in (lag_lead_delta, range_frame_sum):
+        x = (
+            op(ray.data.from_pandas(ev))
+            .to_pandas()
+            .sort_values(["user_id", "event_id"], ignore_index=True)
+        )
+        y = (
+            op(ray.data.from_pandas(ev).repartition(9))
+            .to_pandas()
+            .sort_values(["user_id", "event_id"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(x, y)
