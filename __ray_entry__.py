@@ -455,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: RANGE window frame (time-interval sibling of the
         # ROWS frame; peers share the frame total) — oracle-exact
         "events_range_frame": P.q_events_range_frame,
+        # round-5: boolean AND/OR/NOT search over the persisted
+        # inverted index (posting-list set kernels, pruned reads)
+        "index_search_bool": P.q_index_search_bool,
         "events_percent_rank": P.q_events_percent_rank,
         # --- rows-only (graded when the driver window reaches them) ---
         "transcript_labels": _q_transcript_labels,
@@ -1144,6 +1147,23 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(z.cluster_size, 1) AS cluster_size,
                    (z.doc_id IS NULL OR z.doc_id = z.component) AS kept
             FROM documents d LEFT JOIN sized z ON d.doc_id = z.doc_id
+        """,
+        "index_search_bool": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(ws, x -> x = 'filter'))
+                      + len(list_filter(ws, x -> x = 'join'))
+                      + len(list_filter(ws, x -> x = 'merge'))
+                      + len(list_filter(ws, x -> x = 'stream'))
+                       AS BIGINT) AS tf_sum
+            FROM w
+            WHERE len(list_filter(ws, x -> x = 'filter')) > 0
+              AND len(list_filter(ws, x -> x = 'join')) > 0
+              AND (len(list_filter(ws, x -> x = 'merge')) > 0
+                   OR len(list_filter(ws, x -> x = 'stream')) > 0)
+              AND len(list_filter(ws, x -> x = 'customer')) = 0
         """,
         "events_range_frame": """
             SELECT user_id, event_id,

@@ -3461,6 +3461,28 @@ def q_index_lookup(sf_dir: str):
     return lookup_terms(path, ["window", "join", "scan"])
 
 
+def q_index_search_bool(sf_dir: str):
+    """Boolean search over the persisted inverted index (round-5):
+    docs with 'filter' AND 'join', at least one of {'merge','stream'},
+    and NOT 'customer' — posting-list set kernels over pruned
+    partition reads (stages.invindex.search_boolean). tf_sum counts
+    occurrences of the present positive terms; oracle recomputes from
+    the raw text with list_filter."""
+    import hashlib
+
+    from ..stages.invindex import build_inverted_index, search_boolean
+
+    path = "/tmp/fw2_invindex_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    build_inverted_index(ds, path, n_parts=16)
+    return search_boolean(
+        path,
+        must=["filter", "join"],
+        should=["merge", "stream"],
+        must_not=["customer"],
+    )
+
+
 def q_lang_regression(sf_dir: str):
     """Per-language OLS of space-word count on character length
     (grouped sufficient-stats regression, stages.analysis

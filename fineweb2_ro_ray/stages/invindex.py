@@ -203,3 +203,67 @@ def index_scan_fraction(path: str, terms: list[str]) -> float:
         meta = json.load(f)
     hit = {zlib.crc32(t.encode("utf-8")) % meta["n_parts"] for t in terms}
     return len(hit) / meta["n_parts"]
+
+
+def search_boolean(
+    path: str,
+    must: list[str],
+    should: list[str] | tuple = (),
+    must_not: list[str] | tuple = (),
+) -> pa.Table:
+    """Boolean document search over the persisted postings artifact
+    (round-5): docs containing ALL ``must`` terms, at least one
+    ``should`` term (when any are given), and no ``must_not`` term —
+    posting-list intersection / union / difference on SORTED int64 doc
+    arrays (numpy set kernels), reading ONLY the partitions the query
+    terms hash into (same pruning as :func:`lookup_terms`; the
+    ``must_not`` side reads its own partitions, never the corpus).
+    Output: (doc_id, tf_sum) with tf summed over the present
+    must+should terms — the ranking-ready AND/OR/NOT primitive a
+    BM25 front end composes. Sorted by doc_id."""
+    out_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("tf_sum", pa.int64())]
+    )
+    must = list(dict.fromkeys(must))
+    should = list(dict.fromkeys(should))
+    must_not = list(dict.fromkeys(must_not))
+    all_terms = list(dict.fromkeys(must + should + must_not))
+    if not must and not should:
+        return out_schema.empty_table()
+    posts = lookup_terms(path, all_terms)
+    terms_np = posts["term"].to_numpy(zero_copy_only=False)
+    docs_np = posts["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tf_np = posts["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def docs_of(term: str) -> np.ndarray:
+        return docs_np[terms_np == term]  # sorted (lookup_terms contract)
+
+    cand: np.ndarray | None = None
+    for term in must:
+        d = docs_of(term)
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if len(cand) == 0:
+            return out_schema.empty_table()
+    if should:
+        union = np.unique(np.concatenate([docs_of(t) for t in should]))
+        cand = union if cand is None else cand[np.isin(cand, union, assume_unique=True)]
+    for term in must_not:
+        cand = np.setdiff1d(cand, docs_of(term), assume_unique=True)
+    if cand is None or len(cand) == 0:
+        return out_schema.empty_table()
+    # tf over the present must+should terms for surviving docs
+    pos_terms = set(must) | set(should)
+    keep = np.isin(docs_np, cand) & np.isin(
+        terms_np, np.array(sorted(pos_terms), dtype=object)
+    )
+    kd, kt = docs_np[keep], tf_np[keep]
+    order = np.argsort(kd, kind="stable")
+    kd, kt = kd[order], kt[order]
+    starts = np.flatnonzero(np.concatenate([[True], kd[1:] != kd[:-1]]))
+    sums = np.add.reduceat(kt, starts)
+    return pa.table(
+        {
+            "doc_id": pa.array(kd[starts], pa.int64()),
+            "tf_sum": pa.array(sums.astype(np.int64), pa.int64()),
+        }
+    )

@@ -204,3 +204,51 @@ def test_grouped_quantile_sketch_rank_error():
             assert abs(rank - 0.5) <= 2.0 / m + 0.01
         tiny = out[out.g == "tiny"]["value"].iloc[0]
         assert tiny == 2.0  # exact on tiny groups
+
+
+def test_search_boolean_semantics(ray_session, tmp_path):
+    """AND/OR/NOT posting algebra: must-intersection, should-union
+    gate, must_not-difference, tf_sum over present positive terms, and
+    the empty-result identities."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from fineweb2_ro_ray.stages.invindex import (
+        build_inverted_index,
+        search_boolean,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b a c",      # a:2 b:1 c:1
+                        "a b d",        # a:1 b:1 d:1
+                        "a x",          # no b
+                        "a b bad",      # excluded by must_not
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path, n_parts=4)
+
+    out = search_boolean(path, must=["a", "b"]).to_pandas()
+    assert out.doc_id.tolist() == [1, 2, 4]
+    assert out.tf_sum.tolist() == [3, 2, 2]
+
+    out = search_boolean(
+        path, must=["a", "b"], should=["c", "d"], must_not=["bad"]
+    ).to_pandas()
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.tf_sum.tolist() == [4, 3]  # + the present should term
+
+    assert len(search_boolean(path, must=["zzz"]).to_pandas()) == 0
+    assert len(search_boolean(path, must=[]).to_pandas()) == 0
+    only_should = search_boolean(path, must=[], should=["c"]).to_pandas()
+    assert only_should.doc_id.tolist() == [1]
